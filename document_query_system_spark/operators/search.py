@@ -1,0 +1,166 @@
+"""Keyword QA search — the engine's flagship query.
+
+Re-expresses the reference's keyword-fallback QA path
+(ref: src/main.py:134-157 — lowercase split of the question,
+substring-containment count against each chunk, score =
+matches/len(words), sort desc, top 3) as a declarative Spark plan:
+
+    questions (tiny, broadcast) ⨯ documents
+      → score as a higher-order array expression (no UDF)
+      → row_number window top-k per question
+      → templated answer summary
+
+The reference treats this as an exception fallback; here it is a
+first-class operator. Scale shape: the question side is broadcast
+(BroadcastNestedLoopJoin), so the big documents table never
+shuffles — the plan is embarrassingly parallel over document
+partitions and survives a 100×/1000× scale-up of `documents`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.tables import load
+
+# Golden question set. The reference's golden set is 10 fixed
+# insurance questions (ref: src/scripts/main.py:54-65); these 10 use
+# the synthetic documents' vocabulary so the keyword scorer yields
+# nonzero, oracle-reproducible scores (FIXTURES.md §13).
+GOLDEN_QUESTIONS: list[tuple[int, str]] = [
+    (1, "how does spark merge sort runs for a big table"),
+    (2, "which query uses a hash join on the customer table"),
+    (3, "is the window agg slow for small batch data"),
+    (4, "can a vector scan filter the stream fast"),
+    (5, "why is the group order sort slow"),
+    (6, "does the batch query merge dup rows"),
+    (7, "what column key does the join use"),
+    (8, "is a small part table broadcast fast"),
+    (9, "how big is the data stream per batch window"),
+    (10, "which line value does the filter scan match"),
+]
+
+TOP_K = 3  # context chunks per answer (ref: src/main.py:103, 157)
+SNIPPET_LEN = 500  # fallback-answer content truncation (ref: src/main.py:147)
+
+
+def questions_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        GOLDEN_QUESTIONS, "question_id INT, question_text STRING"
+    )
+
+
+def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """questions ⨯ documents with the keyword-overlap score column.
+
+    Score semantics exactly as ref src/main.py:137-145:
+    words = question.lower().split(); matches = Σ 1[word ⊂ text_lower];
+    score = matches / len(words). Expressed with higher-order array
+    functions — stays inside whole-stage codegen, no Python UDF.
+    """
+    docs = load(spark, sf_dir, "documents")
+    q = F.broadcast(questions_df(spark))
+    qwords = F.split(F.lower(F.col("question_text")), " ")
+    text_lc = F.lower(F.col("text"))
+    matches = F.size(F.filter(qwords, lambda w: text_lc.contains(w)))
+    return docs.crossJoin(q).select(
+        "question_id",
+        "question_text",
+        "doc_id",
+        (matches.cast("double") / F.size(qwords)).alias("score"),
+        F.substring("text", 1, SNIPPET_LEN).alias("snippet"),
+    )
+
+
+def keyword_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
+    """Top-k documents per question by keyword score (ref main.py:156-157)."""
+    w = Window.partitionBy("question_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        _scored(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def _question_values() -> str:
+    rows = ",\n      ".join(f"({i}, '{t}')" for i, t in GOLDEN_QUESTIONS)
+    return f"questions(question_id, question_text) AS (VALUES\n      {rows})"
+
+
+_SCORED_CTE = f"""
+WITH {_question_values()},
+scored AS (
+  SELECT q.question_id, q.question_text, d.doc_id,
+         CAST(len(list_filter(string_split(lower(q.question_text), ' '),
+                              w -> contains(lower(d.text), w))) AS DOUBLE)
+           / len(string_split(lower(q.question_text), ' ')) AS score,
+         substr(d.text, 1, {SNIPPET_LEN}) AS snippet
+  FROM questions q CROSS JOIN documents d
+)
+"""
+
+_TOPK_SQL = (
+    _SCORED_CTE
+    + f"""
+, ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY question_id
+                               ORDER BY score DESC, doc_id) AS rn
+  FROM scored
+)
+SELECT question_id, question_text, doc_id, score, snippet
+FROM ranked WHERE rn <= {TOP_K}
+"""
+)
+
+
+@register("q_cross_score", oracle=_SCORED_CTE + "SELECT * FROM scored")
+def q_cross_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/A2/X1/X2: broadcast cross join + keyword-overlap score
+    (ref: src/main.py:134-153)."""
+    return _scored(spark, sf_dir)
+
+
+@register("q_topk_per_question", oracle=_TOPK_SQL)
+def q_topk_per_question(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2/O2: top-3 documents per question, window ranking with stable
+    tiebreak (ref: src/main.py:156-157; pinecone_manager.py:115-121)."""
+    return keyword_topk(spark, sf_dir)
+
+
+@register(
+    "q_answer_summary",
+    oracle=_SCORED_CTE
+    + """
+, ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY question_id
+                               ORDER BY score DESC, doc_id) AS rn
+  FROM scored
+)
+SELECT question_id, question_text,
+       printf('Based on document %d (relevance %.3f): %s',
+              doc_id, score, substr(snippet, 1, 100)) AS summary
+FROM ranked WHERE rn = 1
+""",
+)
+def q_answer_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6: templated answer assembly from the best chunk per question
+    (ref: src/main.py:116, 163 — f-string summary with %.3f score)."""
+    best = keyword_topk(spark, sf_dir, k=1)
+    return best.select(
+        "question_id",
+        "question_text",
+        F.format_string(
+            "Based on document %d (relevance %.3f): %s",
+            F.col("doc_id"),
+            F.col("score"),
+            F.substring("snippet", 1, 100),
+        ).alias("summary"),
+    )
+
+
+def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
+    """The driver's ``entry()`` query: keyword QA top-3 at sf0.001."""
+    return keyword_topk(spark, sf_dir)

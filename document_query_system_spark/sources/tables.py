@@ -1,0 +1,39 @@
+"""Parquet loaders for the driver's tables (SURVEY.md §2.1 S10).
+
+At 100 TB the scan IS the query plan: every query in this engine
+projects/filters *before* any join or agg so Catalyst pushes the
+predicate and the column list into the Parquet reader
+(``PushedFilters`` / ``ReadSchema`` in .explain). Loaders here stay
+lazy — no caching, no collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any realistic scale
+# factor (region=5, nation=25 rows; fixed-cardinality catalogs).
+BROADCAST_DIMS = ("region", "nation")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load(spark, sf_dir, name) for name in TABLES}
