@@ -1,0 +1,200 @@
+"""Scalar function batteries (SURVEY.md §2.8): date/time, math,
+string, array, JSON, hashing.
+
+Typing convention: where Spark and DuckDB return different widths for
+the same function (year → int vs bigint, ceil → long vs double), both
+sides cast explicitly to BIGINT so the driver's schema/value compare
+agrees. Transcendentals (ln, sqrt) are rounded to 6 decimals — libm
+implementations may differ in the last ULP.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.tables import load
+
+
+@register(
+    "q_date_funcs",
+    oracle="""
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS BIGINT)                 AS order_year,
+       CAST(month(o_orderdate) AS BIGINT)                AS order_month,
+       CAST(date_trunc('month', o_orderdate) AS DATE)    AS month_start,
+       CAST(o_orderdate AS DATE) + 30                    AS ship_by,
+       CAST(date_diff('day', DATE '1995-01-01',
+                      CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_epoch95
+FROM orders
+""",
+)
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10: timestamp/date arithmetic — the reference's now()/isoformat
+    stamps and cache-expiry date math (ref: ingestion_service.py:339,426;
+    vectorizer.py:70)."""
+    o = load(spark, sf_dir, "orders")
+    od = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+        F.to_date(F.date_trunc("month", "o_orderdate")).alias("month_start"),
+        F.date_add(od, 30).alias("ship_by"),
+        F.datediff(od, F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since_epoch95"),
+    )
+
+
+@register(
+    "q_math_funcs",
+    oracle="""
+SELECT p_partkey,
+       pow(2.0, p_size % 10)                          AS pow2,
+       greatest(p_size, 25)                           AS clamped_size,
+       round(sqrt(p_size), 6)                         AS sqrt_size,
+       round(ln(p_retailprice), 6)                    AS ln_price,
+       abs(p_retailprice - 1000.0)                    AS abs_dev,
+       CAST(ceil(p_retailprice / 100.0) AS BIGINT)    AS price_bucket
+FROM part
+""",
+)
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12: math battery — exponential backoff pow(2,n)
+    (ref: ingestion_service.py:264), clamp via greatest
+    (ref: embedding_generator.py:80 clamp(min=1e-9)), bucketing."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.pow(F.lit(2.0), F.col("p_size") % 10).alias("pow2"),
+        F.greatest("p_size", F.lit(25)).alias("clamped_size"),
+        F.round(F.sqrt("p_size"), 6).alias("sqrt_size"),
+        F.round(F.log("p_retailprice"), 6).alias("ln_price"),
+        F.abs(F.col("p_retailprice") - 1000.0).alias("abs_dev"),
+        F.ceil(F.col("p_retailprice") / 100.0).cast("long").alias("price_bucket"),
+    )
+
+
+@register(
+    "q_string_funcs",
+    oracle="""
+SELECT doc_id,
+       upper(substr(text, 1, 10))                    AS head_upper,
+       replace(substr(text, 1, 20), ' ', '_')        AS head_snake,
+       CAST(length(text) AS BIGINT)                  AS text_len,
+       trim(' ' || substr(text, 1, 5) || ' ')        AS trimmed,
+       concat_ws('|', lang, source)                  AS lang_source
+FROM documents
+""",
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1/X4/X5: string battery — lower/strip/startswith and
+    pipe-joining (ref: main.py:137; document_processing_service.py:323,
+    360-365)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.upper(F.substring("text", 1, 10)).alias("head_upper"),
+        F.replace(
+            F.substring("text", 1, 20), F.lit(" "), F.lit("_")
+        ).alias("head_snake"),
+        F.length("text").cast("long").alias("text_len"),
+        F.trim(F.concat(F.lit(" "), F.substring("text", 1, 5), F.lit(" "))).alias(
+            "trimmed"
+        ),
+        F.concat_ws("|", "lang", "source").alias("lang_source"),
+    )
+
+
+@register(
+    "q_regex_sections",
+    oracle="""
+SELECT doc_id,
+       regexp_extract(text, '(join|merge|sort)', 1) AS first_op_kw
+FROM documents
+WHERE regexp_matches(text, 'join|merge|sort')
+""",
+)
+def q_regex_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: regex match + capture-group extract — the reference's
+    section-header patterns (ref: document_processing_service.py:311-316,
+    329-340)."""
+    d = load(spark, sf_dir, "documents")
+    return d.filter(F.col("text").rlike("join|merge|sort")).select(
+        "doc_id",
+        F.regexp_extract("text", "(join|merge|sort)", 1).alias("first_op_kw"),
+    )
+
+
+@register(
+    "q_array_funcs",
+    oracle="""
+SELECT vec_id,
+       CAST(len(embedding) AS BIGINT) AS dim,
+       embedding[1:3]                 AS first3,
+       embedding[1]                   AS e1,
+       list_contains(embedding, 0.0)  AS has_zero
+FROM embeddings
+""",
+)
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X15: array ops — size/slice/element_at/contains
+    (ref: pinecone_manager.py:76 zip; main.py:103 [:3] slicing)."""
+    e = load(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.slice("embedding", 1, 3).alias("first3"),
+        F.element_at("embedding", 1).alias("e1"),
+        F.array_contains("embedding", F.lit(0.0).cast("float")).alias("has_zero"),
+    )
+
+
+@register(
+    "q_json_funcs",
+    oracle="""
+SELECT event_id,
+       CAST(props->>'k' AS BIGINT) AS k_val,
+       json_extract_string(props, '$.k') AS k_str
+FROM events
+""",
+)
+def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X17: JSON extraction from the events.props payload
+    (ref analog: document JSON serialization,
+    document_processing_service.py:754-779)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+        F.get_json_object("props", "$.k").alias("k_str"),
+    )
+
+
+@register(
+    "q_dedup_hash",
+    oracle="""
+SELECT md5(text)         AS content_md5,
+       sha256(text)      AS content_sha256,
+       min(doc_id)       AS keeper_doc_id,
+       count(*)          AS n_copies
+FROM documents
+GROUP BY md5(text), sha256(text)
+""",
+)
+def q_dedup_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6/X11/A6: content-addressed dedup — SHA-256 of payload +
+    md5 cache key, first-writer kept
+    (ref: ingestion_service.py:92-106, hit path :294-299)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(
+            F.md5("text").alias("content_md5"),
+            F.sha2("text", 256).alias("content_sha256"),
+            "doc_id",
+        )
+        .groupBy("content_md5", "content_sha256")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_copies"))
+    )

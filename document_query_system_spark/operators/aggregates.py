@@ -1,0 +1,211 @@
+"""Aggregations (SURVEY.md §2.4).
+
+Spark computes every groupBy here as partial (map-side) + final
+aggregation automatically (A9); group counts are small so the shuffle
+after partial agg is tiny regardless of input scale.
+
+Float convention (registry.py): wide double sums are rounded to 2
+decimals *inside* the query on both engines — summation order differs
+across engines/partitionings, rounding makes the hashed values
+identical while keeping ~1e-6 relative headroom over float error.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.tables import load
+
+
+@register(
+    "q_agg_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                   AS sum_qty,
+       round(sum(l_extendedprice), 2)                              AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+       round(avg(l_quantity), 6)                                   AS avg_qty,
+       round(avg(l_discount), 6)                                   AS avg_disc,
+       count(*)                                                    AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A9: the headline hash aggregate (TPC-H Q1 shape) — full fact
+    scan, 4-group hash agg, map-side partial combine means the shuffle
+    carries 4 rows per task at any scale."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= "1998-09-02"
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("sum_disc_price"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@register(
+    "q_agg_doc_stats",
+    oracle="""
+SELECT lang,
+       count(*)                          AS n_docs,
+       CAST(sum(n_chars) AS BIGINT)      AS total_chars,
+       round(avg(n_chars), 6)            AS avg_chars,
+       CAST(max(n_chars) AS BIGINT)      AS max_chars
+FROM documents
+GROUP BY lang
+""",
+)
+def q_agg_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: per-group document statistics — the reference's per-document
+    chunks_count / total_characters response block
+    (ref: src/main.py:176-186), grouped by language."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@register(
+    "q_agg_wordcount",
+    oracle="""
+SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS word_count
+FROM documents
+""",
+)
+def q_agg_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: per-chunk word count as a generated column
+    (ref: document_processing_service.py:56-58 — len(content.split()))."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("word_count"),
+    )
+
+
+@register(
+    "q_agg_success_rate",
+    oracle="""
+SELECT user_id,
+       count(*) AS n_events,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE)
+         / count(*) AS error_rate
+FROM events
+GROUP BY user_id
+""",
+)
+def q_agg_success_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: success/usage counters — the reference's processed/batch
+    counters (ref: embedding_generator.py:24-26,165-166;
+    ingestion_service.py:413-414) as conditional aggregation."""
+    ev = load(spark, sf_dir, "events")
+    n_err = F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        n_err.cast("long").alias("n_errors"),
+        (n_err.cast("double") / F.count("*")).alias("error_rate"),
+    )
+
+
+@register(
+    "q_agg_index_stats",
+    oracle="""
+SELECT label,
+       count(*) AS n_vectors,
+       CAST(max(len(embedding)) AS BIGINT) AS dim
+FROM embeddings
+GROUP BY label
+""",
+)
+def q_agg_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: index statistics — total_vector_count / per-namespace counts
+    (ref: pinecone_manager.py:168-183), namespaces ↦ labels."""
+    emb = load(spark, sf_dir, "embeddings")
+    return emb.groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        F.max(F.size("embedding")).cast("long").alias("dim"),
+    )
+
+
+@register(
+    "q_agg_distinct",
+    oracle="""
+SELECT count(DISTINCT o_custkey) AS n_customers,
+       count(DISTINCT o_orderpriority) AS n_priorities,
+       count(*) AS n_orders
+FROM orders
+""",
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: exact distinct aggregation (expand + two-phase agg under the
+    hood; the HLL variant below is the 100 TB path)."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@register("q_agg_approx_distinct", oracle=None)  # HLL sketches differ across engines
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: HyperLogLog++ approximate distinct — the scale path for
+    distinct counts (single pass, fixed memory, no expand). Rows-only
+    check: DuckDB's approx_count_distinct uses a different sketch."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+    )
+
+
+@register(
+    "q_agg_rollup",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       count(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: hierarchical rollup (flag → flag+status → grand total) in a
+    single pass."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "q_agg_cube",
+    oracle="""
+SELECT c_mktsegment, c_nationkey,
+       count(*) AS n_customers,
+       round(sum(c_acctbal), 2) AS total_bal
+FROM customer
+GROUP BY CUBE (c_mktsegment, c_nationkey)
+""",
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: full cube over two dimensions."""
+    cust = load(spark, sf_dir, "customer")
+    return cust.cube("c_mktsegment", "c_nationkey").agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+    )

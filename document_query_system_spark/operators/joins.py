@@ -1,0 +1,233 @@
+"""Join operators (SURVEY.md §2.3).
+
+The reference's only join-shaped computation is the question×chunk
+cross-score (J1, operators/search.py); the rest of the join surface
+is engine parity over the driver tables. Physical strategy notes per
+query: dimensions are broadcast explicitly, large-large joins shuffle
+on the key (AQE handles skew), the as-of join is a single-shuffle
+union+window — never a fan-out join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.tables import load
+
+
+@register(
+    "q_join_hash",
+    oracle="""
+SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_orderstatus = 'F'
+""",
+)
+def q_join_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: equi inner join orders ⋈ customer. customer ≪ orders, so
+    Catalyst broadcasts it under the 10MB default at bench SF; at
+    100 TB this becomes a shuffled hash join on o_custkey."""
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    cust = load(spark, sf_dir, "customer")
+    return orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "q_join_broadcast",
+    oracle="""
+SELECT c.c_custkey, c.c_name, n.n_name, r.r_name
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name IN ('ASIA', 'EUROPE')
+""",
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: star-schema dimension joins with explicit broadcast — nation
+    (25 rows) and region (5 rows) are fixed-cardinality catalogs; the
+    fact side never shuffles regardless of scale."""
+    cust = load(spark, sf_dir, "customer")
+    nation = F.broadcast(load(spark, sf_dir, "nation"))
+    region = F.broadcast(
+        load(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    )
+    return (
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "c_name", "n_name", "r_name")
+    )
+
+
+@register(
+    "q_join_sortmerge",
+    oracle="""
+SELECT l.l_orderkey, l.l_linenumber, l.l_extendedprice, o.o_orderpriority
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_quantity > 45
+""",
+)
+def q_join_sortmerge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: large-large join with an explicit MERGE hint — the strategy
+    for two fact tables too big to broadcast or hash-build; both sides
+    shuffle-sort on l_orderkey/o_orderkey and stream-merge."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    orders = load(spark, sf_dir, "orders").hint("merge")
+    return li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "o_orderpriority"
+    )
+
+
+@register(
+    "q_join_left_nomatch",
+    oracle="""
+SELECT c.c_custkey, c.c_name,
+       coalesce(oc.n_orders, 0) AS n_orders,
+       CASE WHEN oc.n_orders IS NULL
+            THEN 'No relevant information found' ELSE 'ok' END AS status
+FROM customer c
+LEFT JOIN (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey) oc
+  ON c.c_custkey = oc.o_custkey
+""",
+)
+def q_join_left_nomatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: left outer join + coalesce default — the reference's
+    'question with zero matching chunks still answers'
+    (ref: src/main.py:119-125, 167-172). Pre-aggregating the right
+    side before the join keeps the shuffle payload to one row per key."""
+    cust = load(spark, sf_dir, "customer")
+    oc = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    return cust.join(oc, cust.c_custkey == oc.o_custkey, "left").select(
+        "c_custkey",
+        "c_name",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.when(F.col("n_orders").isNull(), "No relevant information found")
+        .otherwise("ok")
+        .alias("status"),
+    )
+
+
+@register(
+    "q_join_semi",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+""",
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 semi: 'documents having ≥1 chunk' shape — EXISTS as left-semi
+    join; no right-side columns cross the shuffle."""
+    cust = load(spark, sf_dir, "customer")
+    open_orders = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return cust.join(
+        open_orders, cust.c_custkey == open_orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "q_delete_anti_join",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+""",
+)
+def q_delete_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9/J6 anti: delete-by-filter as left-anti join — the Pinecone
+    delete(ids)/delete(filter) rewrite (ref: pinecone_manager.py:140-166;
+    filter built at vectorizer.py:159-176)."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "q_join_range",
+    oracle="""
+WITH tiers(tier, lo, hi) AS (VALUES
+  ('low', 0.0, 50.0), ('mid', 50.0, 150.0), ('high', 150.0, 1e18))
+SELECT e.event_id, e.value, t.tier
+FROM events e JOIN tiers t ON e.value >= t.lo AND e.value < t.hi
+""",
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: theta/range join against a tiny tier dimension — broadcast
+    nested-loop with a 3-row build side; the fact side streams through
+    without shuffling at any scale."""
+    ev = load(spark, sf_dir, "events")
+    tiers = F.broadcast(
+        spark.createDataFrame(
+            [("low", 0.0, 50.0), ("mid", 50.0, 150.0), ("high", 150.0, 1e18)],
+            "tier STRING, lo DOUBLE, hi DOUBLE",
+        )
+    )
+    return ev.join(
+        tiers, (ev.value >= tiers.lo) & (ev.value < tiers.hi)
+    ).select("event_id", "value", "tier")
+
+
+@register(
+    "q_join_asof",
+    oracle="""
+WITH od AS (
+  SELECT o_custkey, o_orderdate, max(o_orderkey) AS last_orderkey
+  FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us, od.last_orderkey
+FROM events e
+ASOF LEFT JOIN od ON e.user_id = od.o_custkey AND e.ts >= od.o_orderdate
+""",
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8: as-of join — each event matched to the latest order of the
+    same customer at or before the event time. Implemented as the
+    scalable union+window pattern: tag both sides, union, one shuffle
+    on the key, last(value, ignorenulls) over (key ORDER BY time) —
+    no row fan-out, unlike a range-join + top-1 rewrite. Ties resolved
+    deterministically (orders keyed by max orderkey per date; order
+    rows sort before events at equal timestamps, matching ASOF's
+    ts >= o_orderdate inclusivity)."""
+    ev = load(spark, sf_dir, "events")
+    od = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("last_orderkey"))
+    )
+    left = ev.select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("side"),  # events sort after orders at equal t
+        "event_id",
+        F.lit(None).cast("long").alias("last_orderkey"),
+    )
+    right = od.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("side"),
+        F.lit(None).cast("long").alias("event_id"),
+        "last_orderkey",
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = left.unionByName(right).withColumn(
+        "last_orderkey", F.last("last_orderkey", ignorenulls=True).over(w)
+    )
+    return merged.filter(F.col("side") == 1).select(
+        "event_id",
+        F.col("k").alias("user_id"),
+        F.unix_micros("t").alias("ts_us"),
+        "last_orderkey",
+    )

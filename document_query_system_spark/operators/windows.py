@@ -1,0 +1,143 @@
+"""Window functions and sorts (SURVEY.md §2.5, §2.6).
+
+Every ORDER BY inside a window carries a full deterministic tiebreak
+(Spark has no implicit row order — SURVEY §2.6 O3); window frames are
+identical ROWS frames on both engines so running values agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.tables import load
+
+
+@register(
+    "q_topk_per_group",
+    oracle="""
+SELECT c_mktsegment, c_custkey, c_name, c_acctbal
+FROM (
+  SELECT c_mktsegment, c_custkey, c_name, c_acctbal,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY c_acctbal DESC, c_custkey) AS rn
+  FROM customer
+)
+WHERE rn <= 3
+""",
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2/O2: top-k per group — the per-question top-k ranking shape
+    (ref: src/main.py:97,103,156-157) over a relational table."""
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        load(spark, sf_dir, "customer")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("c_mktsegment", "c_custkey", "c_name", "c_acctbal")
+    )
+
+
+@register(
+    "q_rank_family",
+    oracle="""
+SELECT p_partkey, p_brand, p_retailprice,
+       rank()         OVER w AS price_rank,
+       dense_rank()   OVER w AS price_dense_rank,
+       percent_rank() OVER w AS price_pct_rank,
+       ntile(4)       OVER w AS price_quartile
+FROM part
+WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey)
+""",
+)
+def q_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: the ranking family over brand partitions with a stable
+    tiebreak (p_partkey) so ntile/row-dependent functions agree."""
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), "p_partkey")
+    return load(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        "p_retailprice",
+        F.rank().over(w).alias("price_rank"),
+        F.dense_rank().over(w).alias("price_dense_rank"),
+        F.percent_rank().over(w).alias("price_pct_rank"),
+        F.ntile(4).over(w).alias("price_quartile"),
+    )
+
+
+@register(
+    "q_lag_lead",
+    oracle="""
+SELECT event_id, user_id, value,
+       lag(value)  OVER w AS prev_value,
+       lead(value) OVER w AS next_value,
+       value - lag(value) OVER w AS delta
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def q_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: analytic lag/lead over per-user event-time order."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+    )
+
+
+@register(
+    "q_running_sum",
+    oracle="""
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       round(sum(l_quantity) OVER (PARTITION BY l_suppkey
+                                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             2) AS running_qty
+FROM lineitem
+""",
+)
+def q_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5: running sum with an explicit ROWS frame — the frame-spec
+    analog of the reference's overlapping windows
+    (ref: document_processing_service.py:676-678)."""
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return load(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sum("l_quantity").over(w), 2).alias("running_qty"),
+    )
+
+
+@register(
+    "q_sort_limit",
+    oracle="""
+SELECT o_orderkey, o_totalprice, o_orderpriority
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+""",
+)
+def q_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1: global top-k — orderBy+limit compiles to
+    TakeOrderedAndProject (per-partition heaps, no full sort), the
+    engine analog of the reference's sort()[:3]
+    (ref: src/main.py:156-157)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(10)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    )

@@ -1,0 +1,87 @@
+"""Sinks and write-shaped operators (SURVEY.md §2.1 S7/S8).
+
+The reference's Pinecone upsert (ref: pinecone_manager.py:61-103,
+batches of 100) becomes last-writer-wins dedup over a keyed table —
+a window rewrite on plain Parquet (Delta MERGE where available).
+Its JSON serializer (ref: document_processing_service.py:752-781)
+becomes ``to_json(struct(...))``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from .tables import load
+
+
+@register(
+    "q_to_json",
+    oracle="""
+SELECT doc_id,
+       to_json(struct_pack(doc_id := doc_id, lang := lang, n_chars := n_chars)) AS doc_json
+FROM documents
+""",
+)
+def q_to_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7: row → JSON document serialization
+    (ref: document_processing_service.py:752-781)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.to_json(F.struct("doc_id", "lang", "n_chars")).alias("doc_json"),
+    )
+
+
+@register(
+    "q_upsert_last_writer",
+    oracle="""
+SELECT user_id, event_type, event_id, value
+FROM (
+  SELECT user_id, event_type, event_id, value,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+""",
+)
+def q_upsert_last_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8: upsert = last-writer-wins by key. The reference upserts
+    vectors by chunk_id (ref: pinecone_manager.py:77-86); here the
+    keyed stream is events keyed by (user_id, event_type), latest ts
+    wins. One shuffle on the key — the same window rewrite implements
+    idempotent re-ingestion at any scale."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "value")
+    )
+
+
+def upsert_parquet(
+    spark: SparkSession, updates: DataFrame, path: str, key: str, order_col: str
+) -> None:
+    """Library helper: merge ``updates`` into the Parquet table at
+    ``path`` with last-writer-wins semantics on ``key`` (S8). On a
+    cluster this is a Delta/Iceberg MERGE; on plain Parquet we
+    union + window-dedup + atomic overwrite."""
+    try:
+        current = spark.read.parquet(path)
+        unioned = current.unionByName(updates)
+    except Exception:
+        unioned = updates
+    w = Window.partitionBy(key).orderBy(F.desc(order_col))
+    deduped = (
+        unioned.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    # Materialize before overwrite (reading and overwriting the same
+    # path in one job would race); localCheckpoint keeps it in memory.
+    deduped.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)

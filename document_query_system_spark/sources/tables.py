@@ -32,6 +32,16 @@ BROADCAST_DIMS = ("region", "nation")
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    if name == "events":
+        # events.ts is Parquet INT64 TIMESTAMP(NANOS), which Spark's
+        # vectorized reader rejects; read nanos as long and truncate to
+        # microseconds (same floor truncation DuckDB applies reading
+        # the file), restoring TimestampType for event-time semantics.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
