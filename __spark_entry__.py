@@ -30,7 +30,9 @@ def entry(spark: SparkSession) -> DataFrame:
     documents, window top-3 per question (SURVEY.md §7 Phase 1).
     """
     from document_query_system_spark.operators.search import flagship
+    from document_query_system_spark.session import ensure_worker_imports
 
+    ensure_worker_imports(spark)
     return flagship(spark, "/root/testdata/sf0.001")
 
 

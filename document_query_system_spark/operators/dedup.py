@@ -1,0 +1,334 @@
+"""Deduplication operators for training-data pipelines: exact,
+MinHash-LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+Exact dedup is q_dedup_hash (functions/scalar.py). Everything here is
+near-duplicate detection, the 100 TB shape being: per-document
+signature (narrow, no shuffle) → band/bucket key → self-join only
+within buckets (shuffle on the band key, never all-pairs) → verify
+candidates. All signatures use the engine-portable char-fold hash
+(functions/hashing.py) so every stage is DuckDB-oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.tables import load
+from ..functions.hashing import P, token_hashes, token_hashes_sql
+
+N_PERM = 8  # MinHash permutations
+N_BANDS = 4  # bands of 2 rows each → near-dup threshold ≈ (1/4)^(1/2) = 0.5
+SHINGLE = 3  # token n-gram width
+SIMHASH_BITS = 16
+
+# Fixed odd multipliers/offsets for the MinHash permutation family
+# h_i(x) = (a_i * x + b_i) mod P.
+_A = (2971, 6361, 9091, 3517, 7993, 4421, 8693, 5323)
+_B = (1409, 8191, 2753, 9973, 619, 7487, 3301, 6709)
+
+
+def _shingle_hashes(ths: Column) -> Column:
+    """Hashes of 3-token shingles from a token-hash array column:
+    s_j = (h_j*31² + h_{j+1}*31 + h_{j+2}) mod P."""
+    n = F.size(ths)
+    idx = F.sequence(F.lit(1), F.greatest(n - (SHINGLE - 1), F.lit(0)))
+    return F.transform(
+        idx,
+        lambda j: (
+            F.element_at(ths, j) * (31 * 31)
+            + F.element_at(ths, j + 1) * 31
+            + F.element_at(ths, j + 2)
+        )
+        % P,
+    )
+
+
+def _shingle_hashes_sql(ths_expr: str) -> str:
+    return (
+        f"list_transform(generate_series(1, greatest(len({ths_expr}) - {SHINGLE - 1}, 0)), "
+        f"j -> ({ths_expr}[j] * {31 * 31} + {ths_expr}[j + 1] * 31 + {ths_expr}[j + 2]) % {P})"
+    )
+
+
+_SIG_SQL = f"""
+WITH th AS (SELECT doc_id, {token_hashes_sql('text')} AS ths FROM documents),
+sh AS (SELECT doc_id, ths, {_shingle_hashes_sql('ths')} AS shingles FROM th),
+sig AS (
+  SELECT doc_id, shingles,
+         list_transform(generate_series(1, {N_PERM}), i ->
+           CASE WHEN len(shingles) = 0 THEN CAST({P} AS BIGINT)
+                ELSE list_min(list_transform(shingles,
+                       x -> ([{', '.join(map(str, _A))}][i] * x
+                             + [{', '.join(map(str, _B))}][i]) % {P}))
+           END) AS minhash
+  FROM sh
+)
+"""
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id + MinHash signature (array<bigint>[N_PERM]) over 3-token
+    shingles. Narrow per-row work; the signature is ~64 bytes/doc no
+    matter how large the document is."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    s1 = docs.select("doc_id", token_hashes(F.col("text")).alias("ths"))
+    s2 = s1.select("doc_id", "ths", _shingle_hashes(F.col("ths")).alias("shingles"))
+    a = F.array(*[F.lit(x).cast("long") for x in _A])
+    b = F.array(*[F.lit(x).cast("long") for x in _B])
+    sig = F.transform(
+        F.sequence(F.lit(1), F.lit(N_PERM)),
+        lambda i: F.when(F.size("shingles") == 0, F.lit(P).cast("long")).otherwise(
+            F.array_min(
+                F.transform(
+                    F.col("shingles"),
+                    lambda x: (F.element_at(a, i) * x + F.element_at(b, i)) % P,
+                )
+            )
+        ),
+    )
+    return s2.select("doc_id", "shingles", sig.alias("minhash")).drop("shingles")
+
+
+@register(
+    "q_dedup_minhash_sig",
+    oracle=_SIG_SQL + "SELECT doc_id, minhash FROM sig",
+)
+def q_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures — stage 1 of shingle→minhash→band→bucket-join
+    dedup; the full signature table is oracle-verified."""
+    return minhash_signatures(spark, sf_dir)
+
+
+_BANDS_SQL = (
+    _SIG_SQL
+    + f"""
+, bands AS (
+  SELECT doc_id,
+         unnest(generate_series(0, {N_BANDS - 1})) AS band,
+         minhash
+  FROM sig
+),
+keyed AS (
+  SELECT doc_id, band,
+         (minhash[band * 2 + 1] * 31 + minhash[band * 2 + 2]) % {P} AS band_key,
+         minhash
+  FROM bands
+)
+"""
+)
+
+
+@register(
+    "q_dedup_minhash_pairs",
+    oracle=_BANDS_SQL
+    + f"""
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(CAST(len(list_filter(generate_series(1, {N_PERM}),
+                                  i -> a.minhash[i] = b.minhash[i])) AS DOUBLE)
+             / {N_PERM}, 6) AS est_jaccard
+FROM keyed a JOIN keyed b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+GROUP BY ALL
+""",
+)
+def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs: docs sharing any band bucket, with
+    the signature-agreement Jaccard estimate. The join is on
+    (band, band_key) — only colliding docs ever meet, so the shuffle
+    is proportional to candidates, not to |docs|²."""
+    sig = minhash_signatures(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(N_BANDS - 1))).alias("band"),
+        "minhash",
+    )
+    keyed = bands.select(
+        "doc_id",
+        "band",
+        (
+            (
+                F.element_at("minhash", F.col("band") * 2 + 1) * 31
+                + F.element_at("minhash", F.col("band") * 2 + 2)
+            )
+            % P
+        ).alias("band_key"),
+        "minhash",
+    )
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    est = (
+        F.size(
+            F.filter(
+                F.sequence(F.lit(1), F.lit(N_PERM)),
+                lambda i: F.element_at(F.col("a.minhash"), i)
+                == F.element_at(F.col("b.minhash"), i),
+            )
+        ).cast("double")
+        / N_PERM
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(est, 6).alias("est_jaccard"),
+        )
+        .distinct()
+    )
+    return pairs
+
+
+@register(
+    "q_dedup_simhash",
+    oracle=f"""
+WITH th AS (SELECT doc_id, {token_hashes_sql('text')} AS ths FROM documents),
+bits AS (
+  SELECT doc_id, ths,
+         list_transform(generate_series(0, {SIMHASH_BITS - 1}), j ->
+           CASE WHEN len(list_filter(ths, h -> (h // (1 << j)) % 2 = 1)) * 2
+                     > len(ths)
+                THEN CAST(1 << j AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS bitvals
+  FROM th
+)
+SELECT doc_id,
+       list_reduce(list_prepend(CAST(0 AS BIGINT), bitvals), (a, b) -> a + b) AS simhash
+FROM bits
+""",
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash: majority vote per bit over token hashes → 16-bit
+    locality-sensitive fingerprint; near-dups land at small Hamming
+    distance (grouping by simhash finds clusters directly)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    s1 = docs.select("doc_id", token_hashes(F.col("text")).alias("ths"))
+    # Bit test mirrors DuckDB's (h // (1 << j)) % 2. shiftright takes
+    # only a literal bit count, so the shift is exact double division:
+    # h < 2^30, so h / 2^j is exact and floor() equals h >> j.
+    two_j = lambda j: F.pow(F.lit(2.0), j.cast("double"))  # noqa: E731
+    bitvals = F.transform(
+        F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
+        lambda j: F.when(
+            F.size(
+                F.filter(
+                    F.col("ths"),
+                    lambda h: F.floor(h / two_j(j)).cast("long") % 2 == 1,
+                )
+            )
+            * 2
+            > F.size(F.col("ths")),
+            two_j(j).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    s2 = s1.select("doc_id", "ths", bitvals.alias("bitvals"))
+    simhash = F.aggregate(
+        F.col("bitvals"), F.lit(0).cast("long"), lambda a, b: a + b
+    )
+    return s2.select("doc_id", "bitvals", simhash.alias("simhash")).drop("bitvals")
+
+
+@register(
+    "q_dedup_ngram_jaccard",
+    oracle=f"""
+WITH th AS (SELECT doc_id, lang, {token_hashes_sql('text')} AS ths FROM documents),
+sh AS (
+  SELECT doc_id, lang,
+         len(ths) AS n_tok,
+         list_distinct({_shingle_hashes_sql('ths')}) AS sset
+  FROM th
+),
+b AS (SELECT doc_id, lang, n_tok // 16 AS size_bucket, sset FROM sh)
+SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+       round(CAST(len(list_intersect(a.sset, b2.sset)) AS DOUBLE)
+             / (len(a.sset) + len(b2.sset) - len(list_intersect(a.sset, b2.sset))),
+             6) AS jaccard
+FROM b a JOIN b b2
+  ON a.lang = b2.lang AND a.size_bucket = b2.size_bucket AND a.doc_id < b2.doc_id
+WHERE len(a.sset) > 0 AND len(b2.sset) > 0
+""",
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup: distinct 3-token shingle sets compared
+    pairwise *within (lang, size) buckets only* — the blocking key
+    bounds the quadratic term to bucket size, the standard scale
+    pattern for pairwise similarity."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    s1 = docs.select("doc_id", "lang", token_hashes(F.col("text")).alias("ths"))
+    sh = s1.select(
+        "doc_id",
+        "lang",
+        "ths",
+        F.size("ths").alias("n_tok"),
+        F.array_distinct(_shingle_hashes(F.col("ths"))).alias("sset"),
+    ).drop("ths")
+    b = sh.select(
+        "doc_id", "lang", F.expr("n_tok div 16").alias("size_bucket"), "sset"
+    ).filter(F.size("sset") > 0)
+    a = b.alias("a")
+    b2 = b.alias("b2")
+    inter = F.size(F.array_intersect(F.col("a.sset"), F.col("b2.sset"))).cast(
+        "double"
+    )
+    union = (
+        F.size(F.col("a.sset")).cast("double")
+        + F.size(F.col("b2.sset")).cast("double")
+        - inter
+    )
+    return a.join(
+        b2,
+        (F.col("a.lang") == F.col("b2.lang"))
+        & (F.col("a.size_bucket") == F.col("b2.size_bucket"))
+        & (F.col("a.doc_id") < F.col("b2.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b2.doc_id").alias("doc_b"),
+        F.round(inter / union, 6).alias("jaccard"),
+    )
+
+
+@register(
+    "q_dedup_embedding_cosine",
+    oracle="""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+             6) AS cos_sim
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) > 0.4
+""",
+)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: pairwise cosine *within label
+    buckets* (the coarse-quantization blocking key), keep pairs above
+    threshold. Same blocking discipline as the Jaccard variant."""
+    from ..functions.vector import dot, l2_norm
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = emb.alias("a")
+    b = emb.alias("b")
+    cos = dot(F.col("a.v"), F.col("b.v")) / (
+        l2_norm(F.col("a.v")) * l2_norm(F.col("b.v"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos > 0.4)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+    )

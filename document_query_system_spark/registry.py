@@ -43,7 +43,18 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        _REGISTRY[name] = QuerySpec(name, fn, oracle, (fn.__doc__ or "").strip())
+
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # UDF-backed plans need the package importable on executor
+            # Python workers regardless of the driver's cwd/PYTHONPATH.
+            from .session import ensure_worker_imports
+
+            ensure_worker_imports(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        _REGISTRY[name] = QuerySpec(name, wrapped, oracle, (fn.__doc__ or "").strip())
         return fn
 
     return deco

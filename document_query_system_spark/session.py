@@ -42,3 +42,41 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def ensure_worker_imports(spark: SparkSession) -> None:
+    """Make this package importable inside executor Python workers.
+
+    UDF-backed queries (mapInPandas / pandas_udf) reference functions
+    in this package; cloudpickle serializes module-level functions *by
+    reference*, so the worker must be able to ``import
+    document_query_system_spark``. The driver process may have been
+    started anywhere (the driver contract makes no cwd/PYTHONPATH
+    promise), so we ship the package as a zip via ``sc.addPyFile`` —
+    the same mechanism used to distribute code to a real cluster.
+    Idempotent per SparkContext.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_dqs_pyfiles_added", False):
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    pkg_name = os.path.basename(pkg_dir)
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"{pkg_name}-{os.getpid()}-pyfiles.zip"
+    )
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fname in files:
+                    if not fname.endswith(".py"):
+                        continue
+                    full = os.path.join(root, fname)
+                    arc = os.path.join(
+                        pkg_name, os.path.relpath(full, pkg_dir)
+                    )
+                    zf.write(full, arc)
+    sc.addPyFile(zpath)
+    sc._dqs_pyfiles_added = True

@@ -1,0 +1,223 @@
+"""Event-time windowing — batch and Structured Streaming
+(SURVEY.md §2.9 T1-T6).
+
+The reference has no streaming surface (asyncio request fan-out only,
+SURVEY §2.9); this module provides the engine's event-time semantics
+over the events table. Each window shape ships twice:
+
+- a *batch* query (oracle-checkable — tumbling/sliding/session
+  windows are deterministic SQL over a static table), and
+- a *streaming* job with the same plan over readStream + watermark,
+  driven with trigger(availableNow) into a memory sink so the
+  registered query still returns a plain DataFrame (rows-only check:
+  sink contents aren't ANSI-SQL-reproducible once watermarking and
+  incremental triggers are involved).
+
+Scale: state for windowed aggs is bounded by the watermark horizon;
+session windows use Spark's native session_window (merging state per
+user). Sliding windows fan each row into window/slide copies — the
+explode factor (4×) is explicit in the batch twin.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..registry import register
+from ..sources.tables import load
+
+_EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # raw nanos (see sources/tables.py)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+@register(
+    "q_tumbling_window",
+    oracle="""
+SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+""",
+)
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 (batch twin): 1-hour tumbling window aggregation using
+    Spark's window() — start boundaries equal date_trunc for aligned
+    windows, which is the oracle formulation."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("window.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "q_sliding_window_events",
+    oracle="""
+WITH slid AS (
+  SELECT e.*,
+         time_bucket(INTERVAL '15 minutes', e.ts)
+           - k.k * INTERVAL '15 minutes' AS window_start
+  FROM events e, (SELECT unnest(generate_series(0, 3)) AS k) k
+)
+SELECT epoch_us(window_start) AS window_start_us,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM slid
+GROUP BY window_start
+""",
+)
+def q_sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 (batch twin): 1-hour window sliding every 15 minutes — each
+    event lands in 4 windows (the oracle makes the 4× fan-out explicit
+    via generate_series)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("window.start")).alias("window_start_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "q_session_window",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       epoch_us(min(ts)) AS session_start_us,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM sessions
+GROUP BY user_id, session_id
+""",
+)
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 (batch twin): 30-minute-gap session windows per user via
+    Spark's native session_window; the oracle is the classic
+    gaps-and-islands rewrite (SURVEY §7 risk register)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def _read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1: file-based streaming source over the events parquet —
+    the streaming analog of the reference's polling ingestion loop
+    (ref: ingestion_service.py:376-416). ts arrives as raw nanos
+    (schema-pinned), converted to event-time timestamps."""
+    # The driver data is a single file, not a directory; the file-stream
+    # source requires a directory basePath, so address it via a glob
+    # (basePath resolves to sf_dir, the glob selects the one file).
+    raw = (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{sf_dir}/events.parqu*")
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run_to_memory(stream_df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Drive a streaming plan to completion with availableNow and
+    return the sink contents as a batch DataFrame."""
+    sink = "s" + uuid.uuid4().hex[:12]
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(sink)
+
+
+@register("q_stream_tumbling", oracle=None)  # genuine streaming → rows-only
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1/T2/T5: Structured Streaming tumbling-window count with a
+    10-minute watermark, executed incrementally (availableNow) into a
+    memory sink. Same logical plan as q_tumbling_window."""
+    ev = _read_event_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("window.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return _run_to_memory(agg, spark)
+
+
+@register("q_stream_dedup", oracle=None)  # genuine streaming → rows-only
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6: stateful streaming dedup — dropDuplicatesWithinWatermark on
+    (user_id, event_type), the streaming form of the upsert sink (S8).
+    State is bounded by the watermark horizon."""
+    ev = _read_event_stream(spark, sf_dir)
+    deduped = (
+        ev.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_first_seen"))
+    )
+    return _run_to_memory(deduped, spark)
