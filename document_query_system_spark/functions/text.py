@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..sources.tables import load
+from ..sources.tables import load, spread
 from .hashing import P, token_hashes, token_hashes_sql, tokens, tokens_sql
 
 # Tiny per-language stopword profiles for the heuristic language-ID.
@@ -45,7 +45,7 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens + a BPE-ish regex piece count
     (letters / digits / punctuation runs) — the unit a data pipeline
     budgets by."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
     s1 = docs.select("doc_id", "text", tokens(F.col("text")).alias("toks"))
     return s1.select(
         "doc_id",
@@ -79,7 +79,7 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: stopword ratio + vocabulary diversity → a
     filterable score, the shape of heuristic quality filters in
     web-scale corpus cleaning."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
     s1 = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
     m = s1.filter(F.size("toks") > 0).select(
         "doc_id",
@@ -135,7 +135,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-language stopword profiles, argmax with a fixed preference
     order. (The synthetic corpus shares one vocabulary, so the guess
     column mostly lands on 'en' — the operator shape is what scales.)"""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "lang", "text"))
     s1 = docs.select("doc_id", "lang", tokens(F.col("text")).alias("toks"))
     score_cols = [
         F.size(
@@ -186,7 +186,7 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash stream — order-sensitive (unlike the bag-of-words hash), so
     token permutations get distinct fingerprints. The exact-dedup key
     for content-defined chunking pipelines."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
     s1 = docs.select("doc_id", token_hashes(F.col("text")).alias("ths"))
     fp = F.aggregate(
         F.col("ths"),

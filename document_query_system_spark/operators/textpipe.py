@@ -20,7 +20,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..sources.tables import load
+from ..sources.tables import load, spread
 
 WINDOW_SIZE = 50  # ref: chunk_size 1000 tokens (:542), scaled to synthetic docs
 WINDOW_STEP = 40  # ref: overlap 200 → step 800 (:676)
@@ -69,7 +69,7 @@ def sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed with integer arithmetic (`div` truncation guarded by
     greatest(0, ·) so both engines agree on short docs), then exploded —
     a narrow per-row fan-out, no shuffle."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
     s1 = docs.select("doc_id", _tokens_nostop(F.col("text")).alias("toks"))
     last_start = F.greatest(
         F.lit(0),
@@ -160,7 +160,7 @@ def q_paragraph_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X7/F5: paragraph segmentation + meaningful-paragraph filter
     (ref: split on '\\n\\n' :292,516; keep > 50 chars :295). The
     synthetic corpus is single-line, so the boundary token is ' the '."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
     seg = docs.select(
         "doc_id",
         F.posexplode(F.split("text", " the ")).alias("chunk_seq", "content"),
@@ -209,7 +209,7 @@ def q_merge_small_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks < 100 chars, flush as one merged chunk). Sessionization:
     boundary flag → running sum over (doc_id, seq) forms group ids →
     group-concat in seq order. One shuffle, partitioned by doc_id."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
     seg = docs.select(
         "doc_id",
         F.posexplode(F.split("text", " the ")).alias("chunk_seq", "content"),
@@ -271,7 +271,7 @@ def q_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     the reference's NLTK punkt, ref :591 — SURVEY §2.8 X8). Sentence
     boundaries are synthesized by rewriting the paragraph token into
     '. ' first."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
     s = docs.select(
         "doc_id",
         F.posexplode(

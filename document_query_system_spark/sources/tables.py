@@ -47,3 +47,19 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load(spark, sf_dir, name) for name in TABLES}
+
+
+def spread(df: DataFrame, parts: int | None = None) -> DataFrame:
+    """Round-robin repartition before compute-heavy per-row stages.
+
+    Parquet splits at row-group granularity, so a small file scans as
+    ONE partition — and any expensive per-row pipeline downstream
+    (embedding, shingling, scoring) then runs on one core. An explicit
+    repartition decouples compute parallelism from file layout; the
+    shuffle moves only the scan's projected columns. At cluster scale
+    this is the same knob used to spread a small-but-hot input across
+    executors.
+    """
+    if parts is None:
+        parts = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(parts)
