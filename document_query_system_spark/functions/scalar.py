@@ -174,6 +174,80 @@ def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_map_funcs",
+    oracle="""
+WITH entries AS (
+  SELECT doc_id,
+         [struct_pack(k := 'lang',   v := lang),
+          struct_pack(k := 'source', v := source),
+          struct_pack(k := 'big',
+                      v := CASE WHEN n_chars > 300 THEN 'y' END)] AS es
+  FROM documents
+),
+kept AS (SELECT doc_id, list_filter(es, e -> e.v IS NOT NULL) AS ks FROM entries)
+SELECT doc_id,
+       list_sort(list_transform(ks, e -> e.k)) AS kept_keys,
+       CAST(len(ks) AS BIGINT)                 AS n_kept
+FROM kept
+""",
+)
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X16: map construction + null-dropping filter — the reference's
+    metadata dict cleanup (ref: vector_engine/types.py:17-18, drop-None
+    dict comprehension). Spark side uses a real MapType + map_filter;
+    the oracle models the same semantics as an entry list (DuckDB has
+    no map_filter)."""
+    d = load(spark, sf_dir, "documents")
+    m = F.create_map(
+        F.lit("lang"),
+        F.col("lang"),
+        F.lit("source"),
+        F.col("source"),
+        F.lit("big"),
+        F.when(F.col("n_chars") > 300, F.lit("y")),
+    )
+    fm = F.map_filter(m, lambda _k, v: v.isNotNull())
+    return d.select(
+        "doc_id",
+        F.array_sort(F.map_keys(fm)).alias("kept_keys"),
+        F.size(fm).cast("long").alias("n_kept"),
+    )
+
+
+@register(
+    "q_table_flatten",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         [[lang, source], [CAST(n_chars AS VARCHAR), substr(text, 1, 5)]] AS rows_
+  FROM documents
+)
+SELECT doc_id,
+       array_to_string(list_transform(rows_, r -> array_to_string(r, ' | ')),
+                       chr(10)) AS flat_table,
+       CAST(len(rows_) AS BIGINT) AS n_rows
+FROM t
+""",
+)
+def q_table_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/X5: nested table rows (array<array<string>>) flattened to
+    pipe-joined lines (ref: document_processing_service.py:351-367
+    _table_to_text — ' | '.join per row, newline-joined)."""
+    d = load(spark, sf_dir, "documents")
+    rows = F.array(
+        F.array(F.col("lang"), F.col("source")),
+        F.array(F.col("n_chars").cast("string"), F.substring("text", 1, 5)),
+    )
+    return d.select(
+        "doc_id",
+        F.array_join(
+            F.transform(rows, lambda r: F.array_join(r, " | ")), "\n"
+        ).alias("flat_table"),
+        F.size(rows).cast("long").alias("n_rows"),
+    )
+
+
+@register(
     "q_dedup_hash",
     oracle="""
 SELECT md5(text)         AS content_md5,

@@ -72,6 +72,7 @@ def _load_all() -> None:
         dedup,
         filters,
         joins,
+        multimodal,
         search,
         setops,
         similarity,
@@ -79,7 +80,7 @@ def _load_all() -> None:
         windows,
     )
     from .functions import scalar, text, vector  # noqa: F401
-    from .sources import scans, sinks  # noqa: F401
+    from .sources import extraction, scans, sinks  # noqa: F401
     from .streaming import event_windows  # noqa: F401
 
     _LOADED = True
