@@ -52,6 +52,30 @@ def main() -> None:
             print(f"BENCH-ERROR {name}: {exc}", file=sys.stderr)
     total = round(time.perf_counter() - t_total0, 3)
 
+    # BASELINE.md headline benches. Reference envelopes (BASELINE.md):
+    # B1 embed ≤ 320 texts/s; B2/B3 sequential per-question search.
+    baseline: dict[str, float] = {}
+    try:
+        from pyspark.sql import functions as F
+
+        from document_query_system_spark.functions.vector import embed_df
+        from document_query_system_spark.sources.tables import load, spread
+
+        docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+        n_docs = docs.count()
+        t0 = time.perf_counter()
+        _force(embed_df(docs, "text").select("doc_id", "embedding"))
+        b1 = time.perf_counter() - t0
+        baseline["b1_index_docs_per_sec"] = round(n_docs / b1, 1)
+        baseline["b2_vector_sec_per_query"] = round(
+            timings.get("q_golden_vector_search", -1.0) / 10, 4
+        )
+        baseline["b3_keyword_sec_per_query"] = round(
+            timings.get("q_topk_per_question", -1.0) / 10, 4
+        )
+    except Exception as exc:  # pragma: no cover
+        print(f"BENCH-ERROR baseline: {exc}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -62,6 +86,7 @@ def main() -> None:
                 "sf": sf_val,
                 "n_queries": len(timings),
                 "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+                "baseline": baseline,
             }
         )
     )

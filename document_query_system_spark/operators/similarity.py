@@ -131,6 +131,41 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_ann_mllib_lsh", oracle=None)  # MLlib hash family → rows-only
+def q_ann_mllib_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MLlib scale path (SURVEY §4.1): BucketedRandomProjectionLSH
+    approxSimilarityJoin between the query vectors and the table —
+    the library-native form of q_ann_lsh's hand-rolled hyperplane
+    buckets, for the 100 TB tier where the index is built once
+    (fit) and the join prunes by bucket. L2 distance on L2-normalized
+    vectors is a monotone transform of cosine (d² = 2 − 2cos), so the
+    ranking agrees with the cosine operators. Seeded, but the hash
+    family is MLlib-internal → rows-only check."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("raw")
+    )
+    unit = Normalizer(inputCol="raw", outputCol="v", p=2.0).transform(emb).select(
+        "vec_id", "v"
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="v", outputCol="hashes", bucketLength=0.5, numHashTables=3, seed=42
+    )
+    model = lsh.fit(unit)
+    q = unit.filter(F.col("vec_id") < 5)
+    joined = model.approxSimilarityJoin(q, unit, 1.0, distCol="l2_dist")
+    return (
+        joined.filter(F.col("datasetA.vec_id") != F.col("datasetB.vec_id"))
+        .select(
+            F.col("datasetA.vec_id").alias("query_id"),
+            F.col("datasetB.vec_id").alias("match_id"),
+            F.round("l2_dist", 6).alias("l2_dist"),
+        )
+    )
+
+
 _IVF_SQL = f"""
 WITH e AS (
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

@@ -47,9 +47,11 @@ WITH tok AS (
 ),
 st AS (
   SELECT doc_id, toks,
-         generate_series(0,
-           greatest(0, ((len(toks) - {WINDOW_SIZE} + {WINDOW_STEP} - 1) // {WINDOW_STEP}) * {WINDOW_STEP}),
-           {WINDOW_STEP}) AS starts
+         CASE WHEN len(toks) = 0 THEN []
+              ELSE generate_series(0,
+                greatest(0, ((len(toks) - {WINDOW_SIZE} + {WINDOW_STEP} - 1) // {WINDOW_STEP}) * {WINDOW_STEP}),
+                {WINDOW_STEP})
+         END AS starts
   FROM tok
 ),
 ex AS (
@@ -78,10 +80,14 @@ def sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" * {WINDOW_STEP}"
         ),
     )
+    # Empty token stream → no windows (not one empty window); found
+    # by the chunker property tests on an all-stopword document.
     s2 = s1.select(
         "doc_id",
         "toks",
-        F.sequence(F.lit(0), last_start, F.lit(WINDOW_STEP)).alias("starts"),
+        F.when(F.size("toks") == 0, F.array().cast("array<int>"))
+        .otherwise(F.sequence(F.lit(0), last_start, F.lit(WINDOW_STEP)))
+        .alias("starts"),
     )
     ex = s2.select("doc_id", "toks", F.explode("starts").alias("start"))
     chunk = F.slice(F.col("toks"), F.col("start") + 1, WINDOW_SIZE)

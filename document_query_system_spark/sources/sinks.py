@@ -64,6 +64,39 @@ def q_upsert_last_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_incremental_index",
+    oracle="""
+WITH todo AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id NOT IN (SELECT vec_id FROM embeddings)
+)
+SELECT CAST(count(*) AS BIGINT)   AS docs_to_embed,
+       CAST(min(doc_id) AS BIGINT) AS first_new,
+       CAST(max(doc_id) AS BIGINT) AS last_new
+FROM todo
+""",
+)
+def q_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phase-5 incremental indexing: anti-join the corpus against the
+    already-indexed id set so only NEW documents pay extraction +
+    embedding (the cluster form of the reference's content-hash cache
+    hit, ref: ingestion_service.py:294-299). The anti-join is a
+    broadcast of the indexed-id projection at any realistic index/
+    corpus ratio; the embed stage downstream then runs on the delta
+    only."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    indexed = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id")
+    )
+    todo = docs.join(F.broadcast(indexed), "doc_id", "left_anti")
+    return todo.agg(
+        F.count("*").alias("docs_to_embed"),
+        F.min("doc_id").alias("first_new"),
+        F.max("doc_id").alias("last_new"),
+    )
+
+
 def upsert_parquet(
     spark: SparkSession, updates: DataFrame, path: str, key: str, order_col: str
 ) -> None:

@@ -170,14 +170,16 @@ def _read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
-def _run_to_memory(stream_df: DataFrame, spark: SparkSession) -> DataFrame:
+def _run_to_memory(
+    stream_df: DataFrame, spark: SparkSession, output_mode: str = "complete"
+) -> DataFrame:
     """Drive a streaming plan to completion with availableNow and
     return the sink contents as a batch DataFrame."""
     sink = "s" + uuid.uuid4().hex[:12]
     q = (
         stream_df.writeStream.format("memory")
         .queryName(sink)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
@@ -206,6 +208,41 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(agg, spark)
+
+
+@register("q_stream_stateful_counts", oracle=None)  # custom state → rows-only
+def q_stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6+ (custom stateful operator): applyInPandasWithState keyed by
+    user_id — per-user running event count and value sum held in a
+    user-managed state store across micro-batches, the Structured
+    Streaming analog of a hand-rolled stateful fold. State per key is
+    two scalars, so the store stays O(|users|) regardless of stream
+    length."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = _read_event_stream(spark, sf_dir).select("user_id", "value")
+
+    def update(
+        key: tuple, pdfs: "Iterator[pd.DataFrame]", state: GroupState
+    ) -> "Iterator[pd.DataFrame]":
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [round(total, 2)]}
+        )
+
+    counted = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, sum_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory(counted, spark, output_mode="update")
 
 
 @register("q_stream_dedup", oracle=None)  # genuine streaming → rows-only
