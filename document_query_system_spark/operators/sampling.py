@@ -1,0 +1,165 @@
+"""Corpus sampling + filter-chain operators for training-data
+pipelines: stratified sampling, deterministic hash sampling, and the
+C4-style quality filter chain.
+
+Sampling at 100 TB must be (a) single-pass, (b) deterministic /
+reproducible, (c) skew-aware per stratum. The deterministic variants
+here key on a hash of a stable id — re-running the pipeline selects
+the same sample (the property that makes train/held-out splits
+reproducible) — and everything is a pure column expression, so the
+sample predicate pushes into the scan pipeline and unselected rows
+never leave the reader stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.tables import load, spread
+from ..functions.hashing import tokens, tokens_sql
+
+# Deterministic id-hash sample: keep doc iff md5(doc_id) mod M < K.
+_SAMPLE_MOD = 10
+_SAMPLE_KEEP = 3  # → 30% expected rate
+
+
+def _bucket(col: str):
+    # First 6 md5 hex digits as an int — engine-portable uniform hash.
+    return F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 6), 16, 10).cast(
+        "long"
+    )
+
+
+_BUCKET_SQL = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT)"
+
+
+@register(
+    "q_sample_hash",
+    oracle=f"""
+SELECT doc_id, lang
+FROM (SELECT doc_id, lang, {_BUCKET_SQL} % {_SAMPLE_MOD} AS b FROM documents)
+WHERE b < {_SAMPLE_KEEP}
+""",
+)
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling: md5(doc_id) bucket < threshold.
+    Unlike df.sample() (seeded per-partition RNG — resample changes
+    when partitioning changes), the id-hash sample is stable under
+    repartition, retry, and re-run: the contract a reproducible
+    training split needs."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return d.filter(_bucket("doc_id") % _SAMPLE_MOD < _SAMPLE_KEEP).select(
+        "doc_id", "lang"
+    )
+
+
+@register(
+    "q_sample_stratified",
+    oracle=f"""
+WITH b AS (
+  SELECT doc_id, lang, {_BUCKET_SQL} % 100 AS pct FROM documents
+)
+SELECT doc_id, lang
+FROM b
+WHERE pct < CASE lang WHEN 'en' THEN 10 ELSE 40 END
+""",
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling with per-stratum rates (downsample the
+    over-represented language, keep more of the rest — the standard
+    rebalancing move for multilingual corpora). Same deterministic
+    id-hash; the rate map is a CASE expression, so this is still one
+    scan-local predicate — no shuffle, no per-stratum pass."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    pct = _bucket("doc_id") % 100
+    rate = F.when(F.col("lang") == "en", F.lit(10)).otherwise(F.lit(40))
+    return d.filter(pct < rate).select("doc_id", "lang")
+
+
+@register(
+    "q_sample_per_stratum_topk",
+    oracle="""
+SELECT lang, doc_id, n_chars
+FROM (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents
+)
+WHERE rn <= 5
+""",
+)
+def q_sample_per_stratum_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum top-k (longest docs per language) — the 'best-of'
+    selection variant of stratified sampling; bounded output per
+    group regardless of stratum skew."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents").select("lang", "doc_id", "n_chars")
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+    )
+
+
+# C4-style quality filter chain (Raffel et al. 2020 heuristics,
+# re-scaled to the synthetic corpus): each rule is a boolean column,
+# the verdict is their conjunction, and per-rule pass counts make the
+# chain auditable.
+_MIN_WORDS = 20
+_MAX_MEAN_WORD_LEN = 12.0
+_STOP = ("the", "a", "is", "of")
+
+
+@register(
+    "q_quality_filter_chain",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, text, {tokens_sql('text')} AS toks FROM documents
+),
+rules AS (
+  SELECT doc_id,
+         len(toks) >= {_MIN_WORDS} AS r_min_words,
+         CAST(length(text) AS DOUBLE) / greatest(len(toks), 1)
+           <= {_MAX_MEAN_WORD_LEN} AS r_word_len,
+         len(list_filter(toks, t -> t IN ('the', 'a', 'is', 'of'))) > 0
+           AS r_has_stopword,
+         NOT contains(text, '{{')  AS r_no_braces
+  FROM tok
+)
+SELECT doc_id, r_min_words, r_word_len, r_has_stopword, r_no_braces,
+       r_min_words AND r_word_len AND r_has_stopword AND r_no_braces AS keep
+FROM rules
+""",
+)
+def q_quality_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style quality filter chain: min word count, mean word
+    length bound, stopword presence, no code-ish braces — each rule a
+    column (auditable per-rule), verdict their conjunction. One scan,
+    zero shuffles; at 100 TB this runs as a pure map over document
+    partitions with the verdict usable as a pushed filter for
+    downstream stages."""
+    d = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    t = d.select("doc_id", "text", tokens(F.col("text")).alias("toks"))
+    r1 = (F.size("toks") >= _MIN_WORDS).alias("r_min_words")
+    r2 = (
+        F.length("text").cast("double") / F.greatest(F.size("toks"), F.lit(1))
+        <= _MAX_MEAN_WORD_LEN
+    ).alias("r_word_len")
+    r3 = (
+        F.size(F.filter(F.col("toks"), lambda t_: t_.isin(*_STOP))) > 0
+    ).alias("r_has_stopword")
+    r4 = (~F.col("text").contains("{")).alias("r_no_braces")
+    rules = t.select("doc_id", r1, r2, r3, r4)
+    return rules.select(
+        "*",
+        (
+            F.col("r_min_words")
+            & F.col("r_word_len")
+            & F.col("r_has_stopword")
+            & F.col("r_no_braces")
+        ).alias("keep"),
+    )

@@ -80,20 +80,14 @@ def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
 def keyword_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
     """Top-k documents per question by keyword score (ref main.py:156-157).
 
-    k=1 uses max_by (hash agg with map-side partial — only one row per
-    (partition, question) crosses the shuffle); k>1 uses the
-    row_number window (full shuffle of scored rows). At scale the agg
-    form wins by the ratio of rows to groups.
+    Deliberately the row_number window for every k, including 1: the
+    tempting k=1 rewrite (max_by / max-of-struct grouped agg) plans as
+    a SortAggregate — struct-valued aggregation buffers are not
+    hash-aggregable and fall out of whole-stage codegen — and
+    benchmarks ~2× slower than the window at sf0.1. The window sorts
+    within ≤|questions| partitions and stays in codegen.
     """
     scored = _scored(spark, sf_dir)
-    if k == 1:
-        ordkey = F.struct(F.col("score"), (-F.col("doc_id")).alias("neg"))
-        best = scored.groupBy("question_id", "question_text").agg(
-            F.max_by(F.struct("doc_id", "score", "snippet"), ordkey).alias("b")
-        )
-        return best.select(
-            "question_id", "question_text", "b.doc_id", "b.score", "b.snippet"
-        )
     w = Window.partitionBy("question_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))

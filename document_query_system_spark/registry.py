@@ -73,6 +73,7 @@ def _load_all() -> None:
         filters,
         joins,
         multimodal,
+        sampling,
         search,
         setops,
         similarity,

@@ -1,0 +1,87 @@
+"""Plan-quality pins (scale discipline as tests): predicate pushdown
+reaches the Parquet reader, column pruning holds, join strategies are
+the intended ones, and no query regresses into a SortAggregate or a
+shuffle storm. These encode the ".explain and iterate" loop so a
+future edit that silently de-optimizes a plan fails CI, not the
+100 TB run."""
+
+from __future__ import annotations
+
+import pytest
+
+from document_query_system_spark.plans.inspect import audit, plan_report
+from document_query_system_spark.registry import all_specs
+
+from conftest import SF_DIR
+
+
+def _plan(spark, name):
+    return plan_report(all_specs()[name].fn(spark, SF_DIR))
+
+
+def test_scan_pushdown_reaches_parquet(spark):
+    rep = _plan(spark, "q_scan_lineitem")
+    assert len(rep.scans) == 1
+    scan = rep.scans[0]
+    assert "l_shipdate" in scan["pushed"] and "l_discount" in scan["pushed"]
+    # Projection pruning: 4 projected + 2 predicate columns, not all 16.
+    assert len(scan["columns"].split(",")) <= 6
+
+
+def test_broadcast_join_is_broadcast(spark):
+    rep = _plan(spark, "q_join_broadcast")
+    assert rep.n_broadcasts >= 1
+    assert "BroadcastHashJoin" in rep.raw
+
+
+def test_sortmerge_hint_respected(spark):
+    assert "SortMergeJoin" in _plan(spark, "q_join_sortmerge").raw
+
+
+def test_cross_score_broadcasts_questions_not_documents(spark):
+    rep = _plan(spark, "q_cross_score")
+    assert rep.n_bnlj == 1  # intended: tiny question side broadcast
+    # The documents side must NOT be broadcast: exactly one broadcast
+    # exchange (the questions), and the scan feeds the streamed side.
+    assert rep.n_broadcasts == 1
+
+
+def test_topk_sort_limit_avoids_full_sort(spark):
+    rep = _plan(spark, "q_sort_limit")
+    assert "TakeOrderedAndProject" in rep.raw
+
+
+def test_no_sort_aggregates_anywhere(spark):
+    """Hash-aggregable buffers everywhere: SortAggregate means an agg
+    fell out of codegen (this is how the max_by top-1 regression was
+    caught)."""
+    offenders = []
+    for name, spec in sorted(all_specs().items()):
+        if name.startswith("q_stream"):
+            continue  # streaming plans only materialize when driven
+        rep = plan_report(spec.fn(spark, SF_DIR))
+        if rep.n_sort_aggregates:
+            offenders.append(name)
+    assert offenders == []
+
+
+def test_shuffle_budget(spark):
+    """No batch query needs more than 4 data-moving shuffles at this
+    plan shape; more usually means a redundant exchange."""
+    over = []
+    for name, spec in sorted(all_specs().items()):
+        if name.startswith("q_stream"):
+            continue
+        rep = plan_report(spec.fn(spark, SF_DIR))
+        if rep.n_shuffles > 4:
+            over.append((name, rep.n_shuffles))
+    assert over == []
+
+
+def test_audit_is_clean(spark):
+    warns = []
+    for name, spec in sorted(all_specs().items()):
+        if name.startswith("q_stream"):
+            continue
+        warns += audit(spec.fn(spark, SF_DIR), name)
+    assert warns == []
