@@ -1,0 +1,235 @@
+"""Analytical query battery: statistical aggregates, pivot,
+percentiles, multi-join TPC-H-shaped analytics, and skew-aware
+two-phase aggregation.
+
+These pin the engine's relational depth beyond the reference's
+surface (SURVEY.md §2.4 engine-parity scope): the shapes a user of
+a general analytics engine runs daily, each with the join strategy /
+shuffle discipline called out for the 100 TB tier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.tables import load
+
+
+@register(
+    "q_agg_stats",
+    oracle="""
+SELECT l_returnflag,
+       round(avg(l_extendedprice), 4)           AS avg_price,
+       round(stddev_samp(l_extendedprice), 4)   AS sd_price,
+       round(var_samp(l_discount), 8)           AS var_disc,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate battery — stddev/variance/correlation/
+    covariance, all single-pass partial-aggregable (each is a small
+    moment sketch per group, so the shuffle carries O(groups) not
+    O(rows))."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.var_samp("l_discount"), 8).alias("var_disc"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "cov_qty_price"
+        ),
+    )
+
+
+@register(
+    "q_agg_percentiles",
+    oracle="""
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 4)  AS p50,
+       round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+       round(min(l_extendedprice), 2)                 AS lo,
+       round(max(l_extendedprice), 2)                 AS hi
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``). The approximate sketch form
+    (percentile_approx / KLL) is the 100 TB default — exact
+    percentile buffers all group values; the exact form is used here
+    because it is oracle-checkable and the driver tables fit."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95"),
+        F.round(F.min("l_extendedprice"), 2).alias("lo"),
+        F.round(F.max("l_extendedprice"), 2).alias("hi"),
+    )
+
+
+@register(
+    "q_pivot_lang_source",
+    oracle="""
+SELECT lang,
+       CAST(count(*) FILTER (source = 'web')   AS BIGINT) AS web,
+       CAST(count(*) FILTER (source = 'book')  AS BIGINT) AS book,
+       CAST(count(*) FILTER (source = 'code')  AS BIGINT) AS code,
+       CAST(count(*) FILTER (source = 'wiki')  AS BIGINT) AS wiki
+FROM documents
+GROUP BY lang
+""",
+)
+def q_pivot_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long → wide): per-language counts by source. The pivot
+    column list is explicit — with it, Spark needs ONE pass (no
+    values-discovery job) and the plan is a plain hash aggregate with
+    conditional counters."""
+    d = load(spark, sf_dir, "documents")
+    piv = (
+        d.groupBy("lang")
+        .pivot("source", ["web", "book", "code", "wiki"])
+        .agg(F.count(F.lit(1)))
+    )
+    out = piv.select(
+        "lang",
+        *[F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+          for c in ("web", "book", "code", "wiki")],
+    )
+    return out
+
+
+@register(
+    "q_shipping_priority",
+    oracle="""
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+""",
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dimension filter → fact join → agg →
+    top-k. The customer side shrinks to one segment before joining
+    (filter first, join second — the optimizer pushes it, but writing
+    it that way keeps the intent visible); top-10 via
+    TakeOrderedAndProject, no global sort."""
+    c = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1995-03-15"
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1995-03-15"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    joined = c.join(o, c.c_custkey == o.o_custkey).join(
+        li, o.o_orderkey == li.l_orderkey
+    )
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q_local_supplier_volume",
+    oracle="""
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1994-01-01'
+  AND o_orderdate < TIMESTAMP '1995-01-01'
+GROUP BY n_name
+""",
+)
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: six-table join. region/nation are broadcast
+    (fixed tiny catalogs — BROADCAST_DIMS); the fact-side joins
+    shuffle on their keys and AQE handles runtime sizing. The
+    c_nationkey = s_nationkey condition closes the 'local supplier'
+    cycle."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1994-01-01")
+        & (F.col("o_orderdate") < "1995-01-01")
+    ).select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = F.broadcast(load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey"))
+    r = F.broadcast(
+        load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA").select("r_regionkey")
+    )
+    joined = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+    )
+    return joined.groupBy("n_name").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+
+
+_SALT = 8
+
+
+@register(
+    "q_skew_salted_agg",
+    oracle="""
+SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation for skewed group keys: phase 1
+    aggregates (key, salt) — splitting a hot key across SALT reducers
+    — phase 2 merges salts per key. Result is identical to the direct
+    groupBy (which the oracle runs); the payoff is at scale, when one
+    key holds half the table and would otherwise pin a single reducer.
+    (For plain sum/count Spark's map-side partial agg already defuses
+    skew; the salted form is the general pattern for when it can't —
+    e.g. exact distinct or collect-style buffers per key.)"""
+    li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    salted = li.withColumn(
+        "salt", (F.crc32(F.col("l_quantity").cast("string")) % _SALT).cast("int")
+    )
+    phase1 = salted.groupBy("l_returnflag", "salt").agg(
+        F.sum("l_quantity").alias("s"), F.count("*").alias("c")
+    )
+    return phase1.groupBy("l_returnflag").agg(
+        F.round(F.sum("s"), 2).alias("sum_qty"),
+        F.sum("c").alias("n"),
+    )

@@ -69,6 +69,7 @@ def _load_all() -> None:
     # modules import ``register`` from here.
     from .operators import (  # noqa: F401
         aggregates,
+        analytics,
         dedup,
         filters,
         joins,
