@@ -358,6 +358,127 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_dedup_clusters",
+    oracle=_BANDS_SQL.replace("\nWITH ", "\nWITH RECURSIVE ", 1)
+    + f"""
+, edges AS (
+  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+  FROM keyed a JOIN keyed b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+  WHERE len(list_filter(generate_series(1, {N_PERM}),
+                        i -> a.minhash[i] = b.minhash[i])) * 2 >= {N_PERM}
+),
+nodes AS (SELECT DISTINCT src AS v FROM edges UNION SELECT DISTINCT dst FROM edges),
+undirected AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+),
+reach(v, r) AS (
+  SELECT v, v FROM nodes
+  UNION
+  SELECT reach.v, undirected.dst
+  FROM reach JOIN undirected ON reach.r = undirected.src
+)
+SELECT v AS doc_id, min(r) AS cluster_id,
+       min(r) = v AS is_canonical
+FROM reach GROUP BY v
+""",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: connected components over the MinHash
+    candidate graph (edges = pairs agreeing on ≥ half the signature),
+    cluster id = min doc_id reachable, canonical = the keeper each
+    cluster deduplicates to.
+
+    Iterative min-label propagation as a driver loop over DataFrames:
+    each round joins labels to the edge list, takes the min neighbor
+    label, and localCheckpoints (truncating lineage so plan size stays
+    constant across rounds — THE prerequisite for iterative DataFrame
+    algorithms). Convergence is checked with a changed-row count;
+    rounds needed = graph diameter, which for dup clusters is tiny.
+    The oracle computes the same components via a recursive-CTE
+    transitive closure — an independent algorithm agreeing on the
+    fixpoint."""
+    sig = minhash_signatures(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(N_BANDS - 1))).alias("band"),
+        "minhash",
+    )
+    keyed = bands.select(
+        "doc_id",
+        "band",
+        (
+            (
+                F.element_at("minhash", F.col("band") * 2 + 1) * 31
+                + F.element_at("minhash", F.col("band") * 2 + 2)
+            )
+            % P
+        ).alias("band_key"),
+        "minhash",
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    agree = F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.lit(N_PERM)),
+            lambda i: F.element_at(F.col("a.minhash"), i)
+            == F.element_at(F.col("b.minhash"), i),
+        )
+    )
+    edges = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(agree * 2 >= N_PERM)
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    undirected = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("v"))
+        .union(edges.select("dst"))
+        .distinct()
+        .select("v", F.col("v").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    while True:
+        neigh = (
+            undirected.join(labels, undirected.src == labels.v)
+            .groupBy(F.col("dst").alias("v2"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.v == neigh.v2, "left")
+            .select(
+                "v",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "v")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("v").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("label") == F.col("v")).alias("is_canonical"),
+    )
+
+
 COSINE_SALT = 16  # fan-out factor for the within-label pairwise join
 
 

@@ -9,6 +9,8 @@ becomes ``to_json(struct(...))``.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -94,6 +96,75 @@ def q_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("docs_to_embed"),
         F.min("doc_id").alias("first_new"),
         F.max("doc_id").alias("last_new"),
+    )
+
+
+_BUCKETS = 8
+_BUCKET_DB_READY: set[tuple[int, str]] = set()
+
+
+def _ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> None:
+    """Write orders/customer as bucketed tables (8 buckets on the join
+    key) into an explicit /tmp warehouse path — once per (session,
+    sf_dir). Bucketing pre-shuffles the data ON DISK: every future
+    join/agg on the bucket key reads co-located partitions and skips
+    its exchange entirely, the canonical trade for tables joined far
+    more often than written."""
+    key = (id(spark), sf_dir)
+    if key in _BUCKET_DB_READY:
+        return
+    import tempfile
+
+    base = os.path.join(tempfile.gettempdir(), "dqs_bucketed")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    for name, bucket_col in (("orders", "o_custkey"), ("customer", "c_custkey")):
+        tbl = f"b_{name}_{tag.replace('.', '_')}"
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        (
+            load(spark, sf_dir, name)
+            .write.bucketBy(_BUCKETS, bucket_col)
+            .sortBy(bucket_col)
+            .option("path", os.path.join(base, tag, name))
+            .mode("overwrite")
+            .saveAsTable(tbl)
+        )
+    _BUCKET_DB_READY.add(key)
+
+
+@register(
+    "q_bucketed_join",
+    oracle="""
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS total
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+)
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join on bucketed tables: both sides bucketed 8-ways
+    on the customer key, so the join needs NO exchange — Spark reads
+    matching buckets together (zero-shuffle joins are the single
+    biggest lever for repeatedly-joined fact/dim tables at 100 TB;
+    plan pinned in tests/test_plan_quality.py). Results are identical
+    to the plain join the oracle runs.
+
+    The MERGE hint pins the sort-merge strategy so the co-located
+    bucket read is visible at test scale — without it Catalyst
+    (correctly) broadcasts the small customer side instead. At the
+    scale bucketing exists for, neither side fits in memory and SMJ
+    over aligned buckets is what the optimizer picks unaided."""
+    _ensure_bucketed_tables(spark, sf_dir)
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    o = spark.table(f"b_orders_{tag}")
+    c = spark.table(f"b_customer_{tag}").hint("MERGE")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
     )
 
 

@@ -210,6 +210,62 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, spark)
 
 
+@register("q_stream_session", oracle=None)  # merging window state → rows-only
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 (streaming form): session_window aggregation under a
+    watermark — Spark's merging-window state (sessions extend/merge as
+    events arrive, emit on watermark close). Batch twin with a full
+    gaps-and-islands oracle: q_session_window."""
+    ev = _read_event_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "30 minutes")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+            "n_events",
+        )
+    )
+    return _run_to_memory(agg, spark, output_mode="append")
+
+
+@register("q_stream_upsert_foreachbatch", oracle=None)  # sink side effect
+def q_stream_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6/S8 streaming sink: foreachBatch MERGE — each micro-batch is
+    upserted into a keyed Parquet table with last-writer-wins
+    semantics (the Structured Streaming form of the reference's
+    batched Pinecone upsert, ref: pinecone_manager.py:61-103). The
+    returned DataFrame is the final table state: one row per
+    (user_id, event_type) key."""
+    import tempfile
+    import uuid as _uuid
+
+    from ..sources.sinks import upsert_parquet
+
+    path = f"{tempfile.gettempdir()}/dqs_stream_upsert_{_uuid.uuid4().hex[:8]}"
+    ev = _read_event_stream(spark, sf_dir).select(
+        "user_id", "event_type", "ts", "event_id", "value"
+    )
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        keyed = batch_df.withColumn(
+            "key", F.concat_ws("|", "user_id", "event_type")
+        )
+        upsert_parquet(spark, keyed, path, key="key", order_col="ts")
+
+    q = (
+        ev.writeStream.foreachBatch(merge)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{path}_ckpt")
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.read.parquet(path).select(
+        "user_id", "event_type", "event_id", "value"
+    )
+
+
 @register("q_stream_stateful_counts", oracle=None)  # custom state → rows-only
 def q_stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T6+ (custom stateful operator): applyInPandasWithState keyed by

@@ -51,6 +51,15 @@ def test_topk_sort_limit_avoids_full_sort(spark):
     assert "TakeOrderedAndProject" in rep.raw
 
 
+def test_bucketed_join_has_no_join_exchange(spark):
+    """Both sides bucketed on the join key → the SortMergeJoin reads
+    co-located buckets with NO shuffle before it; only the final
+    groupBy (on a different key) exchanges."""
+    rep = _plan(spark, "q_bucketed_join")
+    assert "SortMergeJoin" in rep.raw
+    assert rep.n_shuffles <= 1
+
+
 def test_no_sort_aggregates_anywhere(spark):
     """Hash-aggregable buffers everywhere: SortAggregate means an agg
     fell out of codegen (this is how the max_by top-1 regression was
