@@ -1,0 +1,178 @@
+"""User-facing facade: the reference's flagship endpoint as one
+engine call.
+
+The reference's ``POST /api/v1/hackrx/run`` (ref: src/main.py:48-192)
+takes (documents, questions) and returns, per question: the top
+context chunks, a templated summary, and the search method — vector
+search when the index path works, keyword fallback otherwise — plus
+per-document processing stats. ``run_query`` is that contract on
+Spark:
+
+    answers = run_query(spark, sf_dir, questions)   # one DataFrame
+
+- **vector path**: deterministic hashing embedder → broadcast cosine
+  top-k (ref stages 4-6);
+- **keyword path**: broadcast cross-score → window top-k (ref
+  :134-157) — selected per call like the reference's exception
+  fallback, but as a first-class strategy flag rather than a
+  try/except;
+- **answer assembly**: top chunk summary template + doc stats agg
+  (ref :100-127, 176-186).
+
+Everything is lazy DataFrames end-to-end: the two strategies are the
+same plan shape with a different scoring expression, and the result
+schema is the one authoritative answer schema (the reference's
+declared response model drifts from what it actually returns —
+SURVEY §1.1 note)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .registry import register
+from .sources.tables import load, spread
+from .functions.vector import dot, embed_df
+from .operators.search import GOLDEN_QUESTIONS, SNIPPET_LEN, TOP_K
+
+
+def run_query(
+    spark: SparkSession,
+    sf_dir: str,
+    questions: list[tuple[int, str]] | None = None,
+    method: str = "vector",
+    top_k: int = TOP_K,
+) -> DataFrame:
+    """(documents, questions) → answers, the flagship contract.
+
+    Returns one row per (question, context chunk) with rank, score,
+    snippet, a summary on the best chunk, and ``search_method`` —
+    the reference's response shape normalized to a DataFrame.
+    """
+    if questions is None:
+        questions = GOLDEN_QUESTIONS
+    if method not in ("vector", "keyword"):
+        raise ValueError(f"unknown method {method!r}")
+    qdf = spark.createDataFrame(questions, "question_id INT, question_text STRING")
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+
+    if method == "vector":
+        dv = embed_df(docs, "text", out_col="dv")
+        qv = F.broadcast(embed_df(qdf, "question_text", out_col="qv"))
+        scored = dv.crossJoin(qv).select(
+            "question_id",
+            "question_text",
+            "doc_id",
+            F.round(dot(F.col("qv"), F.col("dv")), 6).alias("score"),
+            F.substring("text", 1, SNIPPET_LEN).alias("snippet"),
+        )
+    else:
+        qwords = F.split(F.lower(F.col("question_text")), " ")
+        text_lc = F.lower(F.col("text"))
+        matches = F.size(F.filter(qwords, lambda w: text_lc.contains(w)))
+        scored = docs.crossJoin(F.broadcast(qdf)).select(
+            "question_id",
+            "question_text",
+            "doc_id",
+            F.round(matches.cast("double") / F.size(qwords), 6).alias("score"),
+            F.substring("text", 1, SNIPPET_LEN).alias("snippet"),
+        )
+
+    w = Window.partitionBy("question_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    topk = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+    )
+    return topk.select(
+        "question_id",
+        "question_text",
+        "rank",
+        "doc_id",
+        "score",
+        F.substring("snippet", 1, 100).alias("snippet"),
+        F.when(
+            F.col("rank") == 1,
+            F.format_string(
+                "Based on document %d (relevance %.3f): %s",
+                F.col("doc_id"),
+                F.col("score"),
+                F.substring("snippet", 1, 100),
+            ),
+        ).alias("summary"),
+        F.lit(
+            "vector_search" if method == "vector" else "text_search_fallback"
+        ).alias("search_method"),
+    )
+
+
+def doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document response stats (ref: src/main.py:176-186)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("doc_id").agg(
+        F.count("*").alias("chunks_count"),
+        F.sum(F.length("text")).alias("total_characters"),
+    )
+
+
+def _api_oracle(method: str) -> str:
+    from .functions.vector import embed_subquery_sql
+
+    rows = ",\n      ".join(f"({i}, '{t}')" for i, t in GOLDEN_QUESTIONS)
+    if method == "vector":
+        qv = embed_subquery_sql("questions", "question_id", "question_text")
+        dv = embed_subquery_sql("documents", "doc_id", "text")
+        scored = f"""
+qv AS (SELECT q.question_id, q.question_text, e.embedding AS qv
+       FROM {qv} e JOIN questions q ON e.id = q.question_id),
+dv AS (SELECT d.doc_id, e.embedding AS dv, substr(d.text, 1, {SNIPPET_LEN}) AS snippet
+       FROM {dv} e JOIN documents d ON e.id = d.doc_id),
+scored AS (
+  SELECT question_id, question_text, doc_id,
+         round(list_dot_product(qv.qv, dv.dv), 6) AS score, snippet
+  FROM qv CROSS JOIN dv
+)"""
+        tag = "vector_search"
+    else:
+        scored = f"""
+scored AS (
+  SELECT q.question_id, q.question_text, d.doc_id,
+         round(CAST(len(list_filter(string_split(lower(q.question_text), ' '),
+                              w -> contains(lower(d.text), w))) AS DOUBLE)
+           / len(string_split(lower(q.question_text), ' ')), 6) AS score,
+         substr(d.text, 1, {SNIPPET_LEN}) AS snippet
+  FROM questions q CROSS JOIN documents d
+)"""
+        tag = "text_search_fallback"
+    return f"""
+WITH questions(question_id, question_text) AS (VALUES
+      {rows}),
+{scored},
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY question_id
+                               ORDER BY score DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT question_id, question_text, CAST(rank AS INT) AS rank, doc_id, score,
+       substr(snippet, 1, 100) AS snippet,
+       CASE WHEN rank = 1
+            THEN printf('Based on document %d (relevance %.3f): %s',
+                        doc_id, score, substr(snippet, 1, 100))
+       END AS summary,
+       '{tag}' AS search_method
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+@register("q_api_run_vector", oracle=_api_oracle("vector"))
+def q_api_run_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.1 flagship lifecycle, vector path, end-to-end through the
+    public facade (embed → broadcast cosine → top-k → summary)."""
+    return run_query(spark, sf_dir, method="vector")
+
+
+@register("q_api_run_keyword", oracle=_api_oracle("keyword"))
+def q_api_run_keyword(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.1 flagship lifecycle, keyword fallback path, through the
+    public facade — the reference's exception fallback as a strategy
+    flag."""
+    return run_query(spark, sf_dir, method="keyword")

@@ -248,6 +248,52 @@ def q_table_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_json_corrupt_tolerant",
+    oracle="""
+WITH raw AS (
+  SELECT event_id,
+         CASE WHEN event_id % 7 = 0 THEN 'xx' || props
+              ELSE props END AS payload
+  FROM events
+)
+SELECT CAST(count(*) FILTER (json_valid(payload)) AS BIGINT)      AS n_valid,
+       CAST(count(*) FILTER (NOT json_valid(payload)) AS BIGINT)  AS n_corrupt,
+       CAST(sum(CASE WHEN json_valid(payload)
+                     THEN CAST(payload->>'k' AS BIGINT) END) AS BIGINT) AS sum_k
+FROM raw
+""",
+)
+def q_json_corrupt_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-record-tolerant JSON ingestion: a slice of payloads is
+    deliberately mangled; from_json returns null for them
+    (PERMISSIVE semantics) instead of failing the job — the
+    engine-level form of the reference's catch-and-collect error model
+    (ref: pipeline.py:13-21, errors list per stage). Valid and corrupt
+    rows are counted and only valid payloads aggregate."""
+    ev = load(spark, sf_dir, "events").select("event_id", "props")
+    payload = F.when(
+        F.col("event_id") % 7 == 0, F.concat(F.lit("xx"), F.col("props"))
+    ).otherwise(F.col("props"))
+    # PERMISSIVE from_json yields an all-null struct (not null) for
+    # bad records; the documented detection channel is the
+    # columnNameOfCorruptRecord field, which carries the raw payload
+    # iff parsing failed.
+    parsed = ev.select(
+        F.from_json(
+            payload,
+            "k LONG, _corrupt_record STRING",
+            {"columnNameOfCorruptRecord": "_corrupt_record"},
+        ).alias("j"),
+    )
+    bad = F.col("j._corrupt_record").isNotNull()
+    return parsed.agg(
+        F.count(F.when(~bad, 1)).alias("n_valid"),
+        F.count(F.when(bad, 1)).alias("n_corrupt"),
+        F.sum(F.when(~bad, F.col("j.k"))).alias("sum_k"),
+    )
+
+
+@register(
     "q_dedup_hash",
     oracle="""
 SELECT md5(text)         AS content_md5,

@@ -54,6 +54,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__
+        wrapped.__module__ = fn.__module__
         _REGISTRY[name] = QuerySpec(name, wrapped, oracle, (fn.__doc__ or "").strip())
         return fn
 
@@ -81,6 +82,7 @@ def _load_all() -> None:
         textpipe,
         windows,
     )
+    from . import api  # noqa: F401
     from .functions import scalar, text, vector  # noqa: F401
     from .sources import extraction, scans, sinks  # noqa: F401
     from .streaming import event_windows  # noqa: F401

@@ -168,6 +168,54 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PARTITIONED_READY: set[tuple[int, str]] = set()
+
+
+def _ensure_partitioned_docs(spark: SparkSession, sf_dir: str) -> str:
+    """Write documents partitioned by lang (hive layout lang=xx/) once
+    per (session, sf_dir); returns the path. Partition columns are the
+    coarse file-skipping axis at scale: a lang-filtered query lists
+    only that partition's directory."""
+    import tempfile
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(), "dqs_partitioned", tag, "documents")
+    key = (id(spark), sf_dir)
+    if key not in _PARTITIONED_READY:
+        (
+            load(spark, sf_dir, "documents")
+            .write.mode("overwrite")
+            .partitionBy("lang")
+            .parquet(path)
+        )
+        _PARTITIONED_READY.add(key)
+    return path
+
+
+@register(
+    "q_partition_pruned_read",
+    oracle="""
+SELECT source, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(n_chars) AS BIGINT) AS chars
+FROM documents
+WHERE lang = 'de'
+GROUP BY source
+""",
+)
+def q_partition_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition pruning end-to-end: documents written partitionBy
+    (lang), read back with a lang predicate — the scan lists ONE
+    partition directory (PartitionFilters in the plan; pinned in
+    tests/test_plan_quality.py). At 100 TB this is the difference
+    between listing/reading 1/Nth of the table and all of it."""
+    path = _ensure_partitioned_docs(spark, sf_dir)
+    d = spark.read.parquet(path).filter(F.col("lang") == "de")
+    return d.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum("n_chars").alias("chars"),
+    )
+
+
 def upsert_parquet(
     spark: SparkSession, updates: DataFrame, path: str, key: str, order_col: str
 ) -> None:

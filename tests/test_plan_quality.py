@@ -60,6 +60,17 @@ def test_bucketed_join_has_no_join_exchange(spark):
     assert rep.n_shuffles <= 1
 
 
+def test_partition_pruning_reaches_listing(spark):
+    """lang=de predicate on the lang-partitioned table must appear as
+    a PartitionFilter (directory-level skip), not a data filter."""
+    rep = _plan(spark, "q_partition_pruned_read")
+    assert "PartitionFilters" in rep.raw
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", rep.raw)
+    assert m and "lang" in m.group(1)
+
+
 def test_no_sort_aggregates_anywhere(spark):
     """Hash-aggregable buffers everywhere: SortAggregate means an agg
     fell out of codegen (this is how the max_by top-1 regression was
