@@ -37,8 +37,16 @@ def main() -> None:
     spark = get_spark(app_name="dqs-bench")
     specs = registry.all_specs()
 
-    # JVM/codegen warmup on a trivial plan so q1 doesn't pay startup.
+    # JVM/codegen warmup on a trivial plan so q1 doesn't pay startup,
+    # plus a tiny mapInPandas so the Python worker pool (pandas/arrow
+    # imports, one worker per core) is spun up before any timed query —
+    # otherwise the alphabetically-first UDF query absorbs the whole
+    # pool's cold start.
     _force(spark.read.parquet(f"{sf_dir}/region.parquet"))
+    warm = spark.range(int(os.environ.get("SPARK_GRAFT_CPUS", "32")) * 4).repartition(
+        int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    )
+    _force(warm.mapInPandas(lambda it: it, "id long"))
 
     timings: dict[str, float] = {}
     t_total0 = time.perf_counter()

@@ -266,6 +266,49 @@ def q_embed_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embed_pandas(docs).select("doc_id", "embedding")
 
 
+# ---------------------------------------------- optional torch path (U1)
+
+_ST_MODEL = None  # per-executor-process singleton, lazily loaded
+
+
+def embed_sentence_transformers(
+    df: DataFrame, text_col: str = "text", model_name: str = "all-MiniLM-L6-v2"
+) -> DataFrame:
+    """U1, real-model path (ref: embedding_generator.py:49-167 —
+    MiniLM-L6-v2, 384-dim, batched encode under a process-wide lock).
+    Identical mapInPandas shape to embed_pandas; the model is a
+    module-level singleton per executor process (the executor analog
+    of the reference's threading.Lock + cached model), Arrow batch ≈
+    the reference's batch_size. sentence-transformers is not installed
+    in this environment — the import guard raises a clear error and
+    the deterministic hashing embedder remains the default engine
+    path (SURVEY §7 Phase 4)."""
+    import pandas as pd
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        global _ST_MODEL
+        try:
+            from sentence_transformers import SentenceTransformer
+        except ImportError as exc:  # pragma: no cover - env-dependent
+            raise NotImplementedError(
+                "sentence-transformers is not installed; use embed_df/"
+                "embed_pandas (deterministic hashing embedder) or install "
+                "the model library on every executor"
+            ) from exc
+        if _ST_MODEL is None:  # pragma: no cover - needs the library
+            _ST_MODEL = SentenceTransformer(model_name)
+        for pdf in batches:  # pragma: no cover - needs the library
+            pdf = pdf.copy()
+            vecs = _ST_MODEL.encode(
+                list(pdf[text_col]), normalize_embeddings=True
+            )
+            pdf["embedding"] = [[float(x) for x in v] for v in vecs]
+            yield pdf
+
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
+    return df.mapInPandas(gen, schema=schema + ", embedding array<double>")
+
+
 _GOLDEN_SEARCH_TOP_K = 3
 
 

@@ -28,6 +28,7 @@ AND extraction outputs are DuckDB-oracle-verified by value.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
@@ -121,6 +122,67 @@ def q_extract_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "file_name",
         mime.alias("mime"),
         (head.startswith("%PDF") & text.endswith("%%EOF")).alias("pdf_valid"),
+    )
+
+
+_BINARY_DIR_READY: set[tuple[int, str]] = set()
+
+
+def _ensure_landing_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize a small landing directory of real files (one per
+    doc for the first 50 docs) so the binaryFile source has something
+    to scan — the on-disk twin of the reference's document_cache
+    (ref: ingestion_service.py:322-329)."""
+    import tempfile
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(), "dqs_landing", tag)
+    key = (id(spark), sf_dir)
+    if key not in _BINARY_DIR_READY:
+        os.makedirs(path, exist_ok=True)
+        rows = (
+            landing_table(spark, sf_dir)
+            .filter(F.col("doc_id") < 50)
+            .select("file_name", "payload")
+            .collect()
+        )
+        for r in rows:
+            with open(os.path.join(path, r.file_name), "wb") as f:
+                f.write(bytes(r.payload))
+        _BINARY_DIR_READY.add(key)
+    return path
+
+
+@register(
+    "q_binaryfile_scan",
+    oracle="""
+SELECT 'doc_' || doc_id ||
+         CASE doc_id % 3 WHEN 0 THEN '.pdf' WHEN 1 THEN '.docx' ELSE '.eml' END
+         AS file_name,
+       CAST(length(CASE doc_id % 3
+         WHEN 0 THEN '%PDF-1.4' || chr(10) || text || chr(10) || '%%EOF'
+         WHEN 1 THEN 'PK' || chr(3) || chr(4) || 'word/' || text
+         ELSE 'From: sender-' || doc_id || '@example.com' || chr(13) || chr(10)
+              || 'To: dest@example.com' || chr(13) || chr(10)
+              || 'Subject: doc ' || doc_id || chr(13) || chr(10)
+              || chr(13) || chr(10) || text
+       END) AS BIGINT) AS n_bytes
+FROM documents
+WHERE doc_id < 50
+""",
+)
+def q_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S2: the real ``binaryFile`` source — files on disk scanned
+    as (path, modificationTime, length, content) rows. This is the
+    production entry of the extraction pipeline (landing_table is its
+    synthetic stand-in); file name and byte length are value-checked.
+    The payloads here are pure ASCII, so length == char count in the
+    oracle."""
+    path = _ensure_landing_dir(spark, sf_dir)
+    bf = spark.read.format("binaryFile").load(path)
+    return bf.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
+        F.length("content").cast("long").alias("n_bytes"),
     )
 
 
