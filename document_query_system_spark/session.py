@@ -44,6 +44,60 @@ def get_spark(
     return spark
 
 
+def cluster_conf(
+    target_tb: float = 100.0,
+    executors: int = 1000,
+    executor_cores: int = 4,
+    executor_mem_gb: int = 16,
+) -> dict[str, str]:
+    """Recommended conf for the 100 TB / 1000-executor tier (SCALE.md
+    has the derivations). Returned as a dict so a deployment can layer
+    it into spark-submit or SparkSession.builder; the local factory
+    above intentionally does NOT apply it — partition counts sized for
+    100 TB would drown a laptop in empty tasks.
+
+    Sizing logic:
+    - shuffle partitions ≈ min( totalBytes / 128MB, 4 × total cores )
+      capped so each reducer gets ~128-512 MB pre-spill;
+    - AQE then coalesces down at runtime, so oversizing is cheap and
+      undersizing (multi-GB reducers, spill) is what must be avoided;
+    - maxPartitionBytes 256 MB: scan tasks big enough to amortize
+      scheduling, small enough that a task retry is cheap;
+    - broadcast threshold 64 MB: region/nation/filtered dims always
+      broadcast; anything bigger shuffles (AQE can still convert at
+      runtime when a filtered side turns out small);
+    - skew-join split at 256 MB so one hot key cannot pin a reducer.
+    """
+    total_cores = executors * executor_cores
+    total_bytes = int(target_tb * 1024**4)
+    by_data = total_bytes // (128 * 1024**2)
+    shuffle_parts = int(min(by_data, 4 * total_cores))
+    return {
+        "spark.executor.instances": str(executors),
+        "spark.executor.cores": str(executor_cores),
+        "spark.executor.memory": f"{executor_mem_gb}g",
+        "spark.sql.shuffle.partitions": str(shuffle_parts),
+        "spark.sql.files.maxPartitionBytes": str(256 * 1024**2),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(128 * 1024**2),
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": str(
+            256 * 1024**2
+        ),
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024**2),
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+        "spark.sql.parquet.compression.codec": "zstd",
+        "spark.shuffle.service.enabled": "true",
+        "spark.dynamicAllocation.enabled": "true",
+        "spark.sql.streaming.stateStore.providerClass": (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        ),
+    }
+
+
 def ensure_worker_imports(spark: SparkSession) -> None:
     """Make this package importable inside executor Python workers.
 

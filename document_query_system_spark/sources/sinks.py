@@ -168,6 +168,34 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_retention_sweep",
+    oracle="""
+WITH horizon AS (SELECT max(ts) - INTERVAL 30 DAY AS h FROM events)
+SELECT CAST(count(*) AS BIGINT) AS kept,
+       CAST(min(epoch_us(ts)) AS BIGINT) AS oldest_kept_us
+FROM events, horizon
+WHERE ts >= h
+""",
+)
+def q_retention_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention sweep: keep only rows inside the retention horizon
+    (max ts − 30 days) — the engine form of the reference's cache
+    expiry cleanup (ref: ingestion_service.py:418-439, delete files
+    older than N hours). On the date-partitioned events layout
+    (SCALE.md) this predicate is a partition prune, and the physical
+    delete is dropping whole directories — no row-level rewrite."""
+    ev = load(spark, sf_dir, "events")
+    horizon = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 30 DAYS")).alias("h")
+    )
+    kept = ev.join(F.broadcast(horizon)).filter(F.col("ts") >= F.col("h"))
+    return kept.agg(
+        F.count("*").alias("kept"),
+        F.unix_micros(F.min("ts")).alias("oldest_kept_us"),
+    )
+
+
 _PARTITIONED_READY: set[tuple[int, str]] = set()
 
 
