@@ -202,6 +202,111 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_grouping_sets",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+""",
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: explicit GROUPING SETS (disjoint axes + grand total in one
+    pass — rollup/cube's general form; Spark expands to a single
+    Expand + hash aggregate, one shuffle)."""
+    li = load(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("dqs_lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM dqs_lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@register(
+    "q_exists_subquery",
+    oracle="""
+SELECT o_orderkey, o_totalprice
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+""",
+)
+def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS — planned as a left-semi join on the
+    correlation key (the decorrelation Catalyst does automatically;
+    same plan as the explicit semi join in J6)."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    o.createOrReplaceTempView("dqs_orders_ex")
+    li.createOrReplaceTempView("dqs_lineitem_ex")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM dqs_orders_ex o
+        WHERE EXISTS (SELECT 1 FROM dqs_lineitem_ex l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+        """
+    )
+
+
+@register(
+    "q_scalar_subquery",
+    oracle="""
+SELECT p_partkey, p_retailprice,
+       round(p_retailprice - (SELECT avg(p_retailprice) FROM part), 4) AS dev
+FROM part
+WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
+""",
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery (uncorrelated) — the one-row aggregate is
+    computed once and broadcast into the filter/projection, not
+    re-evaluated per row."""
+    p = load(spark, sf_dir, "part")
+    p.createOrReplaceTempView("dqs_part_sc")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_retailprice,
+               round(p_retailprice - (SELECT avg(p_retailprice) FROM dqs_part_sc), 4) AS dev
+        FROM dqs_part_sc
+        WHERE p_retailprice > (SELECT avg(p_retailprice) FROM dqs_part_sc)
+        """
+    )
+
+
+@register(
+    "q_range_frame",
+    oracle="""
+SELECT event_id, user_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts
+                              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                                        AND CURRENT ROW), 2) AS rolling_1h
+FROM events
+""",
+)
+def q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5: event-time RANGE frame — per-user rolling 1-hour sum (a
+    value-based frame, unlike the ROWS frame of q_running_sum; ties on
+    ts aggregate together, which is why no tiebreak column is needed
+    for determinism)."""
+    ev = load(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("dqs_events_rf")
+    return spark.sql(
+        """
+        SELECT event_id, user_id,
+               round(sum(value) OVER (PARTITION BY user_id ORDER BY ts
+                                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                                                AND CURRENT ROW), 2) AS rolling_1h
+        FROM dqs_events_rf
+        """
+    )
+
+
 _SALT = 8
 
 
