@@ -100,6 +100,47 @@ def sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_udtf_sentences",
+    oracle="""
+WITH s AS (
+  SELECT doc_id,
+         unnest(string_split(text, '. ')) AS sentence,
+         generate_subscripts(string_split(text, '. '), 1) - 1 AS seq
+  FROM documents WHERE doc_id < 200
+)
+SELECT doc_id, CAST(seq AS INT) AS seq, sentence,
+       CAST(length(sentence) AS BIGINT) AS n_chars
+FROM s WHERE length(sentence) > 0
+""",
+)
+def q_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 via the Python UDTF API (Spark 4 @udtf): one document row in,
+    N sentence rows out, with per-row Python logic in eval(). The
+    lateral-join shape (``SELECT ... FROM docs, udtf(...)``) is the
+    declared form of the extraction fan-out; Arrow-optimized since the
+    registration enables it. Same semantics as the pure-SQL X8
+    sentence split, which is what the oracle runs."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="seq int, sentence string, n_chars bigint")
+    class SentenceSplit:
+        def eval(self, text: str):
+            for i, s in enumerate(text.split(". ")):
+                if s:
+                    yield i, s, len(s)
+
+    spark.udtf.register("dqs_sentence_split", SentenceSplit)
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    docs.createOrReplaceTempView("dqs_docs_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.seq, s.sentence, s.n_chars
+        FROM dqs_docs_udtf d, LATERAL dqs_sentence_split(d.text) s
+        """
+    )
+
+
 @register("q_sliding_chunks", oracle=_SLIDING_SQL)
 def q_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1/X9: sliding-window segmentation with stopword removal

@@ -210,6 +210,43 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, spark)
 
 
+@register("q_stream_stream_join", oracle=None)  # dual watermark state → rows-only
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: each 'view' event joined to
+    'click' events by the same user within [0, 30 min] after it. Both
+    sides carry watermarks and the join condition bounds event time on
+    both ends, so the state store retains only the interval horizon
+    per side — the canonical funnel/attribution join, running here
+    under availableNow."""
+    a = (
+        _read_event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("a_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    b = (
+        _read_event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("b_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    joined = a.join(
+        b,
+        (F.col("a_user") == F.col("b_user"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (F.col("click_ts") <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select("a_user", "view_id", "click_id")
+    return _run_to_memory(joined, spark, output_mode="append")
+
+
 @register("q_stream_session", oracle=None)  # merging window state → rows-only
 def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T4 (streaming form): session_window aggregation under a
