@@ -74,6 +74,19 @@ def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_agg_percentiles_approx", oracle=None)  # sketch-specific values
+def q_agg_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB percentile path: percentile_approx (KLL-style
+    sketch, bounded memory per group, mergeable partials) — the
+    scale default documented next to the exact q_agg_percentiles.
+    Rows-only: sketch outputs are engine-specific by construction."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_approx"),
+        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("p95_approx"),
+    )
+
+
 @register(
     "q_pivot_lang_source",
     oracle="""

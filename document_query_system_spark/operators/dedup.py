@@ -233,6 +233,86 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s2.select("doc_id", "bitvals", simhash.alias("simhash")).drop("bitvals")
 
 
+_SIMHASH_CTE = f"""
+WITH th AS (SELECT doc_id, {token_hashes_sql('text')} AS ths FROM documents),
+bits AS (
+  SELECT doc_id, ths,
+         list_transform(generate_series(0, {SIMHASH_BITS - 1}), j ->
+           CASE WHEN len(list_filter(ths, h -> (h // (1 << j)) % 2 = 1)) * 2
+                     > len(ths)
+                THEN CAST(1 << j AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS bitvals
+  FROM th
+),
+sh AS (
+  SELECT doc_id,
+         list_reduce(list_prepend(CAST(0 AS BIGINT), bitvals), (a, b) -> a + b)
+           AS simhash
+  FROM bits
+)
+"""
+
+HAMMING_MAX = 2  # near-dup threshold on the 16-bit fingerprint
+
+
+@register(
+    "q_dedup_simhash_pairs",
+    oracle=_SIMHASH_CTE
+    + f"""
+, banded AS (
+  SELECT doc_id, simhash,
+         simhash % 256 AS lo_band, simhash // 256 AS hi_band
+  FROM sh
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         bit_count(xor(a.simhash, b.simhash)) AS hamming
+  FROM banded a JOIN banded b
+    ON a.lo_band = b.lo_band AND a.doc_id < b.doc_id
+  UNION
+  SELECT a.doc_id, b.doc_id, bit_count(xor(a.simhash, b.simhash))
+  FROM banded a JOIN banded b
+    ON a.hi_band = b.hi_band AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+FROM cand WHERE hamming <= {HAMMING_MAX}
+""",
+)
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-pair search, stage 2 of the SimHash tier: split
+    the 16-bit fingerprint into two 8-bit bands — any pair within
+    Hamming distance ≤ {HAMMING_MAX} agrees exactly on at least one
+    band (pigeonhole), so two band-keyed equi-joins find every
+    candidate without an all-pairs scan; the Hamming filter then
+    verifies. This is the fingerprint-side analog of MinHash banding,
+    and the standard simhash index layout at corpus scale (one
+    bucket table per band)."""
+    sh = q_dedup_simhash(spark, sf_dir)  # (doc_id, simhash)
+    banded = sh.select(
+        "doc_id",
+        "simhash",
+        (F.col("simhash") % 256).alias("lo_band"),
+        (F.col("simhash") / 256).cast("long").alias("hi_band"),
+    ).localCheckpoint(eager=False)
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).cast("long")
+
+    def band_join(key: str) -> DataFrame:
+        a, b = banded.alias("a"), banded.alias("b")
+        return a.join(
+            b,
+            (F.col(f"a.{key}") == F.col(f"b.{key}"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+
+    cand = band_join("lo_band").union(band_join("hi_band")).distinct()
+    return cand.filter(F.col("hamming") <= HAMMING_MAX)
+
+
 JACCARD_MIN = 0.1  # near-dup report threshold
 
 
