@@ -1,0 +1,82 @@
+"""Dedup semantic properties on a corpus with KNOWN duplicates:
+exact copies must collide everywhere, disjoint-vocabulary docs must
+not, and clustering must put copies in one component with the min id
+canonical. (The oracle tests prove Spark==DuckDB; these prove both
+compute the *right thing*.)"""
+
+from __future__ import annotations
+
+import pytest
+
+from document_query_system_spark.operators.dedup import (
+    N_PERM,
+    minhash_signatures,
+    q_dedup_clusters,
+    q_dedup_minhash_pairs,
+    q_dedup_ngram_jaccard,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat "
+    "watches the bird fly over the green hill near the old mill "
+)
+OTHER = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+    "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi "
+)
+
+
+@pytest.fixture(scope="module")
+def dup_dir(spark, tmp_path_factory):
+    sf_dir = str(tmp_path_factory.mktemp("dedup_prop"))
+    rows = [
+        (0, BASE, "en", "web", len(BASE)),          # original
+        (1, BASE, "en", "web", len(BASE)),          # exact copy
+        (2, BASE + "extra tail", "en", "web", len(BASE) + 10),  # near copy
+        (3, OTHER, "en", "web", len(OTHER)),        # unrelated
+        (4, OTHER, "en", "web", len(OTHER)),        # unrelated's copy
+    ]
+    spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+    return sf_dir
+
+
+def test_exact_copies_have_identical_signatures(spark, dup_dir):
+    sigs = {r.doc_id: tuple(r.minhash) for r in
+            minhash_signatures(spark, dup_dir).collect()}
+    assert sigs[0] == sigs[1]
+    assert sigs[3] == sigs[4]
+    assert sigs[0] != sigs[3]
+
+
+def test_exact_copies_are_candidate_pairs_with_est_one(spark, dup_dir):
+    pairs = {(r.doc_a, r.doc_b): r.est_jaccard for r in
+             q_dedup_minhash_pairs(spark, dup_dir).collect()}
+    assert pairs.get((0, 1)) == 1.0
+    assert pairs.get((3, 4)) == 1.0
+    assert (0, 3) not in pairs and (0, 4) not in pairs
+
+
+def test_ngram_jaccard_scores(spark, dup_dir):
+    jac = {(r.doc_a, r.doc_b): r.jaccard for r in
+           q_dedup_ngram_jaccard(spark, dup_dir).collect()}
+    assert jac.get((0, 1)) == 1.0
+    # near-copy overlaps strongly but not fully
+    assert (0, 2) in jac and 0.5 < jac[(0, 2)] < 1.0
+    assert (0, 3) not in jac  # disjoint vocabulary never reported
+
+
+def test_clusters_group_copies_with_min_canonical(spark, dup_dir):
+    rows = {r.doc_id: r for r in q_dedup_clusters(spark, dup_dir).collect()}
+    # {0,1,2} form one component with 0 canonical; {3,4} another with 3.
+    assert rows[0].cluster_id == rows[1].cluster_id == rows[2].cluster_id == 0
+    assert rows[3].cluster_id == rows[4].cluster_id == 3
+    assert rows[0].is_canonical and rows[3].is_canonical
+    assert not rows[1].is_canonical and not rows[4].is_canonical
+    assert all(r.cluster_id <= d for d, r in rows.items())
+
+
+def test_signature_width_is_constant(spark, dup_dir):
+    for r in minhash_signatures(spark, dup_dir).collect():
+        assert len(r.minhash) == N_PERM

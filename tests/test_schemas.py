@@ -1,0 +1,32 @@
+"""Schema authority checks: the declared StructTypes are what the
+pipelines actually produce (SURVEY §1.1 — one module owns the
+shapes; the reference's declared-vs-actual drift is the failure mode
+this prevents)."""
+
+from __future__ import annotations
+
+from document_query_system_spark import schemas
+from document_query_system_spark.api import run_query
+
+
+def test_answer_schema_matches_api(spark):
+    df = run_query(spark, "/root/testdata/sf0.001", method="keyword")
+    declared = {(f.name, f.dataType.simpleString()) for f in schemas.ANSWER.fields}
+    actual = {(f.name, f.dataType.simpleString()) for f in df.schema.fields}
+    assert declared == actual
+
+
+def test_chunk_schema_covers_extraction(spark):
+    from document_query_system_spark.registry import queries
+
+    df = queries()["q_extract_chunks"](spark, "/root/testdata/sf0.001")
+    chunk_fields = {f.name for f in schemas.CHUNK.fields}
+    assert {c for c in df.columns} <= chunk_fields | {"doc_id"}
+
+
+def test_all_declared_schemas_are_valid():
+    for name in ("DOCUMENT_RAW", "DOCUMENT", "CHUNK", "DOC_TABLE",
+                 "EMBEDDING", "ANSWER"):
+        st = getattr(schemas, name)
+        assert len(st.fields) > 0
+        assert len({f.name for f in st.fields}) == len(st.fields)
