@@ -137,6 +137,67 @@ def q_vector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FILTERED_TOPK_SQL = f"""
+WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE label = 2),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS match_id, c.label,
+         round(list_dot_product(q.v, c.v)
+               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))),
+               6) AS cos_sim
+  FROM q CROSS JOIN c
+  WHERE q.vec_id <> c.vec_id
+)
+SELECT query_id, match_id, label, cos_sim
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, match_id) AS rn
+      FROM scored)
+WHERE rn <= {_TOPK_K}
+"""
+
+
+@register("q_vector_topk_filtered", oracle=_FILTERED_TOPK_SQL)
+def q_vector_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9 with a metadata filter: top-k cosine restricted to one
+    metadata partition (ref: vectorizer.py:159-176 — Pinecone
+    filter={'document_id': {'$eq': ...}}). The filter is a plain
+    column predicate applied BEFORE scoring, so it pushes into the
+    Parquet scan — the engine-native form of a filtered vector query,
+    and on the label-partitioned layout (SCALE.md) a partition prune."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("qv"),
+        )
+    )
+    c = emb.filter(F.col("label") == 2).select(
+        F.col("vec_id").alias("match_id"),
+        "label",
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    scored = (
+        c.crossJoin(q)
+        .filter(F.col("query_id") != F.col("match_id"))
+        .select(
+            "query_id",
+            "match_id",
+            "label",
+            F.round(
+                dot(F.col("qv"), F.col("cv"))
+                / (l2_norm(F.col("qv")) * l2_norm(F.col("cv"))),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("match_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOPK_K)
+        .drop("rn")
+    )
+
+
 # ------------------------------------------------- deterministic embedder
 #
 # Staging discipline: each intermediate (token hashes → bucket counts
