@@ -36,6 +36,10 @@ def main() -> None:
 
     spark = get_spark(app_name="dqs-bench")
     specs = registry.all_specs()
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        keep = {n.strip() for n in only.split(",") if n.strip()}
+        specs = {n: s for n, s in specs.items() if n in keep}
 
     # JVM/codegen warmup on a trivial plan so q1 doesn't pay startup,
     # plus a tiny mapInPandas so the Python worker pool (pandas/arrow

@@ -1,0 +1,41 @@
+"""Bench contract: bench.py must print EXACTLY one JSON line with the
+driver-required keys and no failed (-1.0) timings. Runs a small query
+subset at sf0.001 via SPARK_GRAFT_BENCH_ONLY so the check is fast; the
+JSON shape is identical to the full run the driver records."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_bench_emits_one_json_line():
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_CPUS="4",
+        SPARK_GRAFT_BENCH_ONLY="q_scan_lineitem,q_join_hash,q_topk_per_question",
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=420,
+        cwd="/tmp",  # foreign cwd, like the driver
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    json_lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    assert len(json_lines) == 1, out.stdout
+    d = json.loads(json_lines[0])
+    assert {"metric", "value", "unit", "queries", "sf"} <= set(d)
+    assert d["unit"] == "sec" and d["sf"] == 0.001
+    assert set(d["queries"]) == {
+        "q_scan_lineitem", "q_join_hash", "q_topk_per_question"
+    }
+    assert all(v >= 0 for v in d["queries"].values()), d["queries"]
+    assert "BENCH-ERROR" not in out.stderr
