@@ -8,6 +8,9 @@ and skips row groups by min/max stats.
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -31,6 +34,67 @@ def q_scan_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("l_shipdate") >= "1995-06-01") & (F.col("l_discount") > 0.05))
         .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
     )
+
+
+_FORMAT_DIRS: set[tuple[int, str, str]] = set()
+
+_NATION_AGG_ORACLE = """
+SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n,
+       CAST(min(n_nationkey) AS BIGINT) AS min_key
+FROM nation GROUP BY n_regionkey
+"""
+
+
+def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
+    """Write nation in ``fmt`` once per (session, sf_dir), read it back
+    with an explicit schema (never inferred — schema-on-read is pinned
+    by the engine, SURVEY §1.3), and aggregate. The oracle runs on the
+    original parquet, so the check covers the full write→read
+    round-trip of the format."""
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(), "dqs_formats", tag, fmt)
+    key = (id(spark), sf_dir, fmt)
+    if key not in _FORMAT_DIRS:
+        w = load(spark, sf_dir, "nation").write.mode("overwrite").format(fmt)
+        if fmt == "csv":
+            w = w.option("header", "true")
+        w.save(path)
+        _FORMAT_DIRS.add(key)
+    schema = "n_nationkey INT, n_name STRING, n_regionkey INT, n_comment STRING"
+    r = spark.read.format(fmt)
+    if fmt == "csv":
+        r = r.option("header", "true")
+    back = r.schema(schema).load(path)
+    # min over a string buffer would plan as SortAggregate (string
+    # agg buffers aren't UnsafeRow-mutable) — numeric aggregates keep
+    # the round-trip inside the hash-agg/codegen path.
+    return back.groupBy("n_regionkey").agg(
+        F.count("*").alias("n"),
+        F.min("n_nationkey").cast("long").alias("min_key"),
+    )
+
+
+@register("q_source_csv", oracle=_NATION_AGG_ORACLE)
+def q_source_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source round-trip with declared schema + header. CSV is the
+    interchange format, not a storage format: no pushdown, no column
+    skipping — which is exactly what this op documents relative to the
+    parquet scans above."""
+    return _roundtrip(spark, sf_dir, "csv")
+
+
+@register("q_source_json", oracle=_NATION_AGG_ORACLE)
+def q_source_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source round-trip with declared schema (no inference
+    pass — one read, not two)."""
+    return _roundtrip(spark, sf_dir, "json")
+
+
+@register("q_source_orc", oracle=_NATION_AGG_ORACLE)
+def q_source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source round-trip — the other columnar format, same
+    pushdown/pruning machinery as parquet."""
+    return _roundtrip(spark, sf_dir, "orc")
 
 
 @register(
