@@ -327,6 +327,42 @@ def q_embed_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embed_pandas(docs).select("doc_id", "embedding")
 
 
+@register(
+    "q_embed_quantize_int8",
+    oracle="""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(round(greatest(-1.0, least(1.0, x)) * 127) AS BIGINT))
+           AS q8
+  FROM embeddings
+)
+SELECT vec_id, q8,
+       round(list_sum(list_transform(q8, v -> abs(CAST(v AS DOUBLE) / 127))), 4)
+         AS l1_dequant
+FROM q
+""",
+)
+def q_embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 symmetric quantization of the embedding column (clamp to
+    [-1,1], scale by 127) plus the dequantized L1 as the round-trip
+    check — 4× storage reduction for the vector table, the standard
+    move before the 100 TB index ships to serving. Pure column
+    expressions; the quantized array is value-checked exactly."""
+    emb = load(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    q8 = F.transform(
+        v,
+        lambda x: F.round(F.greatest(F.lit(-1.0), F.least(F.lit(1.0), x)) * 127)
+        .cast("long"),
+    )
+    s1 = emb.select("vec_id", q8.alias("q8"))
+    l1 = F.aggregate(
+        F.col("q8"), F.lit(0.0), lambda s, vv: s + F.abs(vv.cast("double") / 127)
+    )
+    return s1.select("vec_id", "q8", F.round(l1, 4).alias("l1_dequant"))
+
+
 # ---------------------------------------------- optional torch path (U1)
 
 _ST_MODEL = None  # per-executor-process singleton, lazily loaded

@@ -559,6 +559,42 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_dedup_keep_canonical",
+    oracle=_BANDS_SQL.replace("\nWITH ", "\nWITH RECURSIVE ", 1)
+    + f"""
+, edges AS (
+  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+  FROM keyed a JOIN keyed b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+  WHERE len(list_filter(generate_series(1, {N_PERM}),
+                        i -> a.minhash[i] = b.minhash[i])) * 2 >= {N_PERM}
+),
+nodes AS (SELECT DISTINCT src AS v FROM edges UNION SELECT DISTINCT dst FROM edges),
+undirected AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+reach(v, r) AS (
+  SELECT v, v FROM nodes
+  UNION
+  SELECT reach.v, undirected.dst FROM reach JOIN undirected ON reach.r = undirected.src
+),
+dropped AS (SELECT v AS doc_id FROM reach GROUP BY v HAVING min(r) <> v)
+SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
+""",
+)
+def q_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end product of the dedup pipeline: the corpus with every
+    non-canonical near-duplicate removed (cluster members keep only
+    the min-id representative). Left-anti join of the corpus against
+    the non-canonical set — the deduplicated training corpus a
+    downstream tokenizer actually consumes."""
+    clusters = q_dedup_clusters(spark, sf_dir)
+    dropped = clusters.filter(~F.col("is_canonical")).select("doc_id")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return docs.join(F.broadcast(dropped), "doc_id", "left_anti")
+
+
 COSINE_SALT = 16  # fan-out factor for the within-label pairwise join
 
 

@@ -105,6 +105,61 @@ def q_sample_per_stratum_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_repetition_metrics",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, {tokens_sql('text')} AS toks FROM documents
+),
+tf AS (
+  SELECT doc_id, len(toks) AS n_tok,
+         unnest(toks) AS tok
+  FROM tok
+),
+counts AS (
+  SELECT doc_id, n_tok, tok, count(*) AS c
+  FROM tf GROUP BY doc_id, n_tok, tok
+)
+SELECT doc_id,
+       CAST(n_tok AS BIGINT) AS n_tokens,
+       CAST(max(c) AS BIGINT) AS top_token_count,
+       round(CAST(max(c) AS DOUBLE) / n_tok, 6) AS top_token_frac,
+       round(CAST(count(*) AS DOUBLE) / n_tok, 6) AS distinct_frac
+FROM counts
+GROUP BY doc_id, n_tok
+""",
+)
+def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition metrics (Rae et al. 2021 quality
+    rules): per document, the most-frequent-token fraction and the
+    distinct-token fraction — the signals behind 'drop docs dominated
+    by one token / with low lexical diversity'. Explode + two-level
+    aggregation keyed by doc_id: both shuffles carry O(distinct
+    tokens) not O(tokens), and at 100 TB this keys on the same doc_id
+    bucketing as every other per-document pass."""
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    tok = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    tf = tok.select(
+        "doc_id", F.size("toks").alias("n_tok"), F.explode_outer("toks").alias("tok")
+    ).filter(F.col("tok").isNotNull())
+    counts = tf.groupBy("doc_id", "n_tok", "tok").agg(F.count("*").alias("c"))
+    return counts.groupBy("doc_id", "n_tok").agg(
+        F.max("c").alias("top_token_count"),
+        F.round(F.max("c").cast("double") / F.col("n_tok"), 6).alias(
+            "top_token_frac"
+        ),
+        F.round(F.count("*").cast("double") / F.col("n_tok"), 6).alias(
+            "distinct_frac"
+        ),
+    ).select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tokens"),
+        "top_token_count",
+        "top_token_frac",
+        "distinct_frac",
+    )
+
+
 # C4-style quality filter chain (Raffel et al. 2020 heuristics,
 # re-scaled to the synthetic corpus): each rule is a boolean column,
 # the verdict is their conjunction, and per-rule pass counts make the

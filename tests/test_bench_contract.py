@@ -18,7 +18,12 @@ def test_bench_emits_one_json_line():
         os.environ,
         SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
         SPARK_GRAFT_CPUS="4",
-        SPARK_GRAFT_BENCH_ONLY="q_scan_lineitem,q_join_hash,q_topk_per_question",
+        # q_embed_pandas is deliberately in the subset: it is UDF-backed,
+        # so this also regression-guards the addPyFile worker-shipping
+        # path from a foreign cwd.
+        SPARK_GRAFT_BENCH_ONLY=(
+            "q_scan_lineitem,q_join_hash,q_topk_per_question,q_embed_pandas"
+        ),
     )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
@@ -35,7 +40,7 @@ def test_bench_emits_one_json_line():
     assert {"metric", "value", "unit", "queries", "sf"} <= set(d)
     assert d["unit"] == "sec" and d["sf"] == 0.001
     assert set(d["queries"]) == {
-        "q_scan_lineitem", "q_join_hash", "q_topk_per_question"
+        "q_scan_lineitem", "q_join_hash", "q_topk_per_question", "q_embed_pandas"
     }
     assert all(v >= 0 for v in d["queries"].values()), d["queries"]
     assert "BENCH-ERROR" not in out.stderr
