@@ -50,6 +50,12 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
             from .session import ensure_worker_imports
 
             ensure_worker_imports(spark)
+            # Calendar functions (year/date_trunc/session windows) are
+            # session-timezone-dependent; the engine's semantics — and
+            # the DuckDB oracle, which reads parquet timestamps as
+            # naive UTC — are defined in UTC. Pin it per call so
+            # results do not depend on the host session's zone.
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
             return fn(spark, sf_dir)
 
         wrapped.__name__ = fn.__name__
