@@ -163,6 +163,117 @@ FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+_RRF_K = 60  # standard reciprocal-rank-fusion constant
+_RRF_DEPTH = 50  # per-retriever candidate depth before fusion
+
+
+def _rrf_oracle() -> str:
+    from .functions.vector import embed_subquery_sql
+
+    rows = ",\n      ".join(f"({i}, '{t}')" for i, t in GOLDEN_QUESTIONS)
+    qv = embed_subquery_sql("questions", "question_id", "question_text")
+    dv = embed_subquery_sql("documents", "doc_id", "text")
+    return f"""
+WITH questions(question_id, question_text) AS (VALUES
+      {rows}),
+qv AS (SELECT q.question_id, e.embedding AS v FROM {qv} e
+       JOIN questions q ON e.id = q.question_id),
+dv AS (SELECT id AS doc_id, embedding AS v FROM {dv}),
+vec AS (
+  SELECT question_id, doc_id,
+         row_number() OVER (PARTITION BY question_id
+                            ORDER BY round(list_dot_product(qv.v, dv.v), 6) DESC,
+                                     doc_id) AS r
+  FROM qv CROSS JOIN dv
+),
+kw AS (
+  SELECT q.question_id, d.doc_id,
+         row_number() OVER (PARTITION BY q.question_id
+            ORDER BY round(CAST(len(list_filter(
+                       string_split(lower(q.question_text), ' '),
+                       w -> contains(lower(d.text), w))) AS DOUBLE)
+                     / len(string_split(lower(q.question_text), ' ')), 6) DESC,
+                     d.doc_id) AS r
+  FROM questions q CROSS JOIN documents d
+),
+fused AS (
+  SELECT coalesce(v.question_id, k.question_id) AS question_id,
+         coalesce(v.doc_id, k.doc_id) AS doc_id,
+         round(coalesce(1.0 / ({_RRF_K} + v.r), 0)
+               + coalesce(1.0 / ({_RRF_K} + k.r), 0), 6) AS rrf
+  FROM (SELECT * FROM vec WHERE r <= {_RRF_DEPTH}) v
+  FULL JOIN (SELECT * FROM kw WHERE r <= {_RRF_DEPTH}) k
+    ON v.question_id = k.question_id AND v.doc_id = k.doc_id
+)
+SELECT question_id, doc_id, rrf
+FROM (SELECT *, row_number() OVER (PARTITION BY question_id
+                                   ORDER BY rrf DESC, doc_id) AS rn
+      FROM fused)
+WHERE rn <= {TOP_K}
+"""
+
+
+@register("q_hybrid_rrf", oracle=_rrf_oracle())
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: Reciprocal Rank Fusion of the vector and
+    keyword retrievers (score = Σ 1/(60+rank), the Cormack et al.
+    fusion) — the production answer to 'embedding misses exact terms,
+    keywords miss paraphrases'. Each retriever contributes its top-50
+    ranking; fusion is a full outer join on (question, doc) so a doc
+    ranked by only one retriever still scores. Both retrievers and the
+    fusion are the engine's own operators end-to-end."""
+    # One pass: BOTH retriever scores are per-(question, doc) column
+    # expressions, so a single broadcast cross join produces them
+    # together; both rank windows share the question_id partitioning
+    # (one exchange, two sorts), and because the two ranks land on the
+    # same row, the full outer join of the two top-50 lists reduces to
+    # conditional terms — the whole fusion runs in 3 shuffles instead
+    # of the naive two-pipeline 7.
+    qdf = questions_df_cached(spark)
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    dv = embed_df(docs, "text", out_col="dv")
+    qq = F.broadcast(
+        embed_df(qdf, "question_text", out_col="qv").select(
+            "question_id", "question_text", "qv"
+        )
+    )
+    qwords = F.split(F.lower(F.col("question_text")), " ")
+    text_lc = F.lower(F.col("text"))
+    matches = F.size(F.filter(qwords, lambda w: text_lc.contains(w)))
+    scored = dv.crossJoin(qq).select(
+        "question_id",
+        "doc_id",
+        F.round(dot(F.col("qv"), F.col("dv")), 6).alias("vscore"),
+        F.round(matches.cast("double") / F.size(qwords), 6).alias("kscore"),
+    )
+    w = Window.partitionBy("question_id")
+    vr = F.row_number().over(w.orderBy(F.desc("vscore"), F.asc("doc_id")))
+    kr = F.row_number().over(w.orderBy(F.desc("kscore"), F.asc("doc_id")))
+    ranked = scored.select("question_id", "doc_id", vr.alias("vr"), kr.alias("kr"))
+    rrf = F.round(
+        F.when(F.col("vr") <= _RRF_DEPTH, 1.0 / (_RRF_K + F.col("vr"))).otherwise(0.0)
+        + F.when(F.col("kr") <= _RRF_DEPTH, 1.0 / (_RRF_K + F.col("kr"))).otherwise(
+            0.0
+        ),
+        6,
+    )
+    fused = ranked.filter(
+        (F.col("vr") <= _RRF_DEPTH) | (F.col("kr") <= _RRF_DEPTH)
+    ).select("question_id", "doc_id", rrf.alias("rrf"))
+    w_f = Window.partitionBy("question_id").orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rn", F.row_number().over(w_f))
+        .filter(F.col("rn") <= TOP_K)
+        .drop("rn")
+    )
+
+
+def questions_df_cached(spark: SparkSession):
+    from .operators.search import questions_df
+
+    return questions_df(spark)
+
+
 @register("q_api_run_vector", oracle=_api_oracle("vector"))
 def q_api_run_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§3.1 flagship lifecycle, vector path, end-to-end through the
