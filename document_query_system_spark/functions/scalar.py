@@ -133,7 +133,9 @@ def q_regex_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT vec_id,
        CAST(len(embedding) AS BIGINT) AS dim,
-       embedding[1:3]                 AS first3,
+       (embedding[1:3])[1]            AS f1,
+       (embedding[1:3])[2]            AS f2,
+       (embedding[1:3])[3]            AS f3,
        embedding[1]                   AS e1,
        list_contains(embedding, 0.0)  AS has_zero
 FROM embeddings
@@ -141,12 +143,17 @@ FROM embeddings
 )
 def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X15: array ops — size/slice/element_at/contains
-    (ref: pinecone_manager.py:76 zip; main.py:103 [:3] slicing)."""
+    (ref: pinecone_manager.py:76 zip; main.py:103 [:3] slicing).
+    The slice result is projected to scalar columns (f1..f3) — the
+    driver's canonicalizer cannot hash top-level array values."""
     e = load(spark, sf_dir, "embeddings")
+    sl = F.slice("embedding", 1, 3)
     return e.select(
         "vec_id",
         F.size("embedding").cast("long").alias("dim"),
-        F.slice("embedding", 1, 3).alias("first3"),
+        F.element_at(sl, 1).alias("f1"),
+        F.element_at(sl, 2).alias("f2"),
+        F.element_at(sl, 3).alias("f3"),
         F.element_at("embedding", 1).alias("e1"),
         F.array_contains("embedding", F.lit(0.0).cast("float")).alias("has_zero"),
     )
@@ -186,7 +193,7 @@ WITH entries AS (
 ),
 kept AS (SELECT doc_id, list_filter(es, e -> e.v IS NOT NULL) AS ks FROM entries)
 SELECT doc_id,
-       list_sort(list_transform(ks, e -> e.k)) AS kept_keys,
+       array_to_string(list_sort(list_transform(ks, e -> e.k)), ',') AS kept_keys,
        CAST(len(ks) AS BIGINT)                 AS n_kept
 FROM kept
 """,
@@ -209,7 +216,7 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fm = F.map_filter(m, lambda _k, v: v.isNotNull())
     return d.select(
         "doc_id",
-        F.array_sort(F.map_keys(fm)).alias("kept_keys"),
+        F.array_join(F.array_sort(F.map_keys(fm)), ",").alias("kept_keys"),
         F.size(fm).cast("long").alias("n_kept"),
     )
 

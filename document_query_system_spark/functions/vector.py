@@ -255,11 +255,18 @@ def embed_subquery_sql(source: str, id_expr: str, text_expr: str) -> str:
 )"""
 
 
+# Driver-facing shape: the vector is exploded to one row per
+# dimension — (doc_id, dim_idx, val) — because the external harness's
+# canonicalizer sorts/hashes pandas values and cannot hash Python
+# lists. Exploding (rather than stringifying) also sidesteps
+# float-to-string formatting divergence between engines; values stay
+# doubles and hash exactly (they are rounded to 6 inside embed_df).
 _EMBED_DOCS_ORACLE = (
-    "SELECT id AS doc_id, embedding FROM "
+    "SELECT e.id AS doc_id, t.i - 1 AS dim_idx, e.embedding[CAST(t.i AS INT)] AS val FROM "
     + embed_subquery_sql(
         "(SELECT doc_id, text FROM documents WHERE doc_id < 100)", "doc_id", "text"
     )
+    + f" e CROSS JOIN generate_series(1, {DIM}) t(i)"
 )
 
 
@@ -275,7 +282,11 @@ def q_embed_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") < 100)
         .select("doc_id", "text")
     )
-    return embed_df(docs, "text").select("doc_id", "embedding")
+    return (
+        embed_df(docs, "text")
+        .select("doc_id", F.posexplode("embedding").alias("dim_idx", "val"))
+        .select("doc_id", F.col("dim_idx").cast("long").alias("dim_idx"), "val")
+    )
 
 
 def _hash_embed_py(text: str) -> list[float]:
@@ -324,7 +335,11 @@ def q_embed_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") < 100)
         .select("doc_id", "text")
     )
-    return embed_pandas(docs).select("doc_id", "embedding")
+    return (
+        embed_pandas(docs)
+        .select("doc_id", F.posexplode("embedding").alias("dim_idx", "val"))
+        .select("doc_id", F.col("dim_idx").cast("long").alias("dim_idx"), "val")
+    )
 
 
 @register(
@@ -337,7 +352,7 @@ WITH q AS (
            AS q8
   FROM embeddings
 )
-SELECT vec_id, q8,
+SELECT vec_id, array_to_string(q8, ',') AS q8_sig,
        round(list_sum(list_transform(q8, v -> abs(CAST(v AS DOUBLE) / 127))), 4)
          AS l1_dequant
 FROM q
@@ -360,7 +375,15 @@ def q_embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     l1 = F.aggregate(
         F.col("q8"), F.lit(0.0), lambda s, vv: s + F.abs(vv.cast("double") / 127)
     )
-    return s1.select("vec_id", "q8", F.round(l1, 4).alias("l1_dequant"))
+    # Integer array → comma-joined string: driver-canonicalizable and
+    # formatting-stable across engines (no float stringification).
+    return s1.select(
+        "vec_id",
+        F.array_join(
+            F.transform(F.col("q8"), lambda x: x.cast("string")), ","
+        ).alias("q8_sig"),
+        F.round(l1, 4).alias("l1_dequant"),
+    )
 
 
 # ---------------------------------------------- optional torch path (U1)

@@ -31,9 +31,17 @@ _B = (1409, 8191, 2753, 9973, 619, 7487, 3301, 6709)
 
 def _shingle_hashes(ths: Column) -> Column:
     """Hashes of 3-token shingles from a token-hash array column:
-    s_j = (h_j*31² + h_{j+1}*31 + h_{j+2}) mod P."""
+    s_j = (h_j*31² + h_{j+1}*31 + h_{j+2}) mod P.
+
+    Short-doc guard: Spark's ``sequence(1, 0)`` is DESCENDING
+    ``[1, 0]`` (DuckDB's ``generate_series(1, 0)`` is empty), so a
+    document with fewer than SHINGLE tokens must branch to an
+    explicit empty array — otherwise ``element_at(ths, 0)`` aborts
+    the whole job with INVALID_ARRAY_INDEX_IN_ELEMENT_AT."""
     n = F.size(ths)
-    idx = F.sequence(F.lit(1), F.greatest(n - (SHINGLE - 1), F.lit(0)))
+    idx = F.when(
+        n >= SHINGLE, F.sequence(F.lit(1), n - (SHINGLE - 1))
+    ).otherwise(F.array().cast("array<int>"))
     return F.transform(
         idx,
         lambda j: (
@@ -93,12 +101,25 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_dedup_minhash_sig",
-    oracle=_SIG_SQL + "SELECT doc_id, minhash FROM sig",
+    oracle=_SIG_SQL
+    + "SELECT doc_id, array_to_string(minhash, ',') AS minhash_sig FROM sig",
 )
 def q_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures — stage 1 of shingle→minhash→band→bucket-join
-    dedup; the full signature table is oracle-verified."""
-    return minhash_signatures(spark, sf_dir)
+    dedup; the full signature table is oracle-verified.
+
+    Driver-facing shape: the signature is serialized to a
+    comma-joined string (scalar column) because the external
+    harness's canonicalizer sorts/hashes pandas values and cannot
+    hash Python lists; ``minhash_signatures()`` keeps the
+    array<bigint> form for internal pipeline stages."""
+    sig = minhash_signatures(spark, sf_dir)
+    return sig.select(
+        "doc_id",
+        F.array_join(
+            F.transform(F.col("minhash"), lambda x: x.cast("string")), ","
+        ).alias("minhash_sig"),
+    )
 
 
 _BANDS_SQL = (
@@ -360,6 +381,12 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle keeps the direct pairwise formulation — two independent
     algorithms agreeing on the result is the point of the check.
     """
+    return _ngram_jaccard(spark, sf_dir, df_cap=None)
+
+
+def _ngram_jaccard(
+    spark: SparkSession, sf_dir: str, df_cap: int | None
+) -> DataFrame:
     docs = spread(load(spark, sf_dir, "documents").select("doc_id", "lang", "text"))
     s1 = docs.select("doc_id", "lang", token_hashes(F.col("text")).alias("ths"))
     sh = s1.select(
@@ -398,6 +425,15 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     posting = ex.groupBy("lang", "size_bucket", "shingle").agg(
         F.collect_list(F.struct("doc_id", "sz")).alias("ds")
     )
+    if df_cap is not None:
+        # Document-frequency cap — THE posting-list scale knob: a
+        # shingle appearing in df docs emits O(df²) candidate pairs,
+        # so one boilerplate shingle shared by 10⁵ docs would emit
+        # 10¹⁰ pairs from a single posting list. Hot shingles carry
+        # no discrimination signal (everyone has them); dropping the
+        # whole list bounds per-shingle work at df_cap² while leaving
+        # real near-dup pairs connected through their rarer shingles.
+        posting = posting.filter(F.size("ds") <= df_cap)
     # Ordered pairs from each posting list (max list length = per-
     # shingle document frequency, the quantity a DF cap would bound).
     pair = F.explode(
@@ -436,6 +472,59 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         inter.select("doc_a", "doc_b", jaccard.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_MIN)
     )
+
+
+NGRAM_DF_CAP = 4  # max per-(block, shingle) document frequency kept
+
+
+@register(
+    "q_dedup_ngram_jaccard_capped",
+    oracle=f"""
+WITH th AS (SELECT doc_id, lang, {token_hashes_sql('text')} AS ths FROM documents),
+sh AS (
+  SELECT doc_id, lang,
+         len(ths) AS n_tok,
+         list_distinct({_shingle_hashes_sql('ths')}) AS sset
+  FROM th
+),
+b AS (SELECT doc_id, lang, n_tok // 16 AS size_bucket, len(sset) AS sz, sset
+      FROM sh WHERE len(sset) > 0),
+ex AS (SELECT doc_id, lang, size_bucket, sz, unnest(sset) AS shingle FROM b),
+df AS (SELECT lang, size_bucket, shingle, count(*) AS df FROM ex GROUP BY ALL),
+kept AS (
+  SELECT e.doc_id, e.lang, e.size_bucket, e.sz, e.shingle
+  FROM ex e JOIN df ON e.lang = df.lang AND e.size_bucket = df.size_bucket
+                   AND e.shingle = df.shingle
+  WHERE df.df <= {NGRAM_DF_CAP}
+),
+cs AS (SELECT doc_id, lang, size_bucket, any_value(sz) AS sz,
+              list(shingle) AS cset
+       FROM kept GROUP BY doc_id, lang, size_bucket),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+         round(CAST(len(list_intersect(a.cset, b2.cset)) AS DOUBLE)
+               / (a.sz + b2.sz - len(list_intersect(a.cset, b2.cset))),
+               6) AS jaccard
+  FROM cs a JOIN cs b2
+    ON a.lang = b2.lang AND a.size_bucket = b2.size_bucket AND a.doc_id < b2.doc_id
+)
+SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= {JACCARD_MIN}
+""",
+)
+def q_dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_dedup_ngram_jaccard with the shingle document-frequency cap
+    applied (df ≤ {NGRAM_DF_CAP} within each (lang, size) block) — the
+    100 TB discipline the uncapped variant deliberately omits to keep
+    its oracle exact. A shingle in df documents contributes O(df²)
+    pairs; capping bounds every posting list's pair fan-out at cap²
+    regardless of corpus size, at the cost of a downward-biased
+    intersection for pairs that shared dropped hot shingles (full set
+    sizes stay in the denominator).
+
+    The oracle recomputes the same semantics with the independent
+    pairwise formulation: remove hot shingles from each document's
+    set, then list_intersect per pair."""
+    return _ngram_jaccard(spark, sf_dir, df_cap=NGRAM_DF_CAP)
 
 
 @register(

@@ -162,12 +162,43 @@ def _read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The driver data is a single file, not a directory; the file-stream
     # source requires a directory basePath, so address it via a glob
     # (basePath resolves to sf_dir, the glob selects the one file).
+    # maxFilesPerTrigger bounds per-batch work on a real multi-file
+    # landing dir; 64 (not 1) keeps micro-batch count — and with it
+    # per-batch state-checkpoint overhead — low when the source has
+    # more than a handful of files.
     raw = (
         spark.readStream.schema(_EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", "1")
+        .option("maxFilesPerTrigger", "64")
         .parquet(f"{sf_dir}/events.parqu*")
     )
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+#: Stateful-operator partition count for the local streaming jobs.
+#: A streaming query's state-store instance count is frozen to
+#: spark.sql.shuffle.partitions at its FIRST micro-batch, and every
+#: instance pays per-batch checkpoint file I/O whether or not it holds
+#: state — at local bench scale 32 instances are pure overhead (the
+#: state here is a few thousand keys). On a real cluster this knob is
+#: sized to executor count × cores once, before the query first runs.
+_STREAM_SHUFFLE_PARTITIONS = "4"
+
+
+class _scoped_shuffle_partitions:
+    """Set spark.sql.shuffle.partitions for the duration of starting a
+    streaming query, restoring the previous value after (the streaming
+    query keeps the value it saw at start; later batch plans in the
+    session are unaffected)."""
+
+    def __init__(self, spark: SparkSession, n: str):
+        self._spark, self._n = spark, n
+
+    def __enter__(self):
+        self._prev = self._spark.conf.get("spark.sql.shuffle.partitions")
+        self._spark.conf.set("spark.sql.shuffle.partitions", self._n)
+
+    def __exit__(self, *exc):
+        self._spark.conf.set("spark.sql.shuffle.partitions", self._prev)
 
 
 def _run_to_memory(
@@ -176,14 +207,15 @@ def _run_to_memory(
     """Drive a streaming plan to completion with availableNow and
     return the sink contents as a batch DataFrame."""
     sink = "s" + uuid.uuid4().hex[:12]
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
+    with _scoped_shuffle_partitions(spark, _STREAM_SHUFFLE_PARTITIONS):
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
     return spark.table(sink)
 
 
@@ -291,13 +323,14 @@ def q_stream_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         upsert_parquet(spark, keyed, path, key="key", order_col="ts")
 
-    q = (
-        ev.writeStream.foreachBatch(merge)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", f"{path}_ckpt")
-        .start()
-    )
-    q.awaitTermination(120)
+    with _scoped_shuffle_partitions(spark, _STREAM_SHUFFLE_PARTITIONS):
+        q = (
+            ev.writeStream.foreachBatch(merge)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{path}_ckpt")
+            .start()
+        )
+        q.awaitTermination(120)
     return spark.read.parquet(path).select(
         "user_id", "event_type", "event_id", "value"
     )

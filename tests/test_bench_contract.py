@@ -36,11 +36,22 @@ def test_bench_emits_one_json_line():
     assert out.returncode == 0, out.stderr[-2000:]
     json_lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
     assert len(json_lines) == 1, out.stdout
+    # The summary line must stay SHORT — the driver captures a bounded
+    # stdout tail and round 1's full 120-entry line overflowed it.
+    assert len(json_lines[0]) < 2000, len(json_lines[0])
     d = json.loads(json_lines[0])
     assert {"metric", "value", "unit", "queries", "sf"} <= set(d)
     assert d["unit"] == "sec" and d["sf"] == 0.001
-    assert set(d["queries"]) == {
+    assert d["n_failed"] == 0
+    assert set(d["queries"]) <= {
         "q_scan_lineitem", "q_join_hash", "q_topk_per_question", "q_embed_pandas"
     }
     assert all(v >= 0 for v in d["queries"].values()), d["queries"]
+    # Sidecar carries the complete per-query map.
+    with open(d["full_timings_file"]) as f:
+        full = json.load(f)
+    assert set(full["queries"]) == {
+        "q_scan_lineitem", "q_join_hash", "q_topk_per_question", "q_embed_pandas"
+    }
+    assert all(v >= 0 for v in full["queries"].values()), full["queries"]
     assert "BENCH-ERROR" not in out.stderr

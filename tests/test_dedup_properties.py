@@ -80,3 +80,91 @@ def test_clusters_group_copies_with_min_canonical(spark, dup_dir):
 def test_signature_width_is_constant(spark, dup_dir):
     for r in minhash_signatures(spark, dup_dir).collect():
         assert len(r.minhash) == N_PERM
+
+
+@pytest.fixture(scope="module")
+def short_dir(spark, tmp_path_factory):
+    """Corpus containing sub-shingle-width documents: empty, one- and
+    two-token texts. Spark's sequence(1, 0) is DESCENDING [1, 0]
+    (unlike DuckDB's empty generate_series), so without the explicit
+    short-doc branch in _shingle_hashes these rows abort the job with
+    INVALID_ARRAY_INDEX_IN_ELEMENT_AT."""
+    sf_dir = str(tmp_path_factory.mktemp("dedup_short"))
+    rows = [
+        (0, "", "en", "web", 0),
+        (1, "one", "en", "web", 3),
+        (2, "two tokens", "en", "web", 10),
+        (3, BASE, "en", "web", len(BASE)),
+        (4, BASE, "en", "web", len(BASE)),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+    return sf_dir
+
+
+def test_short_docs_get_empty_shingles_not_crash(spark, short_dir):
+    from document_query_system_spark.operators.dedup import P
+
+    sigs = {r.doc_id: tuple(r.minhash) for r in
+            minhash_signatures(spark, short_dir).collect()}
+    assert len(sigs) == 5
+    # empty shingle set → sentinel signature [P] * N_PERM
+    assert sigs[0] == sigs[1] == sigs[2] == (P,) * N_PERM
+    assert sigs[3] == sigs[4] != sigs[0]
+
+
+def test_short_docs_never_pair(spark, short_dir):
+    pairs = {(r.doc_a, r.doc_b) for r in
+             q_dedup_minhash_pairs(spark, short_dir).collect()}
+    # The two real duplicates pair; sentinel signatures do collide in
+    # bands (all-P), so short docs may pair with each other but never
+    # with a real document.
+    assert (3, 4) in pairs
+    assert not any((a in {0, 1, 2}) != (b in {0, 1, 2}) for a, b in pairs)
+
+
+@pytest.fixture(scope="module")
+def boiler_dir(spark, tmp_path_factory):
+    """Corpus where every document shares a boilerplate prefix (a hot
+    shingle family with df = |corpus|) but only two docs are real
+    near-dups. Uncapped, the boilerplate connects every doc pair;
+    capped, only the true near-dups survive."""
+    sf_dir = str(tmp_path_factory.mktemp("dedup_boiler"))
+    bp = "copyright notice all rights reserved "
+    bodies = [
+        "alpha beta gamma delta epsilon zeta",
+        "eta theta iota kappa lambda mu",
+        "nu xi omicron pi rho sigma",
+        "tau upsilon phi chi psi omega",
+        "alpha beta gamma delta epsilon zeta",  # dup of doc 0
+    ]
+    rows = [
+        (i, bp + b, "en", "web", len(bp + b)) for i, b in enumerate(bodies)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+    return sf_dir
+
+
+def test_df_cap_drops_boilerplate_pairs(spark, boiler_dir):
+    from document_query_system_spark.operators.dedup import _ngram_jaccard
+
+    uncapped = {(r.doc_a, r.doc_b) for r in
+                _ngram_jaccard(spark, boiler_dir, None).collect()}
+    capped = {(r.doc_a, r.doc_b) for r in
+              _ngram_jaccard(spark, boiler_dir, 4).collect()}
+    # boilerplate connects unrelated docs without the cap
+    assert len(uncapped) > 1 and (0, 4) in uncapped
+    # with the cap (df<=4 < corpus of 5) the boilerplate shingles drop;
+    # the true duplicate pair survives through its rare body shingles
+    assert (0, 4) in capped
+    assert all({a, b} == {0, 4} for a, b in capped)
+
+
+def test_short_docs_ngram_jaccard_no_crash(spark, short_dir):
+    jac = {(r.doc_a, r.doc_b): r.jaccard for r in
+           q_dedup_ngram_jaccard(spark, short_dir).collect()}
+    assert jac.get((3, 4)) == 1.0
+    assert all({a, b} == {3, 4} for a, b in jac)

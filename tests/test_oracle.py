@@ -53,6 +53,23 @@ def test_query_vs_oracle(name, spark, duck):
     s_rows = [tuple(r) for r in df.collect()]
     s_cols = df.columns
 
+    if spec.oracle is not None:
+        # Driver-canonicalizer contract: the external harness sorts and
+        # hashes result values with pandas, which cannot hash lists /
+        # dicts — every oracle-checked query must emit scalar-only
+        # top-level columns (stringify or explode arrays instead).
+        from pyspark.sql import types as T
+
+        bad = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+        ]
+        assert not bad, (
+            f"{name}: non-scalar top-level columns {bad} break the "
+            "driver's pandas canonicalizer"
+        )
+
     if spec.oracle is None:
         assert len(s_rows) >= 0  # rows-only smoke, mirrors driver's weak check
         return
