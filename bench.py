@@ -73,7 +73,7 @@ def main() -> None:
         from document_query_system_spark.functions.vector import embed_df
         from document_query_system_spark.sources.tables import load, spread
 
-        import tempfile
+        from document_query_system_spark.sources.tmputil import tmp_path
 
         docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
         n_docs = docs.count()
@@ -82,7 +82,7 @@ def main() -> None:
         # reference's index build, minus its throttling sleeps).
         embed_df(docs, "text").select("doc_id", "embedding").write.mode(
             "overwrite"
-        ).parquet(f"{tempfile.gettempdir()}/dqs_bench_embeddings.parquet")
+        ).parquet(tmp_path("bench_embeddings.parquet"))
         b1 = time.perf_counter() - t0
         baseline["b1_index_docs_per_sec"] = round(n_docs / b1, 1)
         baseline["b2_vector_sec_per_query"] = round(

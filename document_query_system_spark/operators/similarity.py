@@ -27,28 +27,29 @@ from ..registry import register
 from ..sources.tables import load
 from ..functions.vector import DIM, dot, l2_norm
 
-N_PLANES = 4
+N_PLANES = 4  # sign bits per hash table
+N_TABLES = 3  # OR-amplification: candidate if buckets match in ANY table
 _TOP_K = 5
 
 
-def _planes() -> list[list[float]]:
+def _planes() -> list[list[list[float]]]:
     rng = random.Random(42)
     return [
-        [round(rng.gauss(0.0, 1.0), 6) for _ in range(DIM)] for _ in range(N_PLANES)
+        [
+            [round(rng.gauss(0.0, 1.0), 6) for _ in range(DIM)]
+            for _ in range(N_PLANES)
+        ]
+        for _ in range(N_TABLES)
     ]
 
 
-PLANES = _planes()
+PLANES = _planes()  # [table][plane][dim]
 
 
-def _planes_sql() -> list[str]:
-    return ["[" + ", ".join(repr(x) for x in p) + "]" for p in PLANES]
-
-
-def _bucket_expr(v: Column) -> Column:
-    """LSH bucket id: sign bit of <v, plane_i> for each hyperplane."""
+def _bucket_expr(v: Column, table: int) -> Column:
+    """LSH bucket id for one hash table: sign bit of <v, plane_i>."""
     b = F.lit(0)
-    for i, plane in enumerate(PLANES):
+    for i, plane in enumerate(PLANES[table]):
         p = F.array(*[F.lit(x) for x in plane])
         b = b + F.when(dot(v, p) > 0, F.lit(2 ** (N_PLANES - 1 - i))).otherwise(
             F.lit(0)
@@ -56,76 +57,102 @@ def _bucket_expr(v: Column) -> Column:
     return b
 
 
-def _bucket_sql(v_expr: str) -> str:
-    terms = [
-        f"(CASE WHEN list_dot_product({v_expr}, {p}) > 0 "
-        f"THEN {2 ** (N_PLANES - 1 - i)} ELSE 0 END)"
-        for i, p in enumerate(_planes_sql())
-    ]
+def _bucket_sql(v_expr: str, table: int) -> str:
+    terms = []
+    for i, plane in enumerate(PLANES[table]):
+        p = "[" + ", ".join(repr(x) for x in plane) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({v_expr}, {p}) > 0 "
+            f"THEN {2 ** (N_PLANES - 1 - i)} ELSE 0 END)"
+        )
     return " + ".join(terms)
+
+
+def _bucket_list_sql(v_expr: str) -> str:
+    return (
+        "[" + ", ".join(_bucket_sql(v_expr, t) for t in range(N_TABLES)) + "]"
+    )
 
 
 _ANN_LSH_SQL = f"""
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ),
+bl AS (SELECT vec_id, v, {_bucket_list_sql('v')} AS bl FROM e),
 bucketed AS (
-  SELECT vec_id, v, {_bucket_sql('v')} AS bucket FROM e
+  SELECT vec_id, v, t.i AS tbl, bl[CAST(t.i AS INT) + 1] AS bucket
+  FROM bl CROSS JOIN generate_series(0, {N_TABLES - 1}) t(i)
 ),
-q AS (SELECT vec_id, v, bucket FROM bucketed WHERE vec_id < 5),
-scored AS (
-  SELECT q.vec_id AS query_id, c.vec_id AS match_id, q.bucket AS bucket,
+q AS (SELECT vec_id, v, tbl, bucket FROM bucketed WHERE vec_id < 5),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS match_id,
          round(list_dot_product(q.v, c.v)
                / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))),
                6) AS cos_sim
-  FROM q JOIN bucketed c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+  FROM q JOIN bucketed c
+    ON q.tbl = c.tbl AND q.bucket = c.bucket AND q.vec_id <> c.vec_id
 )
-SELECT query_id, match_id, bucket, cos_sim
+SELECT query_id, match_id, cos_sim
 FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY cos_sim DESC, match_id) AS rn
-      FROM scored)
+      FROM cand)
 WHERE rn <= {_TOP_K}
 """
 
 
 @register("q_ann_lsh", oracle=_ANN_LSH_SQL)
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH top-k: bucket every vector by 4 sign
-    bits, then search only within the query's bucket — the candidate
-    join key is the bucket id, so the all-pairs scan never happens."""
+    """Random-hyperplane LSH top-k with OR-amplification: 3 hash
+    tables of 4 sign bits each; a vector is a candidate if it shares
+    the query's bucket in ANY table (union of 3 bucket-key equi-joins,
+    expressed as one join on the exploded (table, bucket) key). The
+    multi-table union is the standard recall repair for sign-LSH —
+    one 4-bit table alone prunes ~16× but misses neighbors that flip
+    a single sign bit; three independent tables recover most of them
+    while keeping candidate generation an equi-join (never an
+    all-pairs scan). Candidate volume scales with N_TABLES, the knob
+    traded against recall at 100 TB."""
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    bucketed = e.select("vec_id", "v", _bucket_expr(F.col("v")).alias("bucket"))
+    buckets = F.array(
+        *[_bucket_expr(F.col("v"), t) for t in range(N_TABLES)]
+    )
+    bucketed = e.select(
+        "vec_id", "v", F.posexplode(buckets).alias("tbl", "bucket")
+    )
     q = bucketed.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
+        F.col("tbl").alias("qtbl"),
         F.col("bucket").alias("qbucket"),
     )
     c = bucketed.select(
         F.col("vec_id").alias("match_id"),
         F.col("v").alias("cv"),
+        F.col("tbl").alias("ctbl"),
         F.col("bucket").alias("cbucket"),
     )
     cos = dot(F.col("qv"), F.col("cv")) / (
         l2_norm(F.col("qv")) * l2_norm(F.col("cv"))
     )
-    scored = (
+    cand = (
         c.join(
             F.broadcast(q),
-            (F.col("qbucket") == F.col("cbucket"))
+            (F.col("qtbl") == F.col("ctbl"))
+            & (F.col("qbucket") == F.col("cbucket"))
             & (F.col("query_id") != F.col("match_id")),
         )
         .select(
             "query_id",
             "match_id",
-            F.col("qbucket").alias("bucket"),
             F.round(cos, 6).alias("cos_sim"),
         )
+        .distinct()  # a pair colliding in several tables scores once
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("match_id"))
     return (
-        scored.withColumn("rn", F.row_number().over(w))
+        cand.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _TOP_K)
         .drop("rn")
     )
@@ -166,6 +193,8 @@ def q_ann_mllib_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_N_PROBE = 2  # IVF partitions probed per query
+
 _IVF_SQL = f"""
 WITH e AS (
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -192,7 +221,7 @@ probe AS (
                                    * sqrt(list_dot_product(cent.cv, cent.cv))), 6) DESC,
                               cent.label) AS rn
     FROM q CROSS JOIN cent)
-  WHERE rn = 1
+  WHERE rn <= {_N_PROBE}
 ),
 scored AS (
   SELECT q.vec_id AS query_id, probe.label AS probed_label, c.vec_id AS match_id,
@@ -214,11 +243,11 @@ WHERE rn <= {_TOP_K}
 @register("q_ann_ivf", oracle=_IVF_SQL)
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: per-label centroid (coarse quantizer), query
-    probes its nearest centroid's partition only (nprobe=1). At scale
-    the vector table is partitioned by list id, so a probe reads one
-    partition instead of the full table. Centroid components are
-    rounded to 6 before distance ranking so the probe choice is
-    engine-stable."""
+    probes its nprobe=2 nearest centroids' partitions. At scale the
+    vector table is partitioned by list id, so a probe reads nprobe
+    partitions instead of the full table — nprobe is the standard
+    recall/scan-cost knob. Centroid components are rounded to 6
+    before distance ranking so the probe choice is engine-stable."""
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -247,7 +276,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.crossJoin(F.broadcast(cent))
         .withColumn("cent_cos", cent_cos)
         .withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") == 1)
+        .filter(F.col("rn") <= _N_PROBE)
         .select("query_id", "qv", F.col("label").alias("probed_label"))
     )
     c = e.select(
@@ -277,3 +306,82 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _TOP_K)
         .drop("rn")
     )
+
+
+def _ann_recall_sql() -> str:
+    from ..functions.vector import _VECTOR_TOPK_SQL
+
+    return f"""
+WITH exact AS (SELECT query_id, match_id FROM ({_VECTOR_TOPK_SQL})),
+lsh AS (SELECT query_id, match_id FROM ({_ANN_LSH_SQL})),
+ivf AS (SELECT query_id, match_id FROM ({_IVF_SQL})),
+qs AS (SELECT DISTINCT query_id FROM exact),
+lsh_hits AS (
+  SELECT e.query_id, count(*) AS n FROM exact e
+  JOIN lsh ON e.query_id = lsh.query_id AND e.match_id = lsh.match_id
+  GROUP BY e.query_id
+),
+ivf_hits AS (
+  SELECT e.query_id, count(*) AS n FROM exact e
+  JOIN ivf ON e.query_id = ivf.query_id AND e.match_id = ivf.match_id
+  GROUP BY e.query_id
+)
+SELECT query_id, 'lsh' AS tier,
+       round(coalesce(n, 0) / {_TOP_K}.0, 6) AS recall_at_5
+FROM qs LEFT JOIN lsh_hits USING (query_id)
+UNION ALL
+SELECT query_id, 'ivf' AS tier,
+       round(coalesce(n, 0) / {_TOP_K}.0, 6) AS recall_at_5
+FROM qs LEFT JOIN ivf_hits USING (query_id)
+"""
+
+
+@register("q_ann_recall", oracle=_ann_recall_sql())
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 report for the approximate tiers: fraction of the
+    EXACT top-5 (q_vector_topk) that each ANN tier (q_ann_lsh,
+    q_ann_ivf) recovers, per query id. This is the quality number an
+    approximate index must ship with — the recall/scan-cost trade is
+    the whole point of the tier ladder (SURVEY §4.1), and because
+    every tier here is deterministic the figure itself is
+    oracle-verified, not sampled.
+
+    Shape: each tier's top-k output is |queries| × k rows — a few
+    dozen — so the three pipelines are materialized once via
+    localCheckpoint (the exact list would otherwise be recomputed
+    per tier it scores) and the report itself is broadcast joins over
+    tiny inputs. This mirrors a real evaluation harness: search
+    stages run once, the scorer consumes their (small) outputs."""
+    from ..functions.vector import q_vector_topk
+
+    exact = (
+        q_vector_topk(spark, sf_dir)
+        .select("query_id", "match_id")
+        .localCheckpoint(eager=True)
+    )
+    qs = exact.select("query_id").distinct()
+
+    def tier_recall(ann: DataFrame, tier: str) -> DataFrame:
+        hits = (
+            exact.join(
+                F.broadcast(
+                    ann.select("query_id", "match_id").localCheckpoint(
+                        eager=True
+                    )
+                ),
+                ["query_id", "match_id"],
+            )
+            .groupBy("query_id")
+            .agg(F.count("*").alias("n"))
+        )
+        return qs.join(F.broadcast(hits), "query_id", "left").select(
+            "query_id",
+            F.lit(tier).alias("tier"),
+            F.round(
+                F.coalesce(F.col("n"), F.lit(0)) / float(_TOP_K), 6
+            ).alias("recall_at_5"),
+        )
+
+    lsh = tier_recall(q_ann_lsh(spark, sf_dir), "lsh")
+    ivf = tier_recall(q_ann_ivf(spark, sf_dir), "ivf")
+    return lsh.unionAll(ivf)

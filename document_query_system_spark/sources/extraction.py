@@ -125,7 +125,7 @@ def q_extract_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BINARY_DIR_READY: set[tuple[int, str]] = set()
+_BINARY_DIR_READY: set[tuple] = set()
 
 
 def _ensure_landing_dir(spark: SparkSession, sf_dir: str) -> str:
@@ -133,11 +133,11 @@ def _ensure_landing_dir(spark: SparkSession, sf_dir: str) -> str:
     doc for the first 50 docs) so the binaryFile source has something
     to scan — the on-disk twin of the reference's document_cache
     (ref: ingestion_service.py:322-329)."""
-    import tempfile
+    from .tmputil import session_key, tmp_path
 
     tag = os.path.basename(sf_dir.rstrip("/"))
-    path = os.path.join(tempfile.gettempdir(), "dqs_landing", tag)
-    key = (id(spark), sf_dir)
+    path = tmp_path("landing", tag)
+    key = session_key(spark, sf_dir)
     if key not in _BINARY_DIR_READY:
         os.makedirs(path, exist_ok=True)
         rows = (
@@ -188,8 +188,228 @@ def q_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _extract_pdf_real(payload: bytes) -> str:  # pragma: no cover - stub
     """Swap-in point for PyMuPDF → pdfplumber → OCR cascade (ref:
-    document_processing_service.py:102-271). Not installed here."""
+    document_processing_service.py:102-271). Not installed here; the
+    stdlib mini-parser below (_parse_pdf_minimal) handles real
+    FlateDecode/Tj PDFs without external codecs."""
     raise NotImplementedError("install pymupdf/pdfplumber and route here")
+
+
+# ---------------------------------------------------------- real containers
+#
+# The synthetic landing containers above are oracle-exact stand-ins.
+# The functions below build and parse REAL file formats with stdlib
+# only — an actual PDF 1.4 (objects, xref, FlateDecode content
+# stream, Tj text operators; public file-format spec) and an actual
+# DOCX (ZIP archive + WordprocessingML document part) — so the
+# extract stage exercises genuine container decoding end-to-end:
+# compress → assemble → bytes → parse → text, value-verified against
+# the source column. PyMuPDF/python-docx remain the swap-in for the
+# full spec surface (encrypted files, fonts, embedded objects).
+
+_W_NS = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+
+
+def _build_pdf_minimal(text: str) -> bytes:
+    """A real single-page PDF 1.4: catalog/pages/page objects, a
+    FlateDecode-compressed content stream drawing the text in ≤80-char
+    Tj spans, and a correct xref table. Spans concatenate exactly, so
+    extraction is an exact round-trip."""
+    import zlib
+
+    def esc(s: str) -> str:
+        return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+    spans = [text[i : i + 80] for i in range(0, len(text), 80)] or [""]
+    ops = ["BT /F1 12 Tf 72 720 Td"]
+    ops += [f"({esc(s)}) Tj" for s in spans]
+    ops.append("ET")
+    content = zlib.compress(" ".join(ops).encode("utf-8"))
+
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
+        b"<< /Length %d /Filter /FlateDecode >>\nstream\n%s\nendstream"
+        % (len(content), content),
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n%s\nendobj\n" % (i, body)
+    xref_at = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+    for off in offsets:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF"
+        % (len(objs) + 1, xref_at)
+    )
+    return bytes(out)
+
+
+def _parse_pdf_minimal(payload: bytes) -> str:
+    """Extract text from a real PDF: locate stream objects, inflate
+    FlateDecode streams (stdlib zlib), and concatenate the arguments
+    of Tj text-show operators (with escape handling). Covers the
+    uncompressed-and-Flate subset of the spec — the swap-in point for
+    a full codec is _extract_pdf_real."""
+    import re
+    import zlib
+
+    texts: list[str] = []
+    for m in re.finditer(
+        rb"<<(.*?)>>\s*stream\r?\n(.*?)\r?\nendstream", payload, re.DOTALL
+    ):
+        head, data = m.group(1), m.group(2)
+        if b"FlateDecode" in head:
+            try:
+                data = zlib.decompress(data)
+            except zlib.error:
+                continue
+        for t in re.finditer(rb"\((?:[^()\\]|\\.)*\)\s*Tj", data):
+            lit = t.group(0)
+            lit = lit[1 : lit.rindex(b")")]
+            s = re.sub(rb"\\([\\()])", rb"\1", lit)
+            texts.append(s.decode("utf-8", errors="replace"))
+    return "".join(texts)
+
+
+def _build_docx_minimal(text: str) -> bytes:
+    """A real DOCX: ZIP archive with [Content_Types].xml, _rels, and a
+    WordprocessingML word/document.xml whose runs carry the text in
+    exact-concatenation spans."""
+    import io
+    import zipfile
+    from xml.sax.saxutils import escape
+
+    spans = [text[i : i + 80] for i in range(0, len(text), 80)] or [""]
+    runs = "".join(
+        f'<w:r><w:t xml:space="preserve">{escape(s)}</w:t></w:r>' for s in spans
+    )
+    doc = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<w:document xmlns:w="{_W_NS}"><w:body><w:p>{runs}</w:p></w:body>'
+        "</w:document>"
+    )
+    ctypes = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+        '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/word/document.xml" ContentType='
+        '"application/vnd.openxmlformats-officedocument.wordprocessingml.document.main+xml"/>'
+        "</Types>"
+    )
+    rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/'
+        'officeDocument/2006/relationships/officeDocument" Target="word/document.xml"/>'
+        "</Relationships>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("[Content_Types].xml", ctypes)
+        z.writestr("_rels/.rels", rels)
+        z.writestr("word/document.xml", doc)
+    return buf.getvalue()
+
+
+def _parse_docx_minimal(payload: bytes) -> tuple[str, int]:
+    """(text, n_paragraphs) from a real DOCX via stdlib zipfile +
+    ElementTree — the same document-part walk python-docx performs
+    (ref: document_processing_service.py:369-457 reads paragraphs and
+    styles; styles/tables are the python-docx swap-in surface)."""
+    import io
+    import zipfile
+    from xml.etree import ElementTree
+
+    with zipfile.ZipFile(io.BytesIO(payload)) as z:
+        root = ElementTree.fromstring(z.read("word/document.xml"))
+    paras = root.findall(f".//{{{_W_NS}}}p")
+    parts = [
+        "".join(t.text or "" for t in p.findall(f".//{{{_W_NS}}}t"))
+        for p in paras
+    ]
+    return "\n".join(parts), len(paras)
+
+
+def real_container_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, file_name, payload) where payload is a REAL container:
+    even doc_ids become actual PDFs, odd become actual DOCX archives.
+    Built in mapInPandas (compression needs Python); deterministic
+    given the source text."""
+    import pandas as pd
+
+    docs = spread(
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+    )
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = {"doc_id": [], "file_name": [], "payload": []}
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                if did % 2 == 0:
+                    fn, pl = f"doc_{did}.pdf", _build_pdf_minimal(text)
+                else:
+                    fn, pl = f"doc_{did}.docx", _build_docx_minimal(text)
+                out["doc_id"].append(did)
+                out["file_name"].append(fn)
+                out["payload"].append(pl)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(gen, "doc_id long, file_name string, payload binary")
+
+
+@register(
+    "q_extract_real_containers",
+    oracle="""
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'pdf' ELSE 'docx' END AS doc_type,
+       text AS body_text,
+       CAST(length(text) AS BIGINT) AS body_chars
+FROM documents WHERE doc_id < 200
+""",
+)
+def q_extract_real_containers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/S3 on REAL file formats, end-to-end in one plan: source text
+    → genuine PDF (FlateDecode content stream) / genuine DOCX (ZIP +
+    WordprocessingML) bytes → magic-byte sniff (%PDF / PK\\x03\\x04) →
+    stdlib parser → text, verified to round-trip exactly. The oracle
+    recomputes expected values from the source column — the binary
+    build/sniff/parse legs live entirely in the Spark path, so an
+    error anywhere in them shows up as a text or doc_type mismatch."""
+    import pandas as pd
+
+    rc = real_container_table(spark, sf_dir)
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = {"doc_id": [], "doc_type": [], "body_text": [],
+                   "body_chars": []}
+            for did, fn, pl in zip(pdf["doc_id"], pdf["file_name"], pdf["payload"]):
+                pl = bytes(pl)
+                if pl[:4] == b"%PDF":
+                    kind, body = "pdf", _parse_pdf_minimal(pl)
+                elif pl[:4] == b"PK\x03\x04":
+                    kind, body = "docx", _parse_docx_minimal(pl)[0]
+                else:
+                    kind, body = "unknown", ""
+                out["doc_id"].append(did)
+                out["doc_type"].append(kind)
+                out["body_text"].append(body)
+                out["body_chars"].append(len(body))
+            yield pd.DataFrame(out)
+
+    return rc.mapInPandas(
+        gen,
+        "doc_id long, doc_type string, body_text string, body_chars long",
+    )
 
 
 def _extract_one(file_name: str, payload: bytes) -> tuple[str, str, str]:
@@ -249,6 +469,137 @@ def q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         gen,
         "doc_id long, doc_type string, subject string, body_text string, "
         "body_chars long",
+    )
+
+
+_TBL_OPEN, _TBL_CLOSE = "[TABLE]", "[/TABLE]"
+
+
+def landing_table_with_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landing variant whose documents embed a delimited table section
+    (ref: document_processing_service.py:207-228 PDF table regions,
+    :413-447 DOCX w:tbl) — body text followed by
+    ``[TABLE]\\nheader|…\\nrow|…\\n[/TABLE]`` built from the document's
+    own metadata, so extraction output is value-derivable."""
+    docs = spread(
+        load(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang", "source", "n_chars"
+        )
+    )
+    did = F.col("doc_id").cast("string")
+    table = F.concat(
+        F.lit(f"\n{_TBL_OPEN}\nfield|value\nlang|"),
+        F.col("lang"),
+        F.lit("\nsource|"),
+        F.col("source"),
+        F.lit("\nn_chars|"),
+        F.col("n_chars").cast("string"),
+        F.lit(f"\n{_TBL_CLOSE}"),
+    )
+    body = F.concat(F.col("text"), table)
+    kind = F.col("doc_id") % 3
+    pdf = F.concat(F.lit("%PDF-1.4\n"), body, F.lit("\n%%EOF"))
+    docx = F.concat(F.lit("PK\x03\x04word/"), body)
+    eml = F.concat(
+        F.lit("From: sender-"), did,
+        F.lit("@example.com\r\nTo: dest@example.com\r\nSubject: doc "),
+        did, F.lit("\r\n\r\n"), body,
+    )
+    name = F.concat(
+        F.lit("doc_"), did,
+        F.when(kind == 0, F.lit(".pdf")).when(kind == 1, F.lit(".docx")).otherwise(F.lit(".eml")),
+    )
+    payload = F.when(kind == 0, pdf).when(kind == 1, docx).otherwise(eml)
+    return docs.select(
+        "doc_id",
+        name.alias("file_name"),
+        F.encode(payload, "UTF-8").cast("binary").alias("payload"),
+    )
+
+
+def _parse_tables(body: str) -> tuple[str, list[tuple[list[str], list[list[str]]]]]:
+    """Split a body into (prose, tables) where each table is
+    (headers, rows) — the nested-array form of the reference's
+    extract_tables (ref: document_processing_service.py:207-228)."""
+    tables = []
+    prose_parts = []
+    rest = body
+    while _TBL_OPEN in rest:
+        before, _, after = rest.partition("\n" + _TBL_OPEN + "\n")
+        block, _, rest = after.partition("\n" + _TBL_CLOSE)
+        prose_parts.append(before)
+        lines = [l for l in block.split("\n") if l]
+        headers = lines[0].split("|") if lines else []
+        rows = [l.split("|") for l in lines[1:]]
+        tables.append((headers, rows))
+    prose_parts.append(rest)
+    return "".join(prose_parts), tables
+
+
+def extract_tables_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 (extract-and-flatten): parse embedded table regions out of
+    the landing payloads into REAL nested columns —
+    ``headers array<string>`` and ``rows array<array<string>>`` — via
+    mapInPandas over the binary payloads. This is the engine-facing
+    API; q_extract_tables projects the driver-facing flattened form."""
+    import pandas as pd
+
+    lt = landing_table_with_tables(spark, sf_dir)
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = {"doc_id": [], "prose_chars": [], "n_tables": [],
+                   "headers": [], "rows": []}
+            for did, fn, pl in zip(pdf["doc_id"], pdf["file_name"], pdf["payload"]):
+                _, _, body = _extract_one(fn, pl)
+                prose, tables = _parse_tables(body)
+                headers, rows = (tables[0] if tables else ([], []))
+                out["doc_id"].append(did)
+                out["prose_chars"].append(len(prose))
+                out["n_tables"].append(len(tables))
+                out["headers"].append(headers)
+                out["rows"].append(rows)
+            yield pd.DataFrame(out)
+
+    return lt.mapInPandas(
+        gen,
+        "doc_id long, prose_chars long, n_tables long, "
+        "headers array<string>, rows array<array<string>>",
+    )
+
+
+@register(
+    "q_extract_tables",
+    oracle="""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS prose_chars,
+       CAST(1 AS BIGINT) AS n_tables,
+       'field | value' AS headers_flat,
+       CAST(3 AS BIGINT) AS n_rows,
+       'lang | ' || lang || chr(10) || 'source | ' || source || chr(10)
+         || 'n_chars | ' || n_chars AS flat_table
+FROM documents
+""",
+)
+def q_extract_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 end-to-end: binary container → table-region parse →
+    (headers, rows) nested arrays → pipe-flattened text (ref:
+    document_processing_service.py:207-228 extract, :351-367
+    _table_to_text ' | '-join). The Spark path round-trips the real
+    bytes; the oracle independently recomputes the expected flattened
+    table from the source columns the containers were built from.
+    Driver-facing projection is scalar (flattened strings + counts);
+    extract_tables_df keeps the nested form."""
+    nested = extract_tables_df(spark, sf_dir)
+    return nested.select(
+        "doc_id",
+        "prose_chars",
+        "n_tables",
+        F.array_join("headers", " | ").alias("headers_flat"),
+        F.size("rows").cast("long").alias("n_rows"),
+        F.array_join(
+            F.transform(F.col("rows"), lambda r: F.array_join(r, " | ")), "\n"
+        ).alias("flat_table"),
     )
 
 

@@ -51,9 +51,11 @@ def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
     by the engine, SURVEY §1.3), and aggregate. The oracle runs on the
     original parquet, so the check covers the full write→read
     round-trip of the format."""
+    from .tmputil import session_key, tmp_path
+
     tag = os.path.basename(sf_dir.rstrip("/"))
-    path = os.path.join(tempfile.gettempdir(), "dqs_formats", tag, fmt)
-    key = (id(spark), sf_dir, fmt)
+    path = tmp_path("formats", tag, fmt)
+    key = session_key(spark, sf_dir, fmt)
     if key not in _FORMAT_DIRS:
         w = load(spark, sf_dir, "nation").write.mode("overwrite").format(fmt)
         if fmt == "csv":

@@ -99,8 +99,10 @@ def q_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from .tmputil import session_key, tmp_path
+
 _BUCKETS = 8
-_BUCKET_DB_READY: set[tuple[int, str]] = set()
+_BUCKET_DB_READY: set[tuple] = set()
 
 
 def _ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> None:
@@ -110,12 +112,10 @@ def _ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> None:
     join/agg on the bucket key reads co-located partitions and skips
     its exchange entirely, the canonical trade for tables joined far
     more often than written."""
-    key = (id(spark), sf_dir)
+    key = session_key(spark, sf_dir)
     if key in _BUCKET_DB_READY:
         return
-    import tempfile
-
-    base = os.path.join(tempfile.gettempdir(), "dqs_bucketed")
+    base = tmp_path("bucketed")
     tag = os.path.basename(sf_dir.rstrip("/"))
     for name, bucket_col in (("orders", "o_custkey"), ("customer", "c_custkey")):
         tbl = f"b_{name}_{tag.replace('.', '_')}"
@@ -196,7 +196,7 @@ def q_retention_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PARTITIONED_READY: set[tuple[int, str]] = set()
+_PARTITIONED_READY: set[tuple] = set()
 
 
 def _ensure_partitioned_docs(spark: SparkSession, sf_dir: str) -> str:
@@ -204,11 +204,9 @@ def _ensure_partitioned_docs(spark: SparkSession, sf_dir: str) -> str:
     per (session, sf_dir); returns the path. Partition columns are the
     coarse file-skipping axis at scale: a lang-filtered query lists
     only that partition's directory."""
-    import tempfile
-
     tag = os.path.basename(sf_dir.rstrip("/"))
-    path = os.path.join(tempfile.gettempdir(), "dqs_partitioned", tag, "documents")
-    key = (id(spark), sf_dir)
+    path = tmp_path("partitioned", tag, "documents")
+    key = session_key(spark, sf_dir)
     if key not in _PARTITIONED_READY:
         (
             load(spark, sf_dir, "documents")

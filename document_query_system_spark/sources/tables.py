@@ -34,13 +34,20 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     if name == "events":
         # events.ts is Parquet INT64 TIMESTAMP(NANOS), which Spark's
-        # vectorized reader rejects; read nanos as long and truncate to
-        # microseconds (same floor truncation DuckDB applies reading
-        # the file), restoring TimestampType for event-time semantics.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # vectorized reader rejects; an EXPLICIT long schema reads the
+        # raw nanos without touching the session-global
+        # spark.sql.legacy.parquet.nanosAsLong flag (which would
+        # silently change nanosecond-timestamp semantics for every
+        # later read in the session). Truncate to microseconds (same
+        # floor truncation DuckDB applies reading the file), restoring
+        # TimestampType for event-time semantics — the same
+        # schema-pinned pattern the streaming source uses.
         from pyspark.sql import functions as F
 
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = spark.read.schema(
+            "event_id LONG, ts LONG, user_id LONG, event_type STRING, "
+            "value DOUBLE, props STRING"
+        ).parquet(f"{sf_dir}/{name}.parquet")
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

@@ -1,0 +1,43 @@
+"""Process-scoped temp artifact root with exit-time cleanup.
+
+Side-effect queries (bucketed tables, partitioned layouts, landing
+dirs, format round-trips, streaming upsert targets) materialize under
+ONE per-process directory:
+
+- the per-process uuid component means concurrent processes (driver
+  correctness gate, bench, pytest) can never overwrite each other's
+  files mid-read;
+- the single root makes cleanup one recursive delete, registered with
+  atexit so repeated suite runs don't accrete /tmp garbage.
+
+Memoization of "already materialized" state keys on the session's
+``applicationId`` (stable and unique per SparkSession) rather than
+``id(spark)``, which CPython may reuse after a stopped session is
+garbage-collected.
+"""
+
+from __future__ import annotations
+
+import atexit
+import os
+import shutil
+import tempfile
+import uuid
+
+PROC_TAG = uuid.uuid4().hex[:8]
+ROOT = os.path.join(tempfile.gettempdir(), f"dqs_{PROC_TAG}")
+
+
+def tmp_path(*parts: str) -> str:
+    """A path under this process's dqs temp root (not created)."""
+    return os.path.join(ROOT, *parts)
+
+
+def session_key(spark, *extra: str) -> tuple:
+    """Memoization key stable for the lifetime of a SparkSession."""
+    return (spark.sparkContext.applicationId, *extra)
+
+
+@atexit.register
+def _sweep() -> None:  # pragma: no cover - exit hook
+    shutil.rmtree(ROOT, ignore_errors=True)

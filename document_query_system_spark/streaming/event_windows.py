@@ -307,12 +307,12 @@ def q_stream_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     batched Pinecone upsert, ref: pinecone_manager.py:61-103). The
     returned DataFrame is the final table state: one row per
     (user_id, event_type) key."""
-    import tempfile
     import uuid as _uuid
 
     from ..sources.sinks import upsert_parquet
+    from ..sources.tmputil import tmp_path
 
-    path = f"{tempfile.gettempdir()}/dqs_stream_upsert_{_uuid.uuid4().hex[:8]}"
+    path = tmp_path(f"stream_upsert_{_uuid.uuid4().hex[:8]}")
     ev = _read_event_stream(spark, sf_dir).select(
         "user_id", "event_type", "ts", "event_id", "value"
     )
