@@ -261,6 +261,33 @@ def embed_subquery_sql(source: str, id_expr: str, text_expr: str) -> str:
 # lists. Exploding (rather than stringifying) also sidesteps
 # float-to-string formatting divergence between engines; values stay
 # doubles and hash exactly (they are rounded to 6 inside embed_df).
+
+
+def explode_dims(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Explode vec_col (array<double>[DIM]) to (id, dim_idx, val) rows.
+
+    Deliberately explodes a LITERAL index sequence and picks
+    element_at(vec, i) AFTER the Generate, instead of
+    posexplode(vec_col): InferFiltersFromGenerate infers
+    ``size(child) > 0`` on the generator child, and predicate
+    pushdown then substitutes the column's full defining expression
+    into that filter — un-staging the embed pipeline (see the staging
+    note above embed_df) into a single inlined tree whose norm is
+    re-evaluated per element: O(DIM²·T) per row, measured 58 s for
+    100 docs at DIM=64. With a literal sequence the inferred filter
+    constant-folds away and vec_col flows through the Generate as a
+    plain attribute, evaluated once per row (2.8 s same workload)."""
+    return df.select(
+        id_col,
+        vec_col,
+        F.posexplode(F.sequence(F.lit(0), F.lit(DIM - 1))).alias("dim_idx", "__i"),
+    ).select(
+        id_col,
+        F.col("dim_idx").cast("long").alias("dim_idx"),
+        F.element_at(vec_col, F.col("__i").cast("int") + 1).alias("val"),
+    )
+
+
 _EMBED_DOCS_ORACLE = (
     "SELECT e.id AS doc_id, t.i - 1 AS dim_idx, e.embedding[CAST(t.i AS INT)] AS val FROM "
     + embed_subquery_sql(
@@ -282,11 +309,7 @@ def q_embed_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") < 100)
         .select("doc_id", "text")
     )
-    return (
-        embed_df(docs, "text")
-        .select("doc_id", F.posexplode("embedding").alias("dim_idx", "val"))
-        .select("doc_id", F.col("dim_idx").cast("long").alias("dim_idx"), "val")
-    )
+    return explode_dims(embed_df(docs, "text"), "doc_id", "embedding")
 
 
 def _hash_embed_py(text: str) -> list[float]:
@@ -335,11 +358,7 @@ def q_embed_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") < 100)
         .select("doc_id", "text")
     )
-    return (
-        embed_pandas(docs)
-        .select("doc_id", F.posexplode("embedding").alias("dim_idx", "val"))
-        .select("doc_id", F.col("dim_idx").cast("long").alias("dim_idx"), "val")
-    )
+    return explode_dims(embed_pandas(docs), "doc_id", "embedding")
 
 
 @register(
