@@ -1,0 +1,344 @@
+"""Training-data pipeline operators beyond dedup/sampling: PII
+redaction, benchmark-contamination detection, domain-mix rebalancing,
+boilerplate detection, and bloom-filter join prefiltering.
+
+These are the corpus-hygiene passes a 100 TB pretraining pipeline
+runs between raw ingestion and tokenization. Shapes:
+
+- PII redaction / boilerplate keys: pure column expressions, scan-local.
+- Contamination: posting-list equi-join on shingle hash against a
+  *broadcast* eval-set side (the benchmark suite is tiny relative to
+  the corpus) — shuffle ∝ matching shingles, never |train| × |eval|.
+- Domain mix: one window per stratum ordered by a deterministic id
+  hash — reproducible under repartition/retry like operators/sampling.
+- Bloom prefilter: the sketch rides a 1-row broadcast cross join, so
+  the big side is filtered executor-side before the exact semi-join —
+  no driver collect, and the final answer stays exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import tokens, tokens_sql
+from ..registry import register
+from ..sources.tables import load, spread
+from .dedup import _shingle_hashes, _shingle_hashes_sql
+from ..functions.hashing import token_hashes, token_hashes_sql
+
+# ------------------------------------------------------------- PII redaction
+#
+# The synthetic corpus contains no PII, so the query *injects* a
+# deterministic email + phone per document (derived from doc_id) and
+# then redacts it — the redaction regexes run against real matches
+# and the oracle verifies the exact redacted text. Patterns are kept
+# in the RE2 ∩ java.util.regex common subset so both engines agree.
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+1-[0-9]{3}-[0-9]{4}"
+
+
+@register(
+    "q_pii_redact",
+    oracle=f"""
+WITH injected AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example.com or +1-555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(raw, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(raw, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+       regexp_replace(regexp_replace(raw, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                      '{_PHONE_RE}', '[PHONE]', 'g') AS redacted
+FROM injected
+""",
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass: count + mask emails and phone numbers with
+    regexp_replace — scan-local column expressions, zero shuffles, so
+    the pass costs one read of the corpus at any scale. (Real
+    pipelines add SSNs, IBANs, IP addresses to the same chain.)"""
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    s1 = docs.select("doc_id", raw.alias("raw"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("raw"), _EMAIL_RE, "[EMAIL]"),
+        _PHONE_RE,
+        "[PHONE]",
+    )
+    return s1.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("raw", F.lit(_EMAIL_RE), 0))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("raw", F.lit(_PHONE_RE), 0))
+        .cast("long")
+        .alias("n_phones"),
+        redacted.alias("redacted"),
+    )
+
+
+# ------------------------------------------------- benchmark contamination
+#
+# Eval set = every 97th document (stands in for a benchmark suite);
+# a training document is contaminated if it shares any 3-token
+# shingle with any eval document. At 100 TB the eval side is a few
+# thousand benchmark items → its distinct-shingle set broadcasts,
+# and the train side is one scan + explode with a broadcast semi-ish
+# join — no all-pairs comparison anywhere.
+
+_EVAL_MOD = 97
+
+_CONTAM_SQL = f"""
+WITH th AS (SELECT doc_id, {token_hashes_sql('text')} AS ths FROM documents),
+sh AS (SELECT doc_id, list_distinct({_shingle_hashes_sql('ths')}) AS sset FROM th),
+eval_sh AS (
+  SELECT DISTINCT unnest(sset) AS shingle FROM sh WHERE doc_id % {_EVAL_MOD} = 0
+),
+train AS (
+  SELECT doc_id, len(sset) AS n_shingles, unnest(sset) AS shingle
+  FROM sh WHERE doc_id % {_EVAL_MOD} <> 0
+)
+SELECT t.doc_id,
+       CAST(t.n_shingles AS BIGINT) AS n_shingles,
+       CAST(count(*) AS BIGINT) AS n_shared,
+       round(count(*) / CAST(t.n_shingles AS DOUBLE), 6) AS contamination
+FROM train t JOIN eval_sh e ON t.shingle = e.shingle
+GROUP BY t.doc_id, t.n_shingles
+"""
+
+
+@register("q_contamination_ngram", oracle=_CONTAM_SQL)
+def q_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detector: per training doc, the number
+    and fraction of its distinct 3-token shingles that appear in any
+    eval-set document (doc_id % 97 == 0 stands in for the benchmark).
+    Join is train-shingle → broadcast eval-shingle set."""
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    sh = docs.select(
+        "doc_id",
+        F.array_distinct(_shingle_hashes(token_hashes(F.col("text")))).alias("sset"),
+    )
+    ev = F.broadcast(
+        sh.filter(F.col("doc_id") % _EVAL_MOD == 0)
+        .select(F.explode("sset").alias("shingle"))
+        .distinct()
+    )
+    tr = (
+        sh.filter(F.col("doc_id") % _EVAL_MOD != 0)
+        .select("doc_id", F.size("sset").alias("n_shingles"), "sset")
+        .select("doc_id", "n_shingles", F.explode("sset").alias("shingle"))
+    )
+    return (
+        tr.join(ev, "shingle")
+        .groupBy("doc_id", "n_shingles")
+        .agg(F.count("*").alias("n_shared"))
+        .select(
+            "doc_id",
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.round(
+                F.col("n_shared") / F.col("n_shingles").cast("double"), 6
+            ).alias("contamination"),
+        )
+    )
+
+
+# ----------------------------------------------------------- domain mixing
+#
+# Rebalance the corpus to a target language mix with fixed quotas,
+# selecting *which* documents deterministically (md5(doc_id) order)
+# so the mix is reproducible run-to-run. One window per stratum —
+# shuffle keyed on the stratum column, bounded output per stratum.
+
+_MIX_QUOTA = {"en": 40, "de": 15, "es": 15, "fr": 15, "zh": 15}
+
+_MIX_CASE = " ".join(f"WHEN '{k}' THEN {v}" for k, v in _MIX_QUOTA.items())
+
+
+@register(
+    "q_domain_mix",
+    oracle=f"""
+SELECT lang, doc_id
+FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+)
+WHERE rn <= CASE lang {_MIX_CASE} ELSE 0 END
+""",
+)
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain/language mix rebalancer: per-stratum quota selection in
+    deterministic md5(doc_id) order — the reproducible 'take N_en
+    English docs, N_de German docs, …' pass that fixes a corpus's
+    language proportions before training."""
+    d = load(spark, sf_dir, "documents").select("lang", "doc_id")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.asc("doc_id")
+    )
+    quota = F.coalesce(
+        *[
+            F.when(F.col("lang") == k, F.lit(v))
+            for k, v in _MIX_QUOTA.items()
+        ],
+        F.lit(0),
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= quota)
+        .select("lang", "doc_id")
+    )
+
+
+# ------------------------------------------------------ boilerplate prefix
+#
+# Documents sharing an identical leading token run are boilerplate
+# suspects (headers, license banners, templated intros). The key is
+# md5 of the joined first-3-token prefix — a pure column expression —
+# and the aggregate is one groupBy on that key.
+
+_PREFIX_TOKENS = 3
+
+
+@register(
+    "q_boilerplate_prefix",
+    oracle=f"""
+WITH p AS (
+  SELECT doc_id,
+         md5(array_to_string({tokens_sql('text')}[1:{_PREFIX_TOKENS}], ' ')) AS prefix_key
+  FROM documents
+)
+SELECT prefix_key,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS min_doc_id
+FROM p
+GROUP BY prefix_key
+HAVING count(*) > 1
+""",
+)
+def q_boilerplate_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection: group documents by the md5 of their
+    first-3-token prefix and report groups of size > 1 (keep the min
+    doc_id as the canonical representative). At scale: one scan +
+    one groupBy on a 16-byte key."""
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    prefix = F.md5(
+        F.array_join(F.slice(tokens(F.col("text")), 1, _PREFIX_TOKENS), " ")
+    )
+    return (
+        docs.select("doc_id", prefix.alias("prefix_key"))
+        .groupBy("prefix_key")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("min_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# ------------------------------------------------------ bloom prefilter join
+#
+# The 100 TB pattern for "filter a huge fact table by a key set too
+# big to broadcast as an exact list but small enough for a sketch":
+# aggregate the key set into a bloom filter (a few MB), ship it to
+# every partition via a 1-row broadcast cross join, prefilter the
+# fact table (no false negatives), then run the exact semi-join on
+# the survivors. The final answer is exact — the bloom only cuts the
+# shuffle input — so the plain semi-join is a valid oracle.
+#
+# Spark's own bloom machinery (bloom_filter_agg / might_contain) is
+# internal-only SQL, so the sketch is built from public primitives:
+# k xxhash64-seeded bit positions per key, folded per 64-bit word
+# with bit_or, packed into a word_idx → bits map that rides the
+# broadcast; the probe is k O(1) map lookups + bit tests per row.
+
+_BLOOM_SEG = "BUILDING"
+_BLOOM_BITS = 1 << 18  # 256 Kbit ≈ 4 K words; ~13 bits/key at sf1
+_BLOOM_K = 3
+
+
+def _bloom_positions(key, seed_base: int = 0):
+    """k deterministic bit positions for a key column."""
+    return [
+        F.pmod(F.xxhash64(key, F.lit(seed_base + i)), F.lit(_BLOOM_BITS))
+        for i in range(_BLOOM_K)
+    ]
+
+
+@register(
+    "q_bloom_prefilter_join",
+    oracle=f"""
+SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM customer c
+              WHERE c.c_custkey = o.o_custkey
+                AND c.c_mktsegment = '{_BLOOM_SEG}')
+""",
+)
+def q_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered semi-join: orders restricted to customers in
+    one market segment. The segment's key set is aggregated into a
+    bloom filter that rides a broadcast 1-row cross join; orders are
+    prefiltered executor-side with might_contain (false positives
+    removed by the exact semi-join that follows, false negatives
+    impossible), so the semi-join shuffle sees ~1/5 of the table."""
+    cust = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == _BLOOM_SEG
+    )
+    pos = F.explode(F.array(*_bloom_positions(F.col("c_custkey")))).alias("pos")
+    bloom = (
+        cust.select(pos)
+        .select(
+            (F.col("pos") / 64).cast("long").alias("word_idx"),
+            # shiftleft's shift amount must be a column-valued
+            # expression → SQL form (the pyspark wrapper takes int).
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias(
+                "bit"
+            ),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("bit").alias("bits"))
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("word_idx", "bits"))).alias(
+                "bf"
+            )
+        )
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    staged = orders.crossJoin(F.broadcast(bloom)).select(
+        "*",
+        *[
+            p.alias(f"__p{i}")
+            for i, p in enumerate(_bloom_positions(F.col("o_custkey")))
+        ],
+    )
+    # Low bit survives the arithmetic shiftright even when the packed
+    # word is negative (bit 63 set): odd ⇔ bit set ⇔ % 2 != 0.
+    hit = " AND ".join(
+        f"(shiftright(coalesce(element_at(bf, CAST(__p{i} / 64 AS BIGINT)), "
+        f"CAST(0 AS BIGINT)), CAST(__p{i} % 64 AS INT)) % 2 != 0)"
+        for i in range(_BLOOM_K)
+    )
+    prefiltered = staged.filter(F.expr(hit)).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    return prefiltered.join(
+        F.broadcast(cust.select("c_custkey")),
+        prefiltered.o_custkey == F.col("c_custkey"),
+        "left_semi",
+    )

@@ -94,6 +94,7 @@ def _load_all() -> None:
     from .operators import similarity  # noqa: F401
     from .functions import scalar  # noqa: F401
     # ---- ~50-query prefix boundary (scalar's tail spills past it) ----
+    from .operators import pipeline  # noqa: F401
     from .sources import extraction  # noqa: F401
     from .operators import windows  # noqa: F401
     from .functions import text  # noqa: F401
