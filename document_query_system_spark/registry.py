@@ -96,6 +96,7 @@ def _load_all() -> None:
     # ---- ~50-query prefix boundary (scalar's tail spills past it) ----
     from .operators import pipeline  # noqa: F401
     from .sources import extraction  # noqa: F401
+    from .sources import http_ingest  # noqa: F401
     from .operators import windows  # noqa: F401
     from .functions import text  # noqa: F401
     from .sources import sinks  # noqa: F401
