@@ -249,6 +249,136 @@ def q_boilerplate_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------ BM25 ranking
+#
+# The probabilistic-IR upgrade of the reference's keyword scorer
+# (ref: src/main.py:137-145 counts matched words): tf-saturated,
+# length-normalized, idf-weighted. Plan shape at 100 TB: one
+# explode + groupBy builds the (doc, term, tf) posting table keyed
+# by term; the query-term list and the per-term document frequencies
+# are both tiny → broadcast; the only big shuffles are keyed on
+# (doc, term) and (question, doc). Nothing is all-pairs.
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 10
+
+
+def _bm25_oracle() -> str:
+    from .search import _question_values
+
+    return f"""
+WITH {_question_values()},
+tok AS (SELECT doc_id, {tokens_sql('lower(text)')} AS tk FROM documents),
+stats AS (SELECT count(*) AS n_docs, avg(len(tk)) AS avgdl FROM tok),
+tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf
+  FROM (SELECT doc_id, len(tk) AS dl, unnest(tk) AS term FROM tok)
+  GROUP BY doc_id, dl, term
+),
+qt AS (
+  SELECT DISTINCT question_id, term
+  FROM (SELECT question_id,
+               unnest(string_split(lower(question_text), ' ')) AS term
+        FROM questions)
+),
+dfq AS (
+  SELECT term, count(*) AS df FROM tf
+  WHERE term IN (SELECT term FROM qt) GROUP BY term
+),
+contrib AS (
+  SELECT q.question_id, t.doc_id,
+         round(ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * t.tf * ({_BM25_K1} + 1)
+               / (t.tf + {_BM25_K1} * (1 - {_BM25_B}
+                                       + {_BM25_B} * t.dl / s.avgdl)), 6) AS w
+  FROM tf t
+  JOIN qt q USING (term) JOIN dfq d USING (term) CROSS JOIN stats s
+),
+scored AS (
+  SELECT question_id, doc_id, round(sum(w), 4) AS bm25
+  FROM contrib GROUP BY question_id, doc_id
+)
+SELECT question_id, doc_id, bm25
+FROM (SELECT *, row_number() OVER (PARTITION BY question_id
+                                   ORDER BY bm25 DESC, doc_id) AS rn
+      FROM scored)
+WHERE rn <= {_BM25_TOPK}
+"""
+
+
+@register("q_bm25_topk", oracle=_bm25_oracle())
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 per golden question (k1=1.2, b=0.75). Per-term
+    contributions are rounded to 6 before summing and the summed
+    score to 4 before ranking, so ordering is engine-identical."""
+    from .search import questions_df
+
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    tok = docs.select("doc_id", tokens(F.lower(F.col("text"))).alias("tk"))
+    stats = F.broadcast(
+        tok.agg(
+            F.count("*").alias("n_docs"), F.avg(F.size("tk")).alias("avgdl")
+        )
+    )
+    tf = (
+        tok.select(
+            "doc_id", F.size("tk").alias("dl"), F.explode("tk").alias("term")
+        )
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    qt = F.broadcast(
+        questions_df(spark)
+        .select(
+            "question_id",
+            F.explode(F.split(F.lower(F.col("question_text")), " ")).alias("term"),
+        )
+        .distinct()
+    )
+    # df per query term: count posting-list entries (tf is already
+    # one row per (doc, term)) — tiny result, broadcast back.
+    dfq = F.broadcast(
+        tf.join(qt.select("term").distinct(), "term")
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    contrib = (
+        tf.join(qt, "term")
+        .join(dfq, "term")
+        .crossJoin(stats)
+        .select(
+            "question_id",
+            "doc_id",
+            F.round(
+                F.log(
+                    1
+                    + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * F.col("tf")
+                * (_BM25_K1 + 1)
+                / (
+                    F.col("tf")
+                    + _BM25_K1
+                    * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+                ),
+                6,
+            ).alias("w"),
+        )
+    )
+    scored = contrib.groupBy("question_id", "doc_id").agg(
+        F.round(F.sum("w"), 4).alias("bm25")
+    )
+    w_rank = Window.partitionBy("question_id").orderBy(
+        F.desc("bm25"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= _BM25_TOPK)
+        .drop("rn")
+    )
+
+
 # ------------------------------------------------------ bloom prefilter join
 #
 # The 100 TB pattern for "filter a huge fact table by a key set too
