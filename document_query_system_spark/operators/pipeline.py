@@ -314,6 +314,16 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     score to 4 before ranking, so ordering is engine-identical."""
     from .search import questions_df
 
+    # Shuffle budget (4): ① tf groupBy ② df window on term ③ the tiny
+    # corpus-stats agg ④ repartition(question_id) — which the score
+    # groupBy AND the rank window both reuse (hash(question) satisfies
+    # ClusteredDistribution(question, doc), so neither adds an
+    # exchange). df comes from a count window over the already-built
+    # posting table rather than a second aggregation pass, which would
+    # recompute the whole tf subtree. Skew note: partitioning by term
+    # puts a stopword's whole posting list in one task — a production
+    # corpus caps df / drops stopwords before this stage (same knob as
+    # dedup's shingle DF cap).
     docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
     tok = docs.select("doc_id", tokens(F.lower(F.col("text"))).alias("tk"))
     stats = F.broadcast(
@@ -328,24 +338,22 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "dl", "term")
         .agg(F.count("*").alias("tf"))
     )
-    qt = F.broadcast(
-        questions_df(spark)
-        .select(
-            "question_id",
-            F.explode(F.split(F.lower(F.col("question_text")), " ")).alias("term"),
-        )
-        .distinct()
+    # The question set is a static constant → derive the distinct
+    # (question, term) pairs driver-side: term selection becomes an
+    # isin predicate that pushes into the posting-table pipeline, and
+    # the fan-out join broadcasts a pre-deduped local relation — no
+    # distinct-aggregation shuffles on 10-row inputs.
+    from .search import GOLDEN_QUESTIONS
+
+    pairs = sorted(
+        {(qid, w) for qid, q in GOLDEN_QUESTIONS for w in q.lower().split()}
     )
-    # df per query term: count posting-list entries (tf is already
-    # one row per (doc, term)) — tiny result, broadcast back.
-    dfq = F.broadcast(
-        tf.join(qt.select("term").distinct(), "term")
-        .groupBy("term")
-        .agg(F.count("*").alias("df"))
-    )
+    qt = spark.createDataFrame(pairs, "question_id INT, term STRING")
+    terms = sorted({t for _, t in pairs})
+    tfq = tf.filter(F.col("term").isin(terms))
+    tfq = tfq.withColumn("df", F.count("*").over(Window.partitionBy("term")))
     contrib = (
-        tf.join(qt, "term")
-        .join(dfq, "term")
+        tfq.join(F.broadcast(qt), "term")
         .crossJoin(stats)
         .select(
             "question_id",
@@ -366,8 +374,10 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("w"),
         )
     )
-    scored = contrib.groupBy("question_id", "doc_id").agg(
-        F.round(F.sum("w"), 4).alias("bm25")
+    scored = (
+        contrib.repartition("question_id")
+        .groupBy("question_id", "doc_id")
+        .agg(F.round(F.sum("w"), 4).alias("bm25"))
     )
     w_rank = Window.partitionBy("question_id").orderBy(
         F.desc("bm25"), F.asc("doc_id")

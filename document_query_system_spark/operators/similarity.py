@@ -182,7 +182,11 @@ def q_ann_mllib_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     model = lsh.fit(unit)
     q = unit.filter(F.col("vec_id") < 5)
-    joined = model.approxSimilarityJoin(q, unit, 1.0, distCol="l2_dist")
+    # Threshold 1.3 (cos ≥ 0.155 after d² = 2 − 2cos): random unit
+    # vectors at DIM=64 concentrate near d ≈ √2, so 1.0 returns an
+    # empty candidate set for these query ids — a 0-row result the
+    # external rows-only check can't distinguish from a broken join.
+    joined = model.approxSimilarityJoin(q, unit, 1.3, distCol="l2_dist")
     return (
         joined.filter(F.col("datasetA.vec_id") != F.col("datasetB.vec_id"))
         .select(

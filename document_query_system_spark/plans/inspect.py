@@ -34,13 +34,22 @@ class PlanReport:
     n_bnlj: int = 0
     n_sort_aggregates: int = 0
     n_codegen_spans: int = 0
+    n_spread_repartitions: int = 0
     scans: list[dict] = field(default_factory=list)
     raw: str = ""
 
     @property
     def n_shuffles(self) -> int:
-        """Data-moving exchanges (broadcasts counted separately)."""
-        return self.n_exchanges - self.n_broadcasts
+        """Keyed data-moving exchanges (broadcasts counted separately).
+
+        Round-robin REPARTITION_BY_NUM exchanges are excluded: those
+        are sources.tables.spread() fanning a one-row-group local
+        parquet file across cores — a test-fixture artifact that does
+        not exist on a real multi-file table, not a join/agg shuffle
+        the plan needs."""
+        return (
+            self.n_exchanges - self.n_broadcasts - self.n_spread_repartitions
+        )
 
 
 def _explain_formatted(df: DataFrame) -> str:
@@ -64,6 +73,8 @@ def plan_report(df: DataFrame) -> PlanReport:
     rep.n_codegen_spans = len(re.findall(r"WholeStageCodegen", plan))
     # Each scan node has an indented detail block.
     for block in re.split(r"\n\(\d+\) ", plan):
+        if block.startswith("Exchange") and "RoundRobinPartitioning" in block:
+            rep.n_spread_repartitions += 1
         if not block.startswith("Scan parquet"):
             continue
         cols = re.search(r"ReadSchema: struct<([^>]*)>", block)

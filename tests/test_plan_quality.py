@@ -71,6 +71,24 @@ def test_partition_pruning_reaches_listing(spark):
     assert m and "lang" in m.group(1)
 
 
+def test_bloom_prefilter_rides_broadcasts(spark):
+    """The bloom sketch and the exact verify side must both broadcast;
+    the orders side must never shuffle before the semi-join."""
+    rep = _plan(spark, "q_bloom_prefilter_join")
+    assert rep.n_broadcasts == 2
+    assert "BroadcastHashJoin" in rep.raw  # exact semi-join
+    assert rep.n_shuffles == 0  # big side stays in place
+
+
+def test_bm25_shuffle_shape(spark):
+    """Posting-table build + df window + stats + question repartition:
+    exactly 4 keyed shuffles, and the score groupBy / rank window must
+    reuse the question_id exchange rather than adding their own."""
+    rep = _plan(spark, "q_bm25_topk")
+    assert rep.n_shuffles <= 4
+    assert rep.n_sort_aggregates == 0
+
+
 def test_no_sort_aggregates_anywhere(spark):
     """Hash-aggregable buffers everywhere: SortAggregate means an agg
     fell out of codegen (this is how the max_by top-1 regression was
