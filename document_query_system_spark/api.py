@@ -27,13 +27,48 @@ SURVEY §1.1 note)."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .registry import register
 from .sources.tables import load, spread
-from .functions.vector import dot, embed_df
-from .operators.search import GOLDEN_QUESTIONS, SNIPPET_LEN, TOP_K
+from .sources.tmputil import session_key, tmp_path
+from .functions.embed import dot, embed_df
+from .operators.questions import GOLDEN_QUESTIONS, SNIPPET_LEN, TOP_K
+
+_VECTOR_INDEX_READY: set[tuple] = set()
+
+
+def ensure_vector_index(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the document vector index ONCE per (session,
+    sf_dir) and return its Parquet path: (doc_id, snippet, dv) with
+    the deterministic embedder's vectors and the reference's
+    truncated-content metadata (ref: vectorizer.py:60-72 — index
+    payload carries content truncated to a snippet).
+
+    This is the engine form of the reference's build-then-query index
+    lifecycle (Pinecone upsert, ref: pinecone_manager.py:61-103): a
+    query must probe the STORED index, not re-embed the corpus per
+    question batch — at 100 TB re-embedding 5 B document vectors per
+    query is the difference between a seconds-scale probe and a
+    full-corpus pass. Kept fresh incrementally by the anti-join
+    delta pattern (q_incremental_index, sources/sinks.py) + the
+    last-writer-wins upsert (upsert_parquet)."""
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = tmp_path("vector_index", tag)
+    key = session_key(spark, sf_dir)
+    if key not in _VECTOR_INDEX_READY:
+        docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+        idx = embed_df(docs, "text", out_col="dv").select(
+            "doc_id",
+            F.substring("text", 1, SNIPPET_LEN).alias("snippet"),
+            "dv",
+        )
+        idx.write.mode("overwrite").parquet(path)
+        _VECTOR_INDEX_READY.add(key)
+    return path
 
 
 def run_query(
@@ -54,19 +89,24 @@ def run_query(
     if method not in ("vector", "keyword"):
         raise ValueError(f"unknown method {method!r}")
     qdf = spark.createDataFrame(questions, "question_id INT, question_text STRING")
-    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
 
     if method == "vector":
-        dv = embed_df(docs, "text", out_col="dv")
+        # Probe the STORED index: embed only the question batch (10
+        # rows), broadcast it against the materialized vector table —
+        # never re-embed the corpus inside a query (round-2 verdict:
+        # the embed-per-query form cost 15 s vs <1 s warm here, and at
+        # 100 TB it is a full corpus pass per question batch).
+        idx = spark.read.parquet(ensure_vector_index(spark, sf_dir))
         qv = F.broadcast(embed_df(qdf, "question_text", out_col="qv"))
-        scored = dv.crossJoin(qv).select(
+        scored = idx.crossJoin(qv).select(
             "question_id",
             "question_text",
             "doc_id",
             F.round(dot(F.col("qv"), F.col("dv")), 6).alias("score"),
-            F.substring("text", 1, SNIPPET_LEN).alias("snippet"),
+            "snippet",
         )
     else:
+        docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
         qwords = F.split(F.lower(F.col("question_text")), " ")
         text_lc = F.lower(F.col("text"))
         matches = F.size(F.filter(qwords, lambda w: text_lc.contains(w)))
@@ -115,7 +155,7 @@ def doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _api_oracle(method: str) -> str:
-    from .functions.vector import embed_subquery_sql
+    from .functions.embed import embed_subquery_sql
 
     rows = ",\n      ".join(f"({i}, '{t}')" for i, t in GOLDEN_QUESTIONS)
     if method == "vector":
@@ -168,7 +208,7 @@ _RRF_DEPTH = 50  # per-retriever candidate depth before fusion
 
 
 def _rrf_oracle() -> str:
-    from .functions.vector import embed_subquery_sql
+    from .functions.embed import embed_subquery_sql
 
     rows = ",\n      ".join(f"({i}, '{t}')" for i, t in GOLDEN_QUESTIONS)
     qv = embed_subquery_sql("questions", "question_id", "question_text")
@@ -269,7 +309,7 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def questions_df_cached(spark: SparkSession):
-    from .operators.search import questions_df
+    from .operators.questions import questions_df
 
     return questions_df(spark)
 
@@ -277,7 +317,10 @@ def questions_df_cached(spark: SparkSession):
 @register("q_api_run_vector", oracle=_api_oracle("vector"))
 def q_api_run_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§3.1 flagship lifecycle, vector path, end-to-end through the
-    public facade (embed → broadcast cosine → top-k → summary)."""
+    public facade: embed the QUESTION batch only, probe the stored
+    vector index (broadcast questions ⨯ index scan → cosine → top-k →
+    summary). The corpus embed pass happens once at index build
+    (ensure_vector_index), not per query."""
     return run_query(spark, sf_dir, method="vector")
 
 

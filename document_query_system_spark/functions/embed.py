@@ -1,0 +1,221 @@
+"""Vector math + the deterministic embedder, in a module with NO
+query registrations (the registered vector queries live in
+functions/vector.py, which re-exports everything here).
+
+Split out so early-rotation modules (the api facade, corpus-hygiene
+operators) can use ``embed_df``/``dot`` without dragging vector.py's
+seven already-driver-verified registrations into their registry
+position — registration order is the driver's verification order.
+
+Cosine similarity is a pure SQL expression over array<double> — dot
+product via zip_with + left-fold — so search plans stay in
+whole-stage codegen with zero Python in the hot path. The default
+embedder is the deterministic hashing bag-of-words (SURVEY §7
+Phase 4): token char-fold hash → one of DIM buckets → count → L2
+normalize. Deterministic ⇒ the DuckDB oracle can verify the *entire*
+embed→search pipeline, not just the search half. The
+sentence-transformers embedder (ref: embedding_generator.py:82-167)
+has the same mapInPandas shape — see embed_pandas, which also serves
+as the Arrow-path implementation of the hashing embedder.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .hashing import P, MULT, token_hashes, token_hashes_sql
+
+DIM = 64  # matches the driver embeddings table (FIXTURES.md: list<float>[64])
+
+
+# ---------------------------------------------------------------- cosine
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<double> columns — left fold, matching
+    DuckDB's list_dot_product evaluation order (rounding at the
+    consumer absorbs any residual last-ulp differences)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, p: s + p,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+# ------------------------------------------------- deterministic embedder
+#
+# Staging discipline: each intermediate (token hashes → bucket counts
+# → norm) is materialized as a real column in its own select, with a
+# passthrough reference so Catalyst's CollapseProject won't inline a
+# non-cheap alias into a lambda body (which would re-evaluate it once
+# per array element — O(DIM·T) blowing up to O(DIM²·T) per row).
+# The DuckDB oracle uses nested subqueries for the same reason.
+
+
+def embed_df(df: DataFrame, text_col: str, out_col: str = "embedding") -> DataFrame:
+    """Append a hashing bag-of-words embedding column (array<double>
+    [DIM], L2-normalized, rounded to 6): token char-fold hash → bucket
+    histogram → normalize. One pass per stage, per row."""
+    keep = [c for c in df.columns]
+    s1 = df.withColumn("__ths", token_hashes(F.col(text_col)))
+    counts = F.transform(
+        F.sequence(F.lit(0), F.lit(DIM - 1)),
+        lambda i: F.size(
+            F.filter(F.col("__ths"), lambda h: h % DIM == i.cast("long"))
+        ).cast("double"),
+    )
+    s2 = s1.select(*keep, "__ths", counts.alias("__counts")).drop("__ths")
+    nrm = F.sqrt(
+        F.aggregate(F.col("__counts"), F.lit(0.0), lambda s, x: s + x * x)
+    )
+    s3 = s2.select(*keep, "__counts", nrm.alias("__nrm"))
+    normalized = F.transform(
+        F.col("__counts"),
+        lambda x: F.round(
+            F.when(F.col("__nrm") > 0, x / F.col("__nrm")).otherwise(F.lit(0.0)), 6
+        ),
+    )
+    return s3.select(*keep, "__counts", "__nrm", normalized.alias(out_col)).drop(
+        "__counts", "__nrm"
+    )
+
+
+def embed_subquery_sql(source: str, id_expr: str, text_expr: str) -> str:
+    """DuckDB subquery producing (id, embedding) with the same staged
+    evaluation — each intermediate is a column of an inner subquery so
+    it is computed once per row."""
+    ths = token_hashes_sql(text_expr)
+    return f"""(
+  SELECT id, list_transform(counts, x ->
+           round(CASE WHEN nrm > 0 THEN x / nrm ELSE 0.0 END, 6)) AS embedding
+  FROM (
+    SELECT id, counts, sqrt(list_dot_product(counts, counts)) AS nrm
+    FROM (
+      SELECT id, list_transform(generate_series(0, {DIM - 1}),
+               i -> CAST(len(list_filter(ths, h -> h % {DIM} = i)) AS DOUBLE)) AS counts
+      FROM (SELECT {id_expr} AS id, {ths} AS ths FROM {source})
+    )
+  )
+)"""
+
+
+# Driver-facing shape: the vector is exploded to one row per
+# dimension — (doc_id, dim_idx, val) — because the external harness's
+# canonicalizer sorts/hashes pandas values and cannot hash Python
+# lists. Exploding (rather than stringifying) also sidesteps
+# float-to-string formatting divergence between engines; values stay
+# doubles and hash exactly (they are rounded to 6 inside embed_df).
+
+
+def explode_dims(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Explode vec_col (array<double>[DIM]) to (id, dim_idx, val) rows.
+
+    Deliberately explodes a LITERAL index sequence and picks
+    element_at(vec, i) AFTER the Generate, instead of
+    posexplode(vec_col): InferFiltersFromGenerate infers
+    ``size(child) > 0`` on the generator child, and predicate
+    pushdown then substitutes the column's full defining expression
+    into that filter — un-staging the embed pipeline (see the staging
+    note above embed_df) into a single inlined tree whose norm is
+    re-evaluated per element: O(DIM²·T) per row, measured 58 s for
+    100 docs at DIM=64. With a literal sequence the inferred filter
+    constant-folds away and vec_col flows through the Generate as a
+    plain attribute, evaluated once per row (2.8 s same workload)."""
+    return df.select(
+        id_col,
+        vec_col,
+        F.posexplode(F.sequence(F.lit(0), F.lit(DIM - 1))).alias("dim_idx", "__i"),
+    ).select(
+        id_col,
+        F.col("dim_idx").cast("long").alias("dim_idx"),
+        F.element_at(vec_col, F.col("__i").cast("int") + 1).alias("val"),
+    )
+
+
+def _hash_embed_py(text: str) -> list[float]:
+    """Python twin of embed_df — exact same integer arithmetic, so
+    the Arrow path is bit-compatible with the SQL path."""
+    counts = [0] * DIM
+    for tok in text.split(" "):
+        if not tok:
+            continue
+        h = 0
+        for ch in tok:
+            h = (h * MULT + ord(ch)) % P
+        counts[h % DIM] += 1
+    norm = sum(c * c for c in counts) ** 0.5  # exact: integer-valued floats
+    if norm == 0:
+        return [0.0] * DIM
+    return [round(c / norm, 6) for c in counts]
+
+
+def embed_pandas(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """U1 Arrow path: mapInPandas embedder — the executor-side batch
+    shape of the reference's encode loop (ref:
+    embedding_generator.py:119-157, batch 32 + per-process model lock;
+    here: one Arrow batch per call, model state would live in a
+    module-level singleton per executor process)."""
+    import pandas as pd
+
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["embedding"] = pdf[text_col].map(_hash_embed_py)
+            yield pdf
+
+    return df.mapInPandas(gen, schema=schema + ", embedding array<double>")
+
+
+# ---------------------------------------------- optional torch path (U1)
+
+_ST_MODEL = None  # per-executor-process singleton, lazily loaded
+
+
+def embed_sentence_transformers(
+    df: DataFrame, text_col: str = "text", model_name: str = "all-MiniLM-L6-v2"
+) -> DataFrame:
+    """U1, real-model path (ref: embedding_generator.py:49-167 —
+    MiniLM-L6-v2, 384-dim, batched encode under a process-wide lock).
+    Identical mapInPandas shape to embed_pandas; the model is a
+    module-level singleton per executor process (the executor analog
+    of the reference's threading.Lock + cached model), Arrow batch ≈
+    the reference's batch_size. sentence-transformers is not installed
+    in this environment — the import guard raises a clear error and
+    the deterministic hashing embedder remains the default engine
+    path (SURVEY §7 Phase 4)."""
+    import pandas as pd
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        global _ST_MODEL
+        try:
+            from sentence_transformers import SentenceTransformer
+        except ImportError as exc:  # pragma: no cover - env-dependent
+            raise NotImplementedError(
+                "sentence-transformers is not installed; use embed_df/"
+                "embed_pandas (deterministic hashing embedder) or install "
+                "the model library on every executor"
+            ) from exc
+        if _ST_MODEL is None:  # pragma: no cover - needs the library
+            _ST_MODEL = SentenceTransformer(model_name)
+        for pdf in batches:  # pragma: no cover - needs the library
+            pdf = pdf.copy()
+            vecs = _ST_MODEL.encode(
+                list(pdf[text_col]), normalize_embeddings=True
+            )
+            pdf["embedding"] = [[float(x) for x in v] for v in vecs]
+            yield pdf
+
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
+    return df.mapInPandas(gen, schema=schema + ", embedding array<double>")

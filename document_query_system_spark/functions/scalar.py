@@ -18,6 +18,33 @@ from ..sources.tables import load
 
 
 @register(
+    "q_dedup_hash",
+    oracle="""
+SELECT md5(text)         AS content_md5,
+       sha256(text)      AS content_sha256,
+       min(doc_id)       AS keeper_doc_id,
+       count(*)          AS n_copies
+FROM documents
+GROUP BY md5(text), sha256(text)
+""",
+)
+def q_dedup_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6/X11/A6: content-addressed dedup — SHA-256 of payload +
+    md5 cache key, first-writer kept
+    (ref: ingestion_service.py:92-106, hit path :294-299)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(
+            F.md5("text").alias("content_md5"),
+            F.sha2("text", 256).alias("content_sha256"),
+            "doc_id",
+        )
+        .groupBy("content_md5", "content_sha256")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+@register(
     "q_date_funcs",
     oracle="""
 SELECT o_orderkey,
@@ -297,31 +324,4 @@ def q_json_corrupt_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(~bad, 1)).alias("n_valid"),
         F.count(F.when(bad, 1)).alias("n_corrupt"),
         F.sum(F.when(~bad, F.col("j.k"))).alias("sum_k"),
-    )
-
-
-@register(
-    "q_dedup_hash",
-    oracle="""
-SELECT md5(text)         AS content_md5,
-       sha256(text)      AS content_sha256,
-       min(doc_id)       AS keeper_doc_id,
-       count(*)          AS n_copies
-FROM documents
-GROUP BY md5(text), sha256(text)
-""",
-)
-def q_dedup_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S6/X11/A6: content-addressed dedup — SHA-256 of payload +
-    md5 cache key, first-writer kept
-    (ref: ingestion_service.py:92-106, hit path :294-299)."""
-    d = load(spark, sf_dir, "documents")
-    return (
-        d.select(
-            F.md5("text").alias("content_md5"),
-            F.sha2("text", 256).alias("content_sha256"),
-            "doc_id",
-        )
-        .groupBy("content_md5", "content_sha256")
-        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_copies"))
     )

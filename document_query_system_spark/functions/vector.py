@@ -1,54 +1,34 @@
-"""Vector math + embedding + exact vector search (SURVEY.md §2.8
-X13/X14, §2.3 J9, §7 Phase 4).
+"""Registered vector queries (SURVEY.md §2.8 X13/X14, §2.3 J9, §7
+Phase 4): L2 normalize, exact top-k cosine search (plain + metadata-
+filtered), the deterministic embedder in SQL and Arrow forms, int8
+quantization, and the golden vector QA pipeline.
 
-Cosine similarity is a pure SQL expression over array<double> — dot
-product via zip_with + left-fold — so the whole search plan stays in
-whole-stage codegen with zero Python in the hot path. The broadcast
-side is always the (tiny) query set: the big vector table never
-shuffles, and the plan is scan-bound at any scale.
-
-The default embedder is the deterministic hashing bag-of-words
-(SURVEY §7 Phase 4): token char-fold hash → one of DIM buckets →
-count → L2 normalize. Deterministic ⇒ the DuckDB oracle can verify
-the *entire* embed→search pipeline, not just the search half. The
-sentence-transformers embedder (ref: embedding_generator.py:82-167)
-has the same mapInPandas shape — see embed_pandas below, which also
-serves as the Arrow-path implementation of the hashing embedder.
+The vector math + embedder implementations live in
+functions/embed.py (a registration-free module shared with the api
+facade and early-rotation operators); everything is re-exported here
+so existing callers keep one import path.
 """
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
 from ..sources.tables import load, spread
-from .hashing import P, MULT, token_hashes, token_hashes_sql
-
-DIM = 64  # matches the driver embeddings table (FIXTURES.md: list<float>[64])
-
-
-# ---------------------------------------------------------------- cosine
-
-def dot(a: Column, b: Column) -> Column:
-    """Dot product of two array<double> columns — left fold, matching
-    DuckDB's list_dot_product evaluation order (rounding at the
-    consumer absorbs any residual last-ulp differences)."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda s, p: s + p,
-    )
-
-
-def l2_norm(a: Column) -> Column:
-    return F.sqrt(dot(a, a))
-
-
-def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+from .hashing import P, MULT, token_hashes, token_hashes_sql  # noqa: F401
+from .embed import (  # noqa: F401  (re-exported public surface)
+    DIM,
+    _hash_embed_py,
+    cosine,
+    dot,
+    embed_df,
+    embed_pandas,
+    embed_sentence_transformers,
+    embed_subquery_sql,
+    explode_dims,
+    l2_norm,
+)
 
 
 @register(
@@ -198,96 +178,6 @@ def q_vector_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ------------------------------------------------- deterministic embedder
-#
-# Staging discipline: each intermediate (token hashes → bucket counts
-# → norm) is materialized as a real column in its own select, with a
-# passthrough reference so Catalyst's CollapseProject won't inline a
-# non-cheap alias into a lambda body (which would re-evaluate it once
-# per array element — O(DIM·T) blowing up to O(DIM²·T) per row).
-# The DuckDB oracle uses nested subqueries for the same reason.
-
-
-def embed_df(df: DataFrame, text_col: str, out_col: str = "embedding") -> DataFrame:
-    """Append a hashing bag-of-words embedding column (array<double>
-    [DIM], L2-normalized, rounded to 6): token char-fold hash → bucket
-    histogram → normalize. One pass per stage, per row."""
-    keep = [c for c in df.columns]
-    s1 = df.withColumn("__ths", token_hashes(F.col(text_col)))
-    counts = F.transform(
-        F.sequence(F.lit(0), F.lit(DIM - 1)),
-        lambda i: F.size(
-            F.filter(F.col("__ths"), lambda h: h % DIM == i.cast("long"))
-        ).cast("double"),
-    )
-    s2 = s1.select(*keep, "__ths", counts.alias("__counts")).drop("__ths")
-    nrm = F.sqrt(
-        F.aggregate(F.col("__counts"), F.lit(0.0), lambda s, x: s + x * x)
-    )
-    s3 = s2.select(*keep, "__counts", nrm.alias("__nrm"))
-    normalized = F.transform(
-        F.col("__counts"),
-        lambda x: F.round(
-            F.when(F.col("__nrm") > 0, x / F.col("__nrm")).otherwise(F.lit(0.0)), 6
-        ),
-    )
-    return s3.select(*keep, "__counts", "__nrm", normalized.alias(out_col)).drop(
-        "__counts", "__nrm"
-    )
-
-
-def embed_subquery_sql(source: str, id_expr: str, text_expr: str) -> str:
-    """DuckDB subquery producing (id, embedding) with the same staged
-    evaluation — each intermediate is a column of an inner subquery so
-    it is computed once per row."""
-    ths = token_hashes_sql(text_expr)
-    return f"""(
-  SELECT id, list_transform(counts, x ->
-           round(CASE WHEN nrm > 0 THEN x / nrm ELSE 0.0 END, 6)) AS embedding
-  FROM (
-    SELECT id, counts, sqrt(list_dot_product(counts, counts)) AS nrm
-    FROM (
-      SELECT id, list_transform(generate_series(0, {DIM - 1}),
-               i -> CAST(len(list_filter(ths, h -> h % {DIM} = i)) AS DOUBLE)) AS counts
-      FROM (SELECT {id_expr} AS id, {ths} AS ths FROM {source})
-    )
-  )
-)"""
-
-
-# Driver-facing shape: the vector is exploded to one row per
-# dimension — (doc_id, dim_idx, val) — because the external harness's
-# canonicalizer sorts/hashes pandas values and cannot hash Python
-# lists. Exploding (rather than stringifying) also sidesteps
-# float-to-string formatting divergence between engines; values stay
-# doubles and hash exactly (they are rounded to 6 inside embed_df).
-
-
-def explode_dims(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    """Explode vec_col (array<double>[DIM]) to (id, dim_idx, val) rows.
-
-    Deliberately explodes a LITERAL index sequence and picks
-    element_at(vec, i) AFTER the Generate, instead of
-    posexplode(vec_col): InferFiltersFromGenerate infers
-    ``size(child) > 0`` on the generator child, and predicate
-    pushdown then substitutes the column's full defining expression
-    into that filter — un-staging the embed pipeline (see the staging
-    note above embed_df) into a single inlined tree whose norm is
-    re-evaluated per element: O(DIM²·T) per row, measured 58 s for
-    100 docs at DIM=64. With a literal sequence the inferred filter
-    constant-folds away and vec_col flows through the Generate as a
-    plain attribute, evaluated once per row (2.8 s same workload)."""
-    return df.select(
-        id_col,
-        vec_col,
-        F.posexplode(F.sequence(F.lit(0), F.lit(DIM - 1))).alias("dim_idx", "__i"),
-    ).select(
-        id_col,
-        F.col("dim_idx").cast("long").alias("dim_idx"),
-        F.element_at(vec_col, F.col("__i").cast("int") + 1).alias("val"),
-    )
-
-
 _EMBED_DOCS_ORACLE = (
     "SELECT e.id AS doc_id, t.i - 1 AS dim_idx, e.embedding[CAST(t.i AS INT)] AS val FROM "
     + embed_subquery_sql(
@@ -310,42 +200,6 @@ def q_embed_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
     )
     return explode_dims(embed_df(docs, "text"), "doc_id", "embedding")
-
-
-def _hash_embed_py(text: str) -> list[float]:
-    """Python twin of embed_expr — exact same integer arithmetic, so
-    the Arrow path is bit-compatible with the SQL path."""
-    counts = [0] * DIM
-    for tok in text.split(" "):
-        if not tok:
-            continue
-        h = 0
-        for ch in tok:
-            h = (h * MULT + ord(ch)) % P
-        counts[h % DIM] += 1
-    norm = sum(c * c for c in counts) ** 0.5  # exact: integer-valued floats
-    if norm == 0:
-        return [0.0] * DIM
-    return [round(c / norm, 6) for c in counts]
-
-
-def embed_pandas(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """U1 Arrow path: mapInPandas embedder — the executor-side batch
-    shape of the reference's encode loop (ref:
-    embedding_generator.py:119-157, batch 32 + per-process model lock;
-    here: one Arrow batch per call, model state would live in a
-    module-level singleton per executor process)."""
-    import pandas as pd
-
-    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
-
-    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        for pdf in batches:
-            pdf = pdf.copy()
-            pdf["embedding"] = pdf[text_col].map(_hash_embed_py)
-            yield pdf
-
-    return df.mapInPandas(gen, schema=schema + ", embedding array<double>")
 
 
 @register("q_embed_pandas", oracle=_EMBED_DOCS_ORACLE)
@@ -405,54 +259,11 @@ def q_embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---------------------------------------------- optional torch path (U1)
-
-_ST_MODEL = None  # per-executor-process singleton, lazily loaded
-
-
-def embed_sentence_transformers(
-    df: DataFrame, text_col: str = "text", model_name: str = "all-MiniLM-L6-v2"
-) -> DataFrame:
-    """U1, real-model path (ref: embedding_generator.py:49-167 —
-    MiniLM-L6-v2, 384-dim, batched encode under a process-wide lock).
-    Identical mapInPandas shape to embed_pandas; the model is a
-    module-level singleton per executor process (the executor analog
-    of the reference's threading.Lock + cached model), Arrow batch ≈
-    the reference's batch_size. sentence-transformers is not installed
-    in this environment — the import guard raises a clear error and
-    the deterministic hashing embedder remains the default engine
-    path (SURVEY §7 Phase 4)."""
-    import pandas as pd
-
-    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        global _ST_MODEL
-        try:
-            from sentence_transformers import SentenceTransformer
-        except ImportError as exc:  # pragma: no cover - env-dependent
-            raise NotImplementedError(
-                "sentence-transformers is not installed; use embed_df/"
-                "embed_pandas (deterministic hashing embedder) or install "
-                "the model library on every executor"
-            ) from exc
-        if _ST_MODEL is None:  # pragma: no cover - needs the library
-            _ST_MODEL = SentenceTransformer(model_name)
-        for pdf in batches:  # pragma: no cover - needs the library
-            pdf = pdf.copy()
-            vecs = _ST_MODEL.encode(
-                list(pdf[text_col]), normalize_embeddings=True
-            )
-            pdf["embedding"] = [[float(x) for x in v] for v in vecs]
-            yield pdf
-
-    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
-    return df.mapInPandas(gen, schema=schema + ", embedding array<double>")
-
-
 _GOLDEN_SEARCH_TOP_K = 3
 
 
 def _golden_vector_search_sql() -> str:
-    from ..operators.search import GOLDEN_QUESTIONS
+    from ..operators.questions import GOLDEN_QUESTIONS
 
     rows = ",\n      ".join(f"({i}, '{t}')" for i, t in GOLDEN_QUESTIONS)
     qv = embed_subquery_sql("questions", "question_id", "question_text")
@@ -482,7 +293,7 @@ def q_golden_vector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast the question vectors, cosine top-3 per question. The
     embeddings are unit vectors, so cosine = dot — one fold per pair.
     BASELINE.md B2 analog, end-to-end oracle-checked."""
-    from ..operators.search import questions_df
+    from ..operators.questions import questions_df
 
     docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
     dv = embed_df(docs, "text", out_col="doc_v").select("doc_id", "doc_v")

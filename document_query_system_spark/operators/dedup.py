@@ -16,11 +16,17 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..sources.tables import load, spread
-from ..functions.hashing import P, token_hashes, token_hashes_sql
+from ..functions.hashing import (
+    P,
+    SHINGLE,
+    shingle_hashes as _shingle_hashes,
+    shingle_hashes_sql as _shingle_hashes_sql,
+    token_hashes,
+    token_hashes_sql,
+)
 
 N_PERM = 8  # MinHash permutations
 N_BANDS = 4  # bands of 2 rows each → near-dup threshold ≈ (1/4)^(1/2) = 0.5
-SHINGLE = 3  # token n-gram width
 SIMHASH_BITS = 16
 
 # Fixed odd multipliers/offsets for the MinHash permutation family
@@ -28,36 +34,9 @@ SIMHASH_BITS = 16
 _A = (2971, 6361, 9091, 3517, 7993, 4421, 8693, 5323)
 _B = (1409, 8191, 2753, 9973, 619, 7487, 3301, 6709)
 
-
-def _shingle_hashes(ths: Column) -> Column:
-    """Hashes of 3-token shingles from a token-hash array column:
-    s_j = (h_j*31² + h_{j+1}*31 + h_{j+2}) mod P.
-
-    Short-doc guard: Spark's ``sequence(1, 0)`` is DESCENDING
-    ``[1, 0]`` (DuckDB's ``generate_series(1, 0)`` is empty), so a
-    document with fewer than SHINGLE tokens must branch to an
-    explicit empty array — otherwise ``element_at(ths, 0)`` aborts
-    the whole job with INVALID_ARRAY_INDEX_IN_ELEMENT_AT."""
-    n = F.size(ths)
-    idx = F.when(
-        n >= SHINGLE, F.sequence(F.lit(1), n - (SHINGLE - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    return F.transform(
-        idx,
-        lambda j: (
-            F.element_at(ths, j) * (31 * 31)
-            + F.element_at(ths, j + 1) * 31
-            + F.element_at(ths, j + 2)
-        )
-        % P,
-    )
-
-
-def _shingle_hashes_sql(ths_expr: str) -> str:
-    return (
-        f"list_transform(generate_series(1, greatest(len({ths_expr}) - {SHINGLE - 1}, 0)), "
-        f"j -> ({ths_expr}[j] * {31 * 31} + {ths_expr}[j + 1] * 31 + {ths_expr}[j + 2]) % {P})"
-    )
+# _shingle_hashes / _shingle_hashes_sql moved to functions/hashing.py
+# (shared with operators/pipeline.py without importing this module's
+# registrations); imported above under their historical names.
 
 
 _SIG_SQL = f"""

@@ -24,8 +24,12 @@ from pyspark.sql import functions as F
 from ..functions.hashing import tokens, tokens_sql
 from ..registry import register
 from ..sources.tables import load, spread
-from .dedup import _shingle_hashes, _shingle_hashes_sql
-from ..functions.hashing import token_hashes, token_hashes_sql
+from ..functions.hashing import (
+    shingle_hashes as _shingle_hashes,
+    shingle_hashes_sql as _shingle_hashes_sql,
+    token_hashes,
+    token_hashes_sql,
+)
 
 # ------------------------------------------------------------- PII redaction
 #
@@ -124,10 +128,16 @@ def q_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     and fraction of its distinct 3-token shingles that appear in any
     eval-set document (doc_id % 97 == 0 stands in for the benchmark).
     Join is train-shingle → broadcast eval-shingle set."""
+    # Staged per the embed_df discipline (functions/vector.py): ths
+    # materializes ONCE per row before the shingle pass references it
+    # 4× per shingle — the inline composition re-evaluates the whole
+    # O(chars) token-hash fold per reference (measured 12× at sf0.1,
+    # O(tokens²·chars) per row — a scale-killer at 100 TB).
     docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
-    sh = docs.select(
+    ths = docs.select("doc_id", token_hashes(F.col("text")).alias("ths"))
+    sh = ths.select(
         "doc_id",
-        F.array_distinct(_shingle_hashes(token_hashes(F.col("text")))).alias("sset"),
+        F.array_distinct(_shingle_hashes(F.col("ths"))).alias("sset"),
     )
     ev = F.broadcast(
         sh.filter(F.col("doc_id") % _EVAL_MOD == 0)
@@ -265,10 +275,10 @@ _BM25_TOPK = 10
 
 
 def _bm25_oracle() -> str:
-    from .search import _question_values
+    from .questions import question_values_sql
 
     return f"""
-WITH {_question_values()},
+WITH {question_values_sql()},
 tok AS (SELECT doc_id, {tokens_sql('lower(text)')} AS tk FROM documents),
 stats AS (SELECT count(*) AS n_docs, avg(len(tk)) AS avgdl FROM tok),
 tf AS (
@@ -312,7 +322,7 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-10 per golden question (k1=1.2, b=0.75). Per-term
     contributions are rounded to 6 before summing and the summed
     score to 4 before ranking, so ordering is engine-identical."""
-    from .search import questions_df
+    from .questions import questions_df
 
     # Shuffle budget (4): ① tf groupBy ② df window on term ③ the tiny
     # corpus-stats agg ④ repartition(question_id) — which the score
@@ -343,7 +353,7 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # isin predicate that pushes into the posting-table pipeline, and
     # the fan-out join broadcasts a pre-deduped local relation — no
     # distinct-aggregation shuffles on 10-row inputs.
-    from .search import GOLDEN_QUESTIONS
+    from .questions import GOLDEN_QUESTIONS
 
     pairs = sorted(
         {(qid, w) for qid, q in GOLDEN_QUESTIONS for w in q.lower().split()}
@@ -393,17 +403,25 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # The 100 TB pattern for "filter a huge fact table by a key set too
 # big to broadcast as an exact list but small enough for a sketch":
-# aggregate the key set into a bloom filter (a few MB), ship it to
-# every partition via a 1-row broadcast cross join, prefilter the
-# fact table (no false negatives), then run the exact semi-join on
-# the survivors. The final answer is exact — the bloom only cuts the
-# shuffle input — so the plain semi-join is a valid oracle.
+# aggregate the key set into a bloom filter (a few hundred KB), embed
+# it in the probe-side plan as a LITERAL bit array, prefilter the
+# fact table scan-locally (no false negatives), then run the exact
+# semi-join on the survivors. The final answer is exact — the bloom
+# only cuts the semi-join's probe input — so the plain semi-join is a
+# valid oracle.
 #
-# Spark's own bloom machinery (bloom_filter_agg / might_contain) is
-# internal-only SQL, so the sketch is built from public primitives:
-# k xxhash64-seeded bit positions per key, folded per 64-bit word
-# with bit_or, packed into a word_idx → bits map that rides the
-# broadcast; the probe is k O(1) map lookups + bit tests per row.
+# Spark's own bloom machinery (bloom_filter_agg / might_contain, the
+# InjectRuntimeFilter rewrite) is internal-only SQL, so the sketch is
+# built from public primitives: k xxhash64-seeded bit positions per
+# key, folded per 64-bit word with bit_or. The packed words are
+# collected to the driver (one bounded-size job over the already-
+# filtered dim side — the same eager-subquery shape InjectRuntimeFilter
+# plans internally) and re-emitted as a constant-folded array literal,
+# because a sketch shipped via a 1-row broadcast cross join gets
+# planned as a BroadcastNestedLoopJoin whose condition sits ABOVE the
+# semi-join — filtering nothing (round-2 advisor finding). As a
+# literal, the k bit tests are a plain scan-adjacent Filter on the
+# fact side, below the join, where a prefilter must live.
 
 _BLOOM_SEG = "BUILDING"
 _BLOOM_BITS = 1 << 18  # 256 Kbit ≈ 4 K words; ~13 bits/key at sf1
@@ -431,18 +449,22 @@ WHERE EXISTS (SELECT 1 FROM customer c
 def q_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered semi-join: orders restricted to customers in
     one market segment. The segment's key set is aggregated into a
-    bloom filter that rides a broadcast 1-row cross join; orders are
-    prefiltered executor-side with might_contain (false positives
-    removed by the exact semi-join that follows, false negatives
-    impossible), so the semi-join shuffle sees ~1/5 of the table."""
+    bloom bit array, built eagerly (one tiny job on the filtered dim
+    side, collected to the driver — the bounded exception to the
+    no-collect rule, ~32 KB) and embedded as a constant-folded literal
+    so the k bit tests run as a scan-local Filter BELOW the exact
+    semi-join (false positives removed by the semi-join, false
+    negatives impossible), cutting the semi-join's probe input ~5×.
+    Plan pinned in tests/test_plan_quality.py: no shuffle anywhere,
+    one broadcast (the exact verify side), bit tests under the join."""
     cust = load(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == _BLOOM_SEG
     )
     pos = F.explode(F.array(*_bloom_positions(F.col("c_custkey")))).alias("pos")
-    bloom = (
+    packed = (
         cust.select(pos)
         .select(
-            (F.col("pos") / 64).cast("long").alias("word_idx"),
+            (F.col("pos") / 64).cast("int").alias("word_idx"),
             # shiftleft's shift amount must be a column-valued
             # expression → SQL form (the pyspark wrapper takes int).
             F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias(
@@ -451,27 +473,28 @@ def q_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("word_idx")
         .agg(F.bit_or("bit").alias("bits"))
-        .agg(
-            F.map_from_entries(F.collect_list(F.struct("word_idx", "bits"))).alias(
-                "bf"
-            )
-        )
+        .collect()
     )
+    words = [0] * (_BLOOM_BITS // 64)
+    for r in packed:
+        words[r.word_idx] = r.bits
+    bf = F.lit(words)  # array<bigint> literal, constant-folded once
     orders = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
-    staged = orders.crossJoin(F.broadcast(bloom)).select(
+    staged = orders.select(
         "*",
         *[
             p.alias(f"__p{i}")
             for i, p in enumerate(_bloom_positions(F.col("o_custkey")))
         ],
-    )
+    ).withColumn("__bf", bf)
     # Low bit survives the arithmetic shiftright even when the packed
     # word is negative (bit 63 set): odd ⇔ bit set ⇔ % 2 != 0.
+    # word_idx < _BLOOM_BITS/64 by construction → element_at is total.
     hit = " AND ".join(
-        f"(shiftright(coalesce(element_at(bf, CAST(__p{i} / 64 AS BIGINT)), "
-        f"CAST(0 AS BIGINT)), CAST(__p{i} % 64 AS INT)) % 2 != 0)"
+        f"(shiftright(element_at(__bf, CAST(__p{i} / 64 AS INT) + 1), "
+        f"CAST(__p{i} % 64 AS INT)) % 2 != 0)"
         for i in range(_BLOOM_K)
     )
     prefiltered = staged.filter(F.expr(hit)).select(

@@ -35,6 +35,66 @@ def _bucket(col: str):
 _BUCKET_SQL = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT)"
 
 
+# C4-style quality filter chain (Raffel et al. 2020 heuristics,
+# re-scaled to the synthetic corpus): each rule is a boolean column,
+# the verdict is their conjunction, and per-rule pass counts make the
+# chain auditable.
+_MIN_WORDS = 20
+_MAX_MEAN_WORD_LEN = 12.0
+_STOP = ("the", "a", "is", "of")
+
+
+@register(
+    "q_quality_filter_chain",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, text, {tokens_sql('text')} AS toks FROM documents
+),
+rules AS (
+  SELECT doc_id,
+         len(toks) >= {_MIN_WORDS} AS r_min_words,
+         CAST(length(text) AS DOUBLE) / greatest(len(toks), 1)
+           <= {_MAX_MEAN_WORD_LEN} AS r_word_len,
+         len(list_filter(toks, t -> t IN ('the', 'a', 'is', 'of'))) > 0
+           AS r_has_stopword,
+         NOT contains(text, '{{')  AS r_no_braces
+  FROM tok
+)
+SELECT doc_id, r_min_words, r_word_len, r_has_stopword, r_no_braces,
+       r_min_words AND r_word_len AND r_has_stopword AND r_no_braces AS keep
+FROM rules
+""",
+)
+def q_quality_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style quality filter chain: min word count, mean word
+    length bound, stopword presence, no code-ish braces — each rule a
+    column (auditable per-rule), verdict their conjunction. One scan,
+    zero shuffles; at 100 TB this runs as a pure map over document
+    partitions with the verdict usable as a pushed filter for
+    downstream stages."""
+    d = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    t = d.select("doc_id", "text", tokens(F.col("text")).alias("toks"))
+    r1 = (F.size("toks") >= _MIN_WORDS).alias("r_min_words")
+    r2 = (
+        F.length("text").cast("double") / F.greatest(F.size("toks"), F.lit(1))
+        <= _MAX_MEAN_WORD_LEN
+    ).alias("r_word_len")
+    r3 = (
+        F.size(F.filter(F.col("toks"), lambda t_: t_.isin(*_STOP))) > 0
+    ).alias("r_has_stopword")
+    r4 = (~F.col("text").contains("{")).alias("r_no_braces")
+    rules = t.select("doc_id", r1, r2, r3, r4)
+    return rules.select(
+        "*",
+        (
+            F.col("r_min_words")
+            & F.col("r_word_len")
+            & F.col("r_has_stopword")
+            & F.col("r_no_braces")
+        ).alias("keep"),
+    )
+
+
 @register(
     "q_sample_hash",
     oracle=f"""
@@ -157,64 +217,4 @@ def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "top_token_count",
         "top_token_frac",
         "distinct_frac",
-    )
-
-
-# C4-style quality filter chain (Raffel et al. 2020 heuristics,
-# re-scaled to the synthetic corpus): each rule is a boolean column,
-# the verdict is their conjunction, and per-rule pass counts make the
-# chain auditable.
-_MIN_WORDS = 20
-_MAX_MEAN_WORD_LEN = 12.0
-_STOP = ("the", "a", "is", "of")
-
-
-@register(
-    "q_quality_filter_chain",
-    oracle=f"""
-WITH tok AS (
-  SELECT doc_id, text, {tokens_sql('text')} AS toks FROM documents
-),
-rules AS (
-  SELECT doc_id,
-         len(toks) >= {_MIN_WORDS} AS r_min_words,
-         CAST(length(text) AS DOUBLE) / greatest(len(toks), 1)
-           <= {_MAX_MEAN_WORD_LEN} AS r_word_len,
-         len(list_filter(toks, t -> t IN ('the', 'a', 'is', 'of'))) > 0
-           AS r_has_stopword,
-         NOT contains(text, '{{')  AS r_no_braces
-  FROM tok
-)
-SELECT doc_id, r_min_words, r_word_len, r_has_stopword, r_no_braces,
-       r_min_words AND r_word_len AND r_has_stopword AND r_no_braces AS keep
-FROM rules
-""",
-)
-def q_quality_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C4-style quality filter chain: min word count, mean word
-    length bound, stopword presence, no code-ish braces — each rule a
-    column (auditable per-rule), verdict their conjunction. One scan,
-    zero shuffles; at 100 TB this runs as a pure map over document
-    partitions with the verdict usable as a pushed filter for
-    downstream stages."""
-    d = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
-    t = d.select("doc_id", "text", tokens(F.col("text")).alias("toks"))
-    r1 = (F.size("toks") >= _MIN_WORDS).alias("r_min_words")
-    r2 = (
-        F.length("text").cast("double") / F.greatest(F.size("toks"), F.lit(1))
-        <= _MAX_MEAN_WORD_LEN
-    ).alias("r_word_len")
-    r3 = (
-        F.size(F.filter(F.col("toks"), lambda t_: t_.isin(*_STOP))) > 0
-    ).alias("r_has_stopword")
-    r4 = (~F.col("text").contains("{")).alias("r_no_braces")
-    rules = t.select("doc_id", r1, r2, r3, r4)
-    return rules.select(
-        "*",
-        (
-            F.col("r_min_words")
-            & F.col("r_word_len")
-            & F.col("r_has_stopword")
-            & F.col("r_no_braces")
-        ).alias("keep"),
     )

@@ -25,31 +25,16 @@ from pyspark.sql import functions as F
 from ..registry import register
 from ..sources.tables import load, spread
 
-# Golden question set. The reference's golden set is 10 fixed
-# insurance questions (ref: src/scripts/main.py:54-65); these 10 use
-# the synthetic documents' vocabulary so the keyword scorer yields
-# nonzero, oracle-reproducible scores (FIXTURES.md §13).
-GOLDEN_QUESTIONS: list[tuple[int, str]] = [
-    (1, "how does spark merge sort runs for a big table"),
-    (2, "which query uses a hash join on the customer table"),
-    (3, "is the window agg slow for small batch data"),
-    (4, "can a vector scan filter the stream fast"),
-    (5, "why is the group order sort slow"),
-    (6, "does the batch query merge dup rows"),
-    (7, "what column key does the join use"),
-    (8, "is a small part table broadcast fast"),
-    (9, "how big is the data stream per batch window"),
-    (10, "which line value does the filter scan match"),
-]
-
-TOP_K = 3  # context chunks per answer (ref: src/main.py:103, 157)
-SNIPPET_LEN = 500  # fallback-answer content truncation (ref: src/main.py:147)
-
-
-def questions_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(
-        GOLDEN_QUESTIONS, "question_id INT, question_text STRING"
-    )
+# Golden question set + constants live in operators/questions.py (a
+# registration-free module) so other registering modules can import
+# them without pulling search's queries into their registry position.
+from .questions import (  # noqa: F401  (re-exported: public surface)
+    GOLDEN_QUESTIONS,
+    SNIPPET_LEN,
+    TOP_K,
+    question_values_sql,
+    questions_df,
+)
 
 
 def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -96,9 +81,7 @@ def keyword_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
     )
 
 
-def _question_values() -> str:
-    rows = ",\n      ".join(f"({i}, '{t}')" for i, t in GOLDEN_QUESTIONS)
-    return f"questions(question_id, question_text) AS (VALUES\n      {rows})"
+_question_values = question_values_sql  # historical name, kept for callers
 
 
 _SCORED_CTE = f"""

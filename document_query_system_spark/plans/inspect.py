@@ -42,11 +42,14 @@ class PlanReport:
     def n_shuffles(self) -> int:
         """Keyed data-moving exchanges (broadcasts counted separately).
 
-        Round-robin REPARTITION_BY_NUM exchanges are excluded: those
-        are sources.tables.spread() fanning a one-row-group local
-        parquet file across cores — a test-fixture artifact that does
-        not exist on a real multi-file table, not a join/agg shuffle
-        the plan needs."""
+        Round-robin exchanges whose partition count matches a
+        sources.tables.spread() call are excluded: those fan a
+        one-row-group local parquet file across cores — a
+        test-fixture artifact that does not exist on a real
+        multi-file table, not a join/agg shuffle the plan needs.
+        Other round-robin repartitions (a future query's own
+        df.repartition(n)) stay inside the budget — spread() uses a
+        distinctive 2×cores+1 count so the two don't collide."""
         return (
             self.n_exchanges - self.n_broadcasts - self.n_spread_repartitions
         )
@@ -72,9 +75,13 @@ def plan_report(df: DataFrame) -> PlanReport:
     rep.n_sort_aggregates = len(re.findall(r"\(\d+\) SortAggregate\b", plan))
     rep.n_codegen_spans = len(re.findall(r"WholeStageCodegen", plan))
     # Each scan node has an indented detail block.
+    from ..sources.tables import SPREAD_COUNTS
+
     for block in re.split(r"\n\(\d+\) ", plan):
-        if block.startswith("Exchange") and "RoundRobinPartitioning" in block:
-            rep.n_spread_repartitions += 1
+        if block.startswith("Exchange"):
+            m = re.search(r"RoundRobinPartitioning\((\d+)\)", block)
+            if m and int(m.group(1)) in SPREAD_COUNTS:
+                rep.n_spread_repartitions += 1
         if not block.startswith("Scan parquet"):
             continue
         cols = re.search(r"ReadSchema: struct<([^>]*)>", block)

@@ -34,6 +34,20 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # InferFiltersFromGenerate turns explode(expensive_expr) into
+        # Filter(size(expensive_expr) > 0) + explode; predicate
+        # pushdown then substitutes the FULL defining expression tree
+        # through the alias chain into that filter, un-staging every
+        # carefully select-staged pipeline above a Generate (the
+        # shingle/embed passes: measured 60 s vs 4 s at sf0.1 — the
+        # inlined tree re-evaluates an O(chars) fold per array
+        # element). The rows it would skip (empty arrays) are a
+        # vanishing fraction of any real corpus; the staged plans
+        # handle them anyway.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

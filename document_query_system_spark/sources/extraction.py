@@ -655,3 +655,262 @@ def q_extract_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, chunk_seq int, chunk_id string, content string, "
         "word_count long",
     )
+
+
+# ------------------------------------------------------------------ OCR (U3)
+#
+# The reference's third extraction strategy rasterizes PDF pages and
+# runs pytesseract over the page images (ref:
+# document_processing_service.py:241-271). No OCR/image library ships
+# in this environment, so the ENGINE path is a deterministic
+# synthetic-glyph OCR with the same computational shape — page raster
+# (binary bitmap) → fixed-pitch cell segmentation → per-glyph
+# template classification → text — and the real pytesseract call is
+# the guarded swap-in (_ocr_tesseract). The glyph font is procedural
+# (uniqueness asserted at import), so decode is exact and the whole
+# raster→text pass is value-verified by the DuckDB oracle.
+
+_GLYPH_BYTES = 7  # 7 rows × 5 px per glyph, one row per byte (low 5 bits)
+_OCR_PAGE_CHARS = 400  # chars rasterized per page (ref: per-page OCR loop)
+_RASTER_MAGIC = b"RASTER1\x00"
+
+
+def _make_font() -> dict[str, bytes]:
+    """Procedural 5×7 glyph per printable-ASCII char. Rows derive from
+    the same char-fold constants as functions/hashing.py; a per-char
+    salt bumps until every glyph is unique so template matching is
+    exact-inverse."""
+    font: dict[str, bytes] = {}
+    used: set[bytes] = set()
+    for code in range(32, 127):
+        salt = 0
+        while True:
+            rows = bytes(
+                ((code * 131 + r * 31 + salt * 7919 + 13) * 2654435761 >> 11) & 0x1F
+                for r in range(_GLYPH_BYTES)
+            )
+            if rows not in used:
+                break
+            salt += 1  # pragma: no cover - no collision for ASCII range
+        used.add(rows)
+        font[chr(code)] = rows
+    return font
+
+
+_FONT = _make_font()
+_FONT_INV = {v: k for k, v in _FONT.items()}
+
+
+def _rasterize_page(text: str) -> bytes:
+    """Render one page of text as a glyph bitmap (the stand-in for the
+    reference's pix = page.get_pixmap())."""
+    return _RASTER_MAGIC + b"".join(_FONT[c] for c in text)
+
+
+def _ocr_page(raster: bytes) -> str:
+    """Synthetic-glyph OCR: segment the bitmap into fixed-pitch cells
+    and classify each against the font templates."""
+    if not raster.startswith(_RASTER_MAGIC):
+        raise ValueError("not a RASTER1 page image")
+    body = raster[len(_RASTER_MAGIC):]
+    cells = (
+        body[i : i + _GLYPH_BYTES] for i in range(0, len(body), _GLYPH_BYTES)
+    )
+    return "".join(_FONT_INV[c] for c in cells)
+
+
+def _ocr_tesseract(raster: bytes) -> str:  # pragma: no cover - stub
+    """Swap-in point for real OCR (ref:
+    document_processing_service.py:241-271 — pytesseract per page
+    pixmap). Same signature as _ocr_page; route scanned-page rasters
+    here when the library is installed on executors."""
+    raise NotImplementedError(
+        "pytesseract/PIL are not installed; the deterministic "
+        "synthetic-glyph OCR (_ocr_page) is the engine default"
+    )
+
+
+def scanned_pages_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, page, raster binary) — one raster page image per
+    _OCR_PAGE_CHARS chars of each document, built in mapInPandas (the
+    binary-column multimodal pattern, operators/multimodal.py)."""
+    import pandas as pd
+
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = {"doc_id": [], "page": [], "raster": []}
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                for p in range(0, max(len(text), 1), _OCR_PAGE_CHARS):
+                    out["doc_id"].append(did)
+                    out["page"].append(p // _OCR_PAGE_CHARS + 1)
+                    out["raster"].append(
+                        _rasterize_page(text[p : p + _OCR_PAGE_CHARS])
+                    )
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(gen, "doc_id long, page int, raster binary")
+
+
+@register(
+    "q_ocr_text",
+    oracle=f"""
+WITH pages AS (
+  SELECT doc_id, text,
+         unnest(generate_series(
+           1, CAST(ceil(length(text) / {_OCR_PAGE_CHARS}.0) AS BIGINT))) AS p
+  FROM documents
+)
+SELECT doc_id, CAST(p AS INT) AS page,
+       substr(text, CAST((p - 1) * {_OCR_PAGE_CHARS} + 1 AS BIGINT),
+              {_OCR_PAGE_CHARS}) AS page_text,
+       CAST(length(substr(text, CAST((p - 1) * {_OCR_PAGE_CHARS} + 1 AS BIGINT),
+                          {_OCR_PAGE_CHARS})) AS BIGINT) AS n_chars
+FROM pages
+""",
+)
+def q_ocr_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3: OCR tier — raster page images → per-page text via the
+    synthetic-glyph OCR (segmentation + template classification in
+    mapInPandas; pytesseract is the guarded swap-in, ref:
+    document_processing_service.py:241-271). The raster build and the
+    OCR run are separate passes over a real binary column, and the
+    recovered page text is value-verified against the source."""
+    import pandas as pd
+
+    pages = scanned_pages_table(spark, sf_dir)
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            texts = [_ocr_page(bytes(r)) for r in pdf["raster"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "page": pdf["page"],
+                    "page_text": texts,
+                    "n_chars": [len(t) for t in texts],
+                }
+            )
+
+    return pages.mapInPandas(
+        gen, "doc_id long, page int, page_text string, n_chars long"
+    )
+
+
+# ------------------------------------------------- extraction cascade (S2)
+#
+# The reference tries extraction strategies in order and falls
+# through when a strategy yields < 50 words (ref:
+# document_processing_service.py:102-150 cascade; :152-154
+# sufficiency check): PyMuPDF → pdfplumber → OCR. The engine form is
+# a per-row cascade inside one mapInPandas over a composite container
+# that carries all three layers: a text layer (≈PyMuPDF's extract), a
+# structure layer (≈pdfplumber's layout parse), and a raster (≈the
+# scanned page). Forced-failure docs are built deterministically —
+# doc_id % 5 == 0 ships an empty text layer AND empty structure
+# (scanned-only doc → OCR); doc_id % 5 == 1 ships a 10-word text
+# layer (insufficient → structure) — so every strategy visibly fires
+# and the oracle checks which strategy won per row.
+
+_CASCADE_MIN_WORDS = 50  # ref :152-154: < 50 words → next strategy
+
+
+def _build_cascade_payload(doc_id: int, text: str) -> bytes:
+    """Composite scanned-PDF container: text layer + structure layer +
+    raster, length-prefixed sections."""
+    mode = doc_id % 5
+    tl = "" if mode == 0 else (" ".join(text.split(" ")[:10]) if mode == 1 else text)
+    st = text if mode == 1 else ""
+    raster = _rasterize_page(text)
+    out = bytearray(b"SCANPDF1")
+    for section in (tl.encode("utf-8"), st.encode("utf-8"), raster):
+        out += len(section).to_bytes(4, "big") + section
+    return bytes(out)
+
+
+def _n_words(s: str) -> int:
+    return sum(1 for t in s.split(" ") if t)
+
+
+def _extract_cascade_one(payload: bytes) -> tuple[str, str]:
+    """(strategy_used, body_text) — per-row fall-through."""
+    if not payload.startswith(b"SCANPDF1"):
+        raise ValueError("not a SCANPDF1 container")
+    sections, off = [], 8
+    for _ in range(3):
+        n = int.from_bytes(payload[off : off + 4], "big")
+        sections.append(payload[off + 4 : off + 4 + n])
+        off += 4 + n
+    tl = sections[0].decode("utf-8")
+    if _n_words(tl) >= _CASCADE_MIN_WORDS:
+        return "text_layer", tl
+    st = sections[1].decode("utf-8")
+    if _n_words(st) >= _CASCADE_MIN_WORDS:
+        return "structure", st
+    return "ocr", _ocr_page(sections[2])
+
+
+@register(
+    "q_extract_cascade",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, text,
+         len(list_filter(string_split(text, ' '), t -> t <> '')) AS nw
+  FROM documents
+)
+SELECT doc_id,
+       CASE
+         WHEN doc_id % 5 = 0 THEN 'ocr'
+         WHEN doc_id % 5 = 1 THEN
+           CASE WHEN nw >= {_CASCADE_MIN_WORDS} THEN 'structure' ELSE 'ocr' END
+         ELSE
+           CASE WHEN nw >= {_CASCADE_MIN_WORDS} THEN 'text_layer' ELSE 'ocr' END
+       END AS strategy_used,
+       text AS body_text,
+       CAST(nw AS BIGINT) AS n_words
+FROM tok
+""",
+)
+def q_extract_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: the 3-strategy extraction cascade with per-row fall-through
+    (text layer → structure parse → OCR, each sufficient only at
+    ≥ 50 words — ref: document_processing_service.py:102-154). The
+    landing build plants failures deterministically (doc_id % 5 == 0:
+    scanned-only; % 5 == 1: truncated text layer), and the oracle
+    verifies both WHICH strategy won per document and that the final
+    body text is exact regardless of the path taken."""
+    import pandas as pd
+
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+
+    def build(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        _build_cascade_payload(did, text)
+                        for did, text in zip(pdf["doc_id"], pdf["text"])
+                    ],
+                }
+            )
+
+    landing = docs.mapInPandas(build, "doc_id long, payload binary")
+
+    def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = [_extract_cascade_one(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "strategy_used": [r[0] for r in rows],
+                    "body_text": [r[1] for r in rows],
+                    "n_words": [_n_words(r[1]) for r in rows],
+                }
+            )
+
+    return landing.mapInPandas(
+        extract,
+        "doc_id long, strategy_used string, body_text string, n_words long",
+    )

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import shutil
 import time
 import urllib.error
 import urllib.request
@@ -76,8 +77,16 @@ def fetch_to_landing(
     sha256 (payload digest, the content-hash dedup-cache key — ref:
     ingestion_service.py:322-329). Failed fetches stay in the
     manifest (n_bytes -1) but write no file, so the downstream scan
-    sees only successes."""
-    os.makedirs(landing_dir, exist_ok=True)
+    sees only successes.
+
+    Fetches land in a fresh staging dir that atomically REPLACES
+    ``landing_dir`` on completion: a landing dir is defined by its
+    manifest, so files from an interrupted earlier run (or an earlier
+    run with a different URL set under the same dir name) must never
+    leak into the downstream binaryFile scan."""
+    staging = landing_dir.rstrip("/") + ".staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    os.makedirs(staging)
     manifest = []
     for file_name, url in urls:
         payload, status, attempts = fetch_with_retry(
@@ -92,9 +101,11 @@ def fetch_to_landing(
             "sha256": "" if payload is None else hashlib.sha256(payload).hexdigest(),
         }
         if payload is not None:
-            with open(os.path.join(landing_dir, file_name), "wb") as f:
+            with open(os.path.join(staging, file_name), "wb") as f:
                 f.write(payload)
         manifest.append(row)
+    shutil.rmtree(landing_dir, ignore_errors=True)
+    os.replace(staging, landing_dir)
     return manifest
 
 

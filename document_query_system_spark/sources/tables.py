@@ -56,6 +56,13 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load(spark, sf_dir, name) for name in TABLES}
 
 
+# Partition counts spread() has actually used this process — consulted
+# by plans.inspect so the shuffle budget excludes ONLY these fixture
+# fan-outs, not every RoundRobinPartitioning a future query might add
+# (a genuine df.repartition(n) stays inside the budget).
+SPREAD_COUNTS: set[int] = set()
+
+
 def spread(df: DataFrame, parts: int | None = None) -> DataFrame:
     """Round-robin repartition before compute-heavy per-row stages.
 
@@ -66,7 +73,13 @@ def spread(df: DataFrame, parts: int | None = None) -> DataFrame:
     shuffle moves only the scan's projected columns. At cluster scale
     this is the same knob used to spread a small-but-hot input across
     executors.
+
+    The default count is 2×cores+1: finer-grained than one task per
+    core (stragglers overlap instead of serializing) and deliberately
+    DISTINCTIVE so plans.inspect can recognize spread()'s exchanges by
+    count without excluding other round-robin repartitions.
     """
     if parts is None:
-        parts = df.sparkSession.sparkContext.defaultParallelism
+        parts = 2 * df.sparkSession.sparkContext.defaultParallelism + 1
+    SPREAD_COUNTS.add(parts)
     return df.repartition(parts)

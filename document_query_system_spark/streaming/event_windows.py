@@ -201,6 +201,25 @@ class _scoped_shuffle_partitions:
         self._spark.conf.set("spark.sql.shuffle.partitions", self._prev)
 
 
+def _drain(q, timeout_sec: int = 120) -> None:
+    """Wait for an availableNow query to finish and NEVER leave its
+    thread running: a zombie stream interrupted later (next query,
+    session stop) dies with a MicroBatchExecution interrupt stack in
+    whatever process output is being captured (this polluted the r2
+    bench artifact). Timeout → explicit stop + hard failure."""
+    try:
+        finished = q.awaitTermination(timeout_sec)
+    except Exception:
+        if q.isActive:  # pragma: no cover - defensive
+            q.stop()
+        raise
+    if not finished:  # pragma: no cover - only on pathological stalls
+        q.stop()
+        raise RuntimeError(
+            f"streaming query {q.name or q.id} exceeded {timeout_sec}s"
+        )
+
+
 def _run_to_memory(
     stream_df: DataFrame, spark: SparkSession, output_mode: str = "complete"
 ) -> DataFrame:
@@ -215,7 +234,7 @@ def _run_to_memory(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        _drain(q)
     return spark.table(sink)
 
 
@@ -330,7 +349,7 @@ def q_stream_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("checkpointLocation", f"{path}_ckpt")
             .start()
         )
-        q.awaitTermination(120)
+        _drain(q)
     return spark.read.parquet(path).select(
         "user_id", "event_type", "event_id", "value"
     )

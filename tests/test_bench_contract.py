@@ -18,6 +18,10 @@ def test_bench_emits_one_json_line():
         os.environ,
         SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
         SPARK_GRAFT_CPUS="4",
+        # Redirect the sidecar: the repo-root BENCH_FULL.json is the
+        # tracked artifact of the last FULL bench run and a subset test
+        # run must not clobber it (round-2 verdict housekeeping).
+        SPARK_GRAFT_BENCH_SIDECAR="/tmp/bench_full_subset_test.json",
         # q_embed_pandas is deliberately in the subset: it is UDF-backed,
         # so this also regression-guards the addPyFile worker-shipping
         # path from a foreign cwd.

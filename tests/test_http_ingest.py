@@ -95,3 +95,16 @@ def test_fetch_to_landing_manifest(server, tmp_path):
     assert len(by_name["a.bin"]["sha256"]) == 64
     assert by_name["b.bin"]["n_bytes"] == -1
     assert (tmp_path / "a.bin").exists() and not (tmp_path / "b.bin").exists()
+
+
+def test_fetch_to_landing_replaces_stale_dir(server, tmp_path):
+    """A landing dir is defined by its manifest: files from an earlier
+    interrupted/different run under the same dir must not survive into
+    the downstream binaryFile scan (round-2 advisor finding)."""
+    (tmp_path / "stale.bin").write_bytes(b"left over from a previous run")
+    fetch_to_landing(
+        [("a.bin", f"{server}/f1")], str(tmp_path),
+        max_retries=1, backoff_sec=0.01,
+    )
+    assert (tmp_path / "a.bin").exists()
+    assert not (tmp_path / "stale.bin").exists()

@@ -71,13 +71,46 @@ def test_partition_pruning_reaches_listing(spark):
     assert m and "lang" in m.group(1)
 
 
-def test_bloom_prefilter_rides_broadcasts(spark):
-    """The bloom sketch and the exact verify side must both broadcast;
-    the orders side must never shuffle before the semi-join."""
+def test_bloom_prefilter_is_scan_local(spark):
+    """The bloom bit tests must be a literal-array Filter on the
+    orders subtree BELOW the exact semi-join (a sketch shipped via a
+    1-row broadcast cross join gets hoisted into a BNLJ condition
+    ABOVE the join and filters nothing — round-2 advisor finding).
+    Probe plan: zero shuffles, zero BNLJ, exactly one broadcast (the
+    exact verify side), and the shiftright bit test present as a
+    Filter."""
     rep = _plan(spark, "q_bloom_prefilter_join")
-    assert rep.n_broadcasts == 2
+    assert rep.n_broadcasts == 1  # exact semi-join build side only
     assert "BroadcastHashJoin" in rep.raw  # exact semi-join
+    assert rep.n_bnlj == 0  # sketch must NOT ride a cross join
     assert rep.n_shuffles == 0  # big side stays in place
+    # The bit test survives as a scan-adjacent filter on orders.
+    import re
+
+    filters = [
+        blk for blk in re.split(r"\n\(\d+\) ", rep.raw)
+        if blk.startswith("Filter") and "shiftright" in blk
+    ]
+    assert filters, "bloom bit-test filter missing from the probe side"
+
+
+def test_cosine_dedup_salts_the_bucket_key(spark):
+    """Embedding-cosine dedup must JOIN on (label, salt), not label
+    alone: a skewed label bucket (one dominant language at 100 TB)
+    otherwise degenerates toward all-pairs inside ONE partition — the
+    salt splits each bucket's |bucket|² pair work across COSINE_SALT
+    reducers. At fixture scale Catalyst (correctly) broadcasts one
+    side, so pin the salt in the equi-join KEYS (which become the
+    hashpartitioning keys when both sides are large and the join goes
+    shuffle-side)."""
+    import re
+
+    rep = _plan(spark, "q_dedup_embedding_cosine")
+    keyed = re.findall(r"(?:Left|Right) keys \[\d+\]: \[([^\]]*)\]", rep.raw)
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", rep.raw)
+    assert any("label" in p and "salt" in p for p in keyed + parts), (
+        "join no longer keyed on (label, salt): " + rep.raw[:800]
+    )
 
 
 def test_bm25_shuffle_shape(spark):

@@ -30,3 +30,33 @@ def test_all_declared_schemas_are_valid():
         st = getattr(schemas, name)
         assert len(st.fields) > 0
         assert len({f.name for f in st.fields}) == len(st.fields)
+
+
+def test_driver_canonicalizer_contract(spark):
+    """Every oracle-checked query must return SCALAR-only top-level
+    columns: the external harness's canonicalizer sorts/hashes pandas
+    values and cannot hash Python lists/dicts (the r1
+    q_dedup_minhash_sig red row — an array<bigint> column — was
+    exactly this class; it was fixed ad hoc by string-reshaping, this
+    test closes the class). Arrays must be exploded to rows or joined
+    to strings before registration."""
+    from pyspark.sql import types as T
+
+    from document_query_system_spark.registry import all_specs
+
+    from conftest import SF_DIR
+
+    complex_types = (T.ArrayType, T.MapType, T.StructType, T.BinaryType)
+    offenders = []
+    for name, spec in sorted(all_specs().items()):
+        if spec.oracle is None:
+            continue  # rows-only checks never reach the value hasher
+        df = spec.fn(spark, SF_DIR)
+        bad = [
+            f"{f.name}:{f.dataType.simpleString()}"
+            for f in df.schema.fields
+            if isinstance(f.dataType, complex_types)
+        ]
+        if bad:
+            offenders.append((name, bad))
+    assert offenders == []
