@@ -684,14 +684,20 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets* (the coarse-quantization blocking key), keep pairs above
     threshold.
 
-    Two scale disciplines on top of the blocking key:
+    Three scale disciplines on top of the blocking key:
     - norms are computed once per vector BEFORE the join (the naive
       form recomputes two O(dim) norm folds per candidate pair);
     - the join key is salted: the left side gets ``vec_id mod S``,
       the right side is replicated to all S salt values, so a label
       bucket's |bucket|² pair work splits across S tasks instead of
       landing in one sort-merge key group. Each pair still meets
-      exactly once.
+      exactly once;
+    - the probe side is spread(): the embeddings parquet is one row
+      group at small SF, so without an explicit repartition the whole
+      O(pairs·dim) join body runs on ONE task (measured 7.5 s warm on
+      a single core vs sub-second spread across 32 — the salt key
+      alone cannot parallelize a broadcast join, which partitions by
+      the probe side's layout, not by join key).
     """
     from ..functions.vector import dot, l2_norm
 
@@ -699,7 +705,7 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
     base = emb.select("vec_id", "label", "v", l2_norm(F.col("v")).alias("nrm"))
-    a = base.withColumn(
+    a = spread(base).withColumn(
         "salt", (F.col("vec_id") % COSINE_SALT).cast("int")
     ).alias("a")
     b = base.withColumn(
