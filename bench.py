@@ -60,6 +60,22 @@ def main() -> None:
         from document_query_system_spark.api import ensure_vector_index
 
         ensure_vector_index(spark, sf_dir)
+        # One more UNTIMED embed pass: the embedder's generated code is
+        # a wide HOF expression whose C2 compilation finishes seconds
+        # after first use — without this, whichever embed query runs
+        # first absorbs a 2-15 s JIT warmup that bench order then
+        # shuffles between rounds (the r3→r4 "regression" on
+        # q_golden_vector_search was partly this, partly box load —
+        # see BENCH_NOTES.md).
+        from document_query_system_spark.functions.embed import embed_df
+        from document_query_system_spark.sources.tables import load, spread
+
+        _force(
+            embed_df(
+                spread(load(spark, sf_dir, "documents").select("doc_id", "text")),
+                "text",
+            ).select("doc_id", "embedding")
+        )
     except Exception as exc:  # pragma: no cover
         print(f"BENCH-ERROR index warmup: {exc}", file=sys.stderr)
 
@@ -86,16 +102,33 @@ def main() -> None:
 
         from document_query_system_spark.sources.tmputil import tmp_path
 
-        docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+        # B1 protocol: embed AND write the embeddings table (the
+        # reference's index build, minus its throttling sleeps). The
+        # raw corpus at sf0.1 is only 500 docs (~0.25-1 s of work) —
+        # sub-second wall is noise-dominated (B1 "moved" 4× across r3/
+        # r4 with zero code change), so replicate the corpus until the
+        # measured batch is big enough that the rate is stable (±20%).
+        B1_REPLICAS = int(os.environ.get("SPARK_GRAFT_B1_REPLICAS", "20"))
+        base_docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+        docs = spread(
+            base_docs.crossJoin(
+                F.broadcast(
+                    spark.range(B1_REPLICAS).select(F.col("id").alias("replica"))
+                )
+            ).select(
+                (F.col("doc_id") + F.col("replica") * 1_000_000_000).alias("doc_id"),
+                "text",
+            )
+        )
         n_docs = docs.count()
         t0 = time.perf_counter()
-        # B1 protocol: embed AND write the embeddings table (the
-        # reference's index build, minus its throttling sleeps).
         embed_df(docs, "text").select("doc_id", "embedding").write.mode(
             "overwrite"
         ).parquet(tmp_path("bench_embeddings.parquet"))
         b1 = time.perf_counter() - t0
         baseline["b1_index_docs_per_sec"] = round(n_docs / b1, 1)
+        baseline["b1_batch_docs"] = n_docs
+        baseline["b1_wall_sec"] = round(b1, 3)
         baseline["b2_vector_sec_per_query"] = round(
             timings.get("q_golden_vector_search", -1.0) / 10, 4
         )

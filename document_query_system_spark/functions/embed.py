@@ -180,7 +180,26 @@ def embed_pandas(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 # ---------------------------------------------- optional torch path (U1)
 
+import importlib.util
+
+#: Probed once at import; module re-imports on executors, so a cluster
+#: where only some nodes carry the model library would mis-route —
+#: install uniformly (the reference has the same constraint: one model
+#: per process, embedding_generator.py:49-72).
+_HAS_ST = importlib.util.find_spec("sentence_transformers") is not None
+
 _ST_MODEL = None  # per-executor-process singleton, lazily loaded
+
+
+def embed_auto(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """U1 with automatic model routing: the real sentence-transformers
+    encoder when installed, else the deterministic hashing embedder
+    (identical mapInPandas shape, oracle-checkable output). The
+    deterministic path stays the default test surface in codec-free
+    environments like this sandbox."""
+    if _HAS_ST:  # pragma: no cover - needs the library
+        return embed_sentence_transformers(df, text_col)
+    return embed_pandas(df, text_col)
 
 
 def embed_sentence_transformers(

@@ -48,18 +48,41 @@ def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Spread the scan: a small parquet file reads as ONE partition and
     # the contains()-scoring of every (question, doc) pair would run
     # on one core (see sources.tables.spread).
-    docs = spread(load(spark, sf_dir, "documents"))
-    q = F.broadcast(questions_df(spark))
-    qwords = F.split(F.lower(F.col("question_text")), " ")
-    text_lc = F.lower(F.col("text"))
-    matches = F.size(F.filter(qwords, lambda w: text_lc.contains(w)))
-    return docs.crossJoin(q).select(
+    #
+    # Staging discipline (see functions/embed.py:55-62): lower(text)
+    # is materialized BELOW the join — once per document, not once per
+    # question-word per (question, doc) pair, which is what inlining
+    # it into the filter lambda costs (|words|× redundant lowercasing
+    # of the full text; measured ~10× on q_answer_summary). Same for
+    # the question-word split on the broadcast side. The join operator
+    # between the projections keeps CollapseProject from re-inlining.
+    docs = spread(load(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.substring("text", 1, SNIPPET_LEN).alias("snippet"),
+        F.lower(F.col("text")).alias("__text_lc"),
+    )
+    q = F.broadcast(
+        questions_df(spark).select(
+            "question_id",
+            "question_text",
+            F.split(F.lower(F.col("question_text")), " ").alias("__qwords"),
+        )
+    )
+    matches = F.size(
+        F.filter(F.col("__qwords"), lambda w: F.col("__text_lc").contains(w))
+    )
+    # score staged as a real column with passthrough refs so the
+    # window sort above ranks on the attribute, not a re-evaluation.
+    s1 = docs.crossJoin(q).select(
         "question_id",
         "question_text",
         "doc_id",
-        (matches.cast("double") / F.size(qwords)).alias("score"),
-        F.substring("text", 1, SNIPPET_LEN).alias("snippet"),
+        "snippet",
+        "__text_lc",
+        "__qwords",
+        (matches.cast("double") / F.size(F.col("__qwords"))).alias("score"),
     )
+    return s1.select("question_id", "question_text", "doc_id", "score", "snippet")
 
 
 def keyword_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:

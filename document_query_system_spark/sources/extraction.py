@@ -17,10 +17,12 @@ extractors). This module re-expresses that on Spark:
 - **extraction** as mapInPandas over payload bytes: EML parsing uses
   the real stdlib ``email`` parser (the same library path a real
   extractor uses — ref document_processing_service.py:459-537);
-  PDF/DOCX "parsing" strips the deterministic container since
-  PyMuPDF/python-docx are not installed — ``_extract_pdf_real`` is
-  the marked swap-in point, and the surrounding plumbing (binary
-  round-trip, per-row dispatch, chunk-row fan-out) is the real thing.
+  PDF parsing routes through ``extract_pdf_text`` — PyMuPDF when
+  installed (auto-detected at import), else the stdlib FlateDecode/Tj
+  mini-parser; OCR routes through ``ocr_raster`` (content-based:
+  pytesseract for real images, glyph decode for synthetic rasters).
+  The surrounding plumbing (binary round-trip, per-row dispatch,
+  chunk-row fan-out) is identical on either path.
 
 Payload construction is deterministic string concatenation, so sniff
 AND extraction outputs are DuckDB-oracle-verified by value.
@@ -28,6 +30,7 @@ AND extraction outputs are DuckDB-oracle-verified by value.
 
 from __future__ import annotations
 
+import importlib.util
 import os
 from collections.abc import Iterator
 
@@ -186,12 +189,35 @@ def q_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _extract_pdf_real(payload: bytes) -> str:  # pragma: no cover - stub
-    """Swap-in point for PyMuPDF → pdfplumber → OCR cascade (ref:
-    document_processing_service.py:102-271). Not installed here; the
-    stdlib mini-parser below (_parse_pdf_minimal) handles real
-    FlateDecode/Tj PDFs without external codecs."""
-    raise NotImplementedError("install pymupdf/pdfplumber and route here")
+#: Library availability, probed ONCE at import (driver and executor
+#: alike — the flags are module globals, re-evaluated on executor
+#: import, so a heterogeneous cluster routes per-process correctly).
+_HAS_PYMUPDF = importlib.util.find_spec("fitz") is not None
+_HAS_TESSERACT = (
+    importlib.util.find_spec("pytesseract") is not None
+    and importlib.util.find_spec("PIL") is not None
+)
+
+
+def _extract_pdf_real(payload: bytes) -> str:  # pragma: no cover - needs lib
+    """PyMuPDF extraction (ref: document_processing_service.py:102-173
+    — fitz.open per document, page.get_text()). Reached only via
+    extract_pdf_text's dispatch when the library is installed."""
+    import fitz  # PyMuPDF
+
+    with fitz.open(stream=payload, filetype="pdf") as doc:
+        return "".join(page.get_text() for page in doc)
+
+
+def extract_pdf_text(payload: bytes) -> str:
+    """PDF → text with automatic codec routing: PyMuPDF when installed
+    (full spec surface: encrypted files, fonts, layout), else the
+    stdlib FlateDecode/Tj mini-parser — a real parser for the
+    uncompressed-and-Flate subset, and the deterministic test surface
+    in environments without codec libraries (this sandbox)."""
+    if _HAS_PYMUPDF:
+        return _extract_pdf_real(payload)
+    return _parse_pdf_minimal(payload)
 
 
 # ---------------------------------------------------------- real containers
@@ -395,7 +421,7 @@ def q_extract_real_containers(spark: SparkSession, sf_dir: str) -> DataFrame:
             for did, fn, pl in zip(pdf["doc_id"], pdf["file_name"], pdf["payload"]):
                 pl = bytes(pl)
                 if pl[:4] == b"%PDF":
-                    kind, body = "pdf", _parse_pdf_minimal(pl)
+                    kind, body = "pdf", extract_pdf_text(pl)
                 elif pl[:4] == b"PK\x03\x04":
                     kind, body = "docx", _parse_docx_minimal(pl)[0]
                 else:
@@ -719,14 +745,32 @@ def _ocr_page(raster: bytes) -> str:
     return "".join(_FONT_INV[c] for c in cells)
 
 
-def _ocr_tesseract(raster: bytes) -> str:  # pragma: no cover - stub
-    """Swap-in point for real OCR (ref:
-    document_processing_service.py:241-271 — pytesseract per page
-    pixmap). Same signature as _ocr_page; route scanned-page rasters
-    here when the library is installed on executors."""
+def _ocr_tesseract(raster: bytes) -> str:  # pragma: no cover - needs lib
+    """pytesseract OCR (ref: document_processing_service.py:241-271 —
+    pytesseract.image_to_string per page pixmap). Reached only via
+    ocr_raster's dispatch when the libraries are installed."""
+    import io
+
+    import pytesseract
+    from PIL import Image
+
+    return pytesseract.image_to_string(Image.open(io.BytesIO(raster)))
+
+
+def ocr_raster(raster: bytes) -> str:
+    """Raster page → text with CONTENT-based routing: synthetic
+    RASTER1 pages always decode via the glyph classifier (that format
+    is this engine's own; pytesseract cannot read it), any other image
+    routes to pytesseract when installed. Content dispatch means
+    installing the library changes nothing for the deterministic test
+    surface while real scans start working."""
+    if raster.startswith(_RASTER_MAGIC):
+        return _ocr_page(raster)
+    if _HAS_TESSERACT:
+        return _ocr_tesseract(raster)
     raise NotImplementedError(
-        "pytesseract/PIL are not installed; the deterministic "
-        "synthetic-glyph OCR (_ocr_page) is the engine default"
+        "non-RASTER1 page image and pytesseract/PIL are not installed; "
+        "install them on every executor to OCR real scans"
     )
 
 
@@ -783,7 +827,7 @@ def q_ocr_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
-            texts = [_ocr_page(bytes(r)) for r in pdf["raster"]]
+            texts = [ocr_raster(bytes(r)) for r in pdf["raster"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -848,7 +892,7 @@ def _extract_cascade_one(payload: bytes) -> tuple[str, str]:
     st = sections[1].decode("utf-8")
     if _n_words(st) >= _CASCADE_MIN_WORDS:
         return "structure", st
-    return "ocr", _ocr_page(sections[2])
+    return "ocr", ocr_raster(sections[2])
 
 
 @register(

@@ -248,11 +248,19 @@ def upsert_parquet(
     """Library helper: merge ``updates`` into the Parquet table at
     ``path`` with last-writer-wins semantics on ``key`` (S8). On a
     cluster this is a Delta/Iceberg MERGE; on plain Parquet we
-    union + window-dedup + atomic overwrite."""
-    try:
-        current = spark.read.parquet(path)
-        unioned = current.unionByName(updates)
-    except Exception:
+    union + window-dedup + atomic overwrite.
+
+    First-batch existence is checked via the Hadoop FS API rather than
+    try/except around the read: probing a missing path through the
+    DataSource resolver makes FileStreamSink.hasMetadata log a WARN
+    with a full FileNotFoundException stack — which polluted the r2/r4
+    bench artifact tails (ADVICE.md) even though the condition is
+    expected and handled."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(jpath):
+        unioned = spark.read.parquet(path).unionByName(updates)
+    else:
         unioned = updates
     w = Window.partitionBy(key).orderBy(F.desc(order_col))
     deduped = (

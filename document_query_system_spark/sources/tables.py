@@ -9,6 +9,8 @@ lazy — no caching, no collect.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import DataFrame, SparkSession
 
 TABLES = (
@@ -29,13 +31,49 @@ TABLES = (
 BROADCAST_DIMS = ("region", "nation")
 
 
+@lru_cache(maxsize=None)
+def events_ts_unit(sf_dir: str) -> str:
+    """Probe events.parquet's footer for the ``ts`` column's time unit.
+
+    The driver has shipped this column both ways across rounds —
+    Parquet INT64 TIMESTAMP(NANOS) (which Spark's vectorized reader
+    rejects, needing a pinned-long workaround) and plain
+    TIMESTAMP(MICROS) (which Spark reads natively). Hard-coding either
+    silently corrupts event time when the file format flips (a 30-day
+    timeline read with the wrong unit collapses to ~43 minutes), so the
+    unit is read from the file itself: ONE driver-side footer read per
+    (sf_dir), cached for the process lifetime — no data pages touched.
+    """
+    import pyarrow.parquet as pq
+
+    t = pq.ParquetFile(f"{sf_dir}/events.parquet").schema_arrow.field("ts").type
+    # timestamp[us]/timestamp[ns] expose .unit; a raw INT64 with no
+    # logical type means driver-written epoch nanos — treat as "ns".
+    return getattr(t, "unit", "ns")
+
+
+_EVENTS_TS_DDL = (
+    "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    if name == "events":
-        # events.ts is Parquet INT64 TIMESTAMP(NANOS), which Spark's
-        # vectorized reader rejects; an EXPLICIT long schema reads the
-        # raw nanos without touching the session-global
+    if name == "events" and events_ts_unit(sf_dir) == "us":
+        # TIMESTAMP(MICROS, isAdjustedToUTC=false): schema inference
+        # would surface TIMESTAMP_NTZ (Spark 4 default), which
+        # unix_micros & friends reject and whose epoch reading depends
+        # on the session timezone. Pinning TIMESTAMP (LTZ) makes the
+        # reader hand back the stored epoch micros as a UTC instant —
+        # the same value DuckDB's epoch_us() computes — independent of
+        # spark.sql.session.timeZone.
+        return spark.read.schema(_EVENTS_TS_DDL).parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and events_ts_unit(sf_dir) == "ns":
+        # TIMESTAMP(NANOS) path: Spark's vectorized reader rejects the
+        # type, so an EXPLICIT long schema reads the raw nanos without
+        # touching the session-global
         # spark.sql.legacy.parquet.nanosAsLong flag (which would
         # silently change nanosecond-timestamp semantics for every
         # later read in the session). Truncate to microseconds (same

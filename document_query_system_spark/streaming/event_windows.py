@@ -28,18 +28,22 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..registry import register
-from ..sources.tables import load
+from ..sources.tables import events_ts_unit, load
 
-_EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # raw nanos (see sources/tables.py)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+
+def _events_stream_schema(ts_type: T.DataType) -> T.StructType:
+    # ts arrives as raw-nanos LONG or native TIMESTAMP depending on the
+    # driver file's footer unit (see sources/tables.py:events_ts_unit).
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 @register(
@@ -157,8 +161,10 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1: file-based streaming source over the events parquet —
     the streaming analog of the reference's polling ingestion loop
-    (ref: ingestion_service.py:376-416). ts arrives as raw nanos
-    (schema-pinned), converted to event-time timestamps."""
+    (ref: ingestion_service.py:376-416). The pinned schema branches on
+    the parquet footer's ts unit (sources/tables.py:events_ts_unit):
+    TIMESTAMP(MICROS) reads natively; TIMESTAMP(NANOS) reads as raw
+    LONG then converts, matching the batch loader."""
     # The driver data is a single file, not a directory; the file-stream
     # source requires a directory basePath, so address it via a glob
     # (basePath resolves to sf_dir, the glob selects the one file).
@@ -166,12 +172,18 @@ def _read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # landing dir; 64 (not 1) keeps micro-batch count — and with it
     # per-batch state-checkpoint overhead — low when the source has
     # more than a handful of files.
-    raw = (
-        spark.readStream.schema(_EVENTS_SCHEMA)
+    if events_ts_unit(sf_dir) == "ns":
+        raw = (
+            spark.readStream.schema(_events_stream_schema(T.LongType()))
+            .option("maxFilesPerTrigger", "64")
+            .parquet(f"{sf_dir}/events.parqu*")
+        )
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return (
+        spark.readStream.schema(_events_stream_schema(T.TimestampType()))
         .option("maxFilesPerTrigger", "64")
         .parquet(f"{sf_dir}/events.parqu*")
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 #: Stateful-operator partition count for the local streaming jobs.

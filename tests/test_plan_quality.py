@@ -156,3 +156,25 @@ def test_audit_is_clean(spark):
             continue
         warns += audit(spec.fn(spark, SF_DIR), name)
     assert warns == []
+
+
+def test_keyword_score_staging_survives_optimizer(spark):
+    """The r4 verdict's What's-wrong #3: lower(text) must be computed
+    ONCE per document BELOW the broadcast cross join — inlined into
+    the per-question-word filter lambda it re-lowercases the full text
+    |words|× per (question, doc) pair (measured ~10× on
+    q_answer_summary). Pin the staged shape: in the optimized plan the
+    lower() call appears exactly once on the document side, in a
+    Project under the join, not inside the lambda above it."""
+    df = all_specs()["q_cross_score"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    join_pos = plan.index("Join")
+    # Exactly one lower() over the document text column in the whole
+    # plan (the question-side lower is a different, tiny expression
+    # also staged below the join — count document-text lowers only).
+    doc_lowers = [
+        i for i in range(len(plan)) if plan.startswith("lower(text", i)
+    ]
+    assert len(doc_lowers) == 1, plan
+    # ...and it sits BELOW the join (later in the printed tree = child).
+    assert doc_lowers[0] > join_pos, plan

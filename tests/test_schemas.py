@@ -60,3 +60,35 @@ def test_driver_canonicalizer_contract(spark):
         if bad:
             offenders.append((name, bad))
     assert offenders == []
+
+
+def test_events_ts_span_matches_duckdb(spark, duck):
+    """Canary for silent driver data-format changes on events.ts.
+
+    Round 4 shipped red because the driver regenerated events.parquet
+    with ts as TIMESTAMP(MICROS) while load() assumed raw INT64 nanos
+    — a 30-day timeline silently collapsed to ~43 minutes and four
+    green driver rows went red. This pins load()'s epoch-micros span
+    to DuckDB's reading of the SAME file, so the next unit flip is a
+    one-line test failure instead of a cross-round regression."""
+    from pyspark.sql import functions as F
+
+    from conftest import SF_DIR
+    from document_query_system_spark.sources.tables import load
+
+    lo, hi = (
+        load(spark, SF_DIR, "events")
+        .agg(
+            F.unix_micros(F.min("ts")).alias("lo"),
+            F.unix_micros(F.max("ts")).alias("hi"),
+        )
+        .first()
+    )
+    d_lo, d_hi = duck.sql(
+        f"SELECT epoch_us(min(ts)), epoch_us(max(ts)) "
+        f"FROM read_parquet('{SF_DIR}/events.parquet')"
+    ).fetchone()
+    assert (lo, hi) == (d_lo, d_hi)
+    # And the span must be event-scale (days), not the collapsed
+    # ~43 minutes the unit bug produced.
+    assert hi - lo > 24 * 3600 * 1_000_000
