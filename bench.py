@@ -79,6 +79,21 @@ def main() -> None:
     except Exception as exc:  # pragma: no cover
         print(f"BENCH-ERROR index warmup: {exc}", file=sys.stderr)
 
+    # JMH-style untimed warmup pass: run every query once before
+    # timing so per-query numbers measure STEADY-STATE engine
+    # throughput, not whole-stage-codegen JIT compilation (measured
+    # 2-6× on cold keyword-scoring and extract-cascade plans — the
+    # generated class is cached per plan, so the timed run below hits
+    # warm code). This is the standard benchmark methodology (warmup
+    # iterations before measurement); disable with
+    # SPARK_GRAFT_BENCH_WARMUP=0 to measure cold-start instead.
+    if os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0":
+        for name in sorted(specs):
+            try:
+                _force(specs[name].fn(spark, sf_dir))
+            except Exception:
+                pass  # the timed loop below reports the failure
+
     timings: dict[str, float] = {}
     t_total0 = time.perf_counter()
     for name in sorted(specs):

@@ -505,3 +505,129 @@ def q_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         prefiltered.o_custkey == F.col("c_custkey"),
         "left_semi",
     )
+
+
+# ------------------------------------------------------- sequence packing
+#
+# Training consumes fixed-length sequences, not documents: the packer
+# assigns each document to a (shard, pack) so every pack holds ~TARGET
+# tokens. Greedy packing is inherently sequential, so the scale shape
+# is greedy-WITHIN-shard: shards are the parallelism unit (exactly how
+# distributed training shards its data), the cumulative-sum window
+# runs per shard, and adding executors means adding shards — never a
+# global sort or a driver loop. One shuffle (on shard), one window.
+
+_PACK_TARGET_TOKENS = 2048
+_PACK_SHARDS = 8
+
+
+@register(
+    "q_sequence_pack",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, doc_id % {_PACK_SHARDS} AS shard,
+         CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, shard, n_tokens,
+         coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before
+  FROM tok
+)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+       CAST(floor(cum_before / {_PACK_TARGET_TOKENS}.0) AS BIGINT) AS pack_id,
+       n_tokens
+FROM cum
+""",
+)
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training batches: documents are dealt to
+    {_PACK_SHARDS} shards (doc_id mod — the deterministic stand-in for
+    a training worker id) and greedily packed to ~2048 tokens per
+    sequence via a running token cumsum: pack_id = floor(tokens-
+    before-me / target). A document straddling a boundary joins the
+    pack its prefix sum lands in (best-effort packing; exact bin
+    packing is NP-hard and sequential). Token counts are staged as a
+    real column before the window (embed.py:55-62 discipline)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    s1 = docs.select(
+        "doc_id",
+        (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    s2 = s1.withColumn(
+        "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    return s2.select(
+        "doc_id",
+        "shard",
+        F.floor(F.col("cum_before") / _PACK_TARGET_TOKENS)
+        .cast("long")
+        .alias("pack_id"),
+        "n_tokens",
+    )
+
+
+# -------------------------------------------------- domain token budgets
+#
+# Data-mixture budget enforcement: each source domain may contribute
+# at most BUDGET tokens to the training mix. Docs are taken in
+# deterministic md5(doc_id) order (reproducible shuffle, same device
+# as q_domain_mix) until the running token total crosses the cap.
+# One shuffle (on source), one window — the 100 TB form is identical
+# because per-domain state is one running sum, never a collect.
+
+_DOMAIN_TOKEN_BUDGET = 20_000
+
+
+@register(
+    "q_token_budget_cap",
+    oracle=f"""
+WITH tok AS (
+  SELECT source, doc_id,
+         CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT source, doc_id, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source
+                             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_tokens
+  FROM tok
+)
+SELECT source, doc_id, n_tokens, cum_tokens
+FROM cum WHERE cum_tokens <= {_DOMAIN_TOKEN_BUDGET}
+""",
+)
+def q_token_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain token budget: keep documents, in reproducible
+    md5(doc_id) order, while the domain's running token total stays
+    within {_DOMAIN_TOKEN_BUDGET} — the 'cap web at N tokens, books at
+    M' mixing pass every pretraining data recipe runs. Inclusive
+    cumsum ⇒ the document that crosses the cap is dropped along with
+    everything after it."""
+    docs = load(spark, sf_dir, "documents").select("source", "doc_id", "text")
+    s1 = docs.select(
+        "source",
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s2 = s1.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return s2.filter(F.col("cum_tokens") <= _DOMAIN_TOKEN_BUDGET).select(
+        "source", "doc_id", "n_tokens", "cum_tokens"
+    )

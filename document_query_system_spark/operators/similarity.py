@@ -8,8 +8,11 @@ north star for similarity search):
 - q_ann_lsh: random-hyperplane LSH — sign-bit bucket per vector, join
   only within buckets: candidate set shrinks ~2^planes ×, scan becomes
   a bucket-key equi-join;
+- q_ann_multiprobe: same stored index, query also probes the 1-bit-
+  flip buckets (Lv et al., VLDB 2007) — recall repair that costs
+  probe reads, not index storage;
 - q_ann_ivf: IVF-style coarse quantization — centroid per label
-  partition, probe only the query's nearest partition (here nprobe=1).
+  partition, probe only the query's nprobe nearest partitions.
 
 Hyperplanes are fixed pseudorandom literals (seeded stdlib Mersenne,
 platform-stable) embedded in both the Spark plan and the DuckDB
@@ -149,6 +152,110 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cos, 6).alias("cos_sim"),
         )
         .distinct()  # a pair colliding in several tables scores once
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("match_id"))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .drop("rn")
+    )
+
+
+#: Multi-probe flip masks: the query's own bucket plus every bucket at
+#: Hamming distance 1 (one sign bit flipped). Lv et al., "Multi-Probe
+#: LSH" (VLDB 2007): near neighbors that barely miss the query's
+#: bucket land overwhelmingly in 1-flip buckets, so probing them
+#: repairs recall WITHOUT adding hash tables (more tables = more
+#: index storage; more probes = more read amplification on the same
+#: index — at 100 TB probes are the cheaper knob because they reuse
+#: the stored bucket layout and partition pruning).
+_PROBE_FLIPS = [0] + [2**i for i in range(N_PLANES)]
+
+
+_ANN_MULTIPROBE_SQL = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+bl AS (SELECT vec_id, v, {_bucket_list_sql('v')} AS bl FROM e),
+bucketed AS (
+  SELECT vec_id, v, t.i AS tbl, bl[CAST(t.i AS INT) + 1] AS bucket
+  FROM bl CROSS JOIN generate_series(0, {N_TABLES - 1}) t(i)
+),
+probes AS (
+  SELECT vec_id, v, tbl, xor(bucket, f.flip) AS bucket
+  FROM (SELECT * FROM bucketed WHERE vec_id < 5)
+  CROSS JOIN (SELECT unnest({_PROBE_FLIPS}) AS flip) f
+),
+cand AS (
+  SELECT DISTINCT p.vec_id AS query_id, c.vec_id AS match_id,
+         round(list_dot_product(p.v, c.v)
+               / (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(c.v, c.v))),
+               6) AS cos_sim
+  FROM probes p JOIN bucketed c
+    ON p.tbl = c.tbl AND p.bucket = c.bucket AND p.vec_id <> c.vec_id
+)
+SELECT query_id, match_id, cos_sim
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, match_id) AS rn
+      FROM cand)
+WHERE rn <= {_TOP_K}
+"""
+
+
+@register("q_ann_multiprobe", oracle=_ANN_MULTIPROBE_SQL)
+def q_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-k: same 3×4-bit index as q_ann_lsh, but
+    each query probes its own bucket AND the 4 buckets at Hamming
+    distance 1 per table (15 probe keys vs 3). Only the QUERY side
+    fans out — the stored index layout is untouched, candidate
+    generation stays a (tbl, bucket) equi-join, and the corpus is
+    never scanned beyond the probed buckets. This is the standard
+    recall repair when adding tables is too expensive (each table
+    duplicates index storage at 100 TB; probes only re-read existing
+    buckets). Recall vs cost is reported by q_ann_recall."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    buckets = F.array(
+        *[_bucket_expr(F.col("v"), t) for t in range(N_TABLES)]
+    )
+    bucketed = e.select(
+        "vec_id", "v", F.posexplode(buckets).alias("tbl", "bucket")
+    )
+    flips = F.array(*[F.lit(x) for x in _PROBE_FLIPS])
+    q = (
+        bucketed.filter(F.col("vec_id") < 5)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("tbl").alias("qtbl"),
+            F.explode(
+                F.transform(flips, lambda fl: F.col("bucket").bitwiseXOR(fl))
+            ).alias("qbucket"),
+        )
+    )
+    c = bucketed.select(
+        F.col("vec_id").alias("match_id"),
+        F.col("v").alias("cv"),
+        F.col("tbl").alias("ctbl"),
+        F.col("bucket").alias("cbucket"),
+    )
+    cos = dot(F.col("qv"), F.col("cv")) / (
+        l2_norm(F.col("qv")) * l2_norm(F.col("cv"))
+    )
+    cand = (
+        c.join(
+            F.broadcast(q),
+            (F.col("qtbl") == F.col("ctbl"))
+            & (F.col("qbucket") == F.col("cbucket"))
+            & (F.col("query_id") != F.col("match_id")),
+        )
+        .select(
+            "query_id",
+            "match_id",
+            F.round(cos, 6).alias("cos_sim"),
+        )
+        .distinct()
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("match_id"))
     return (
@@ -318,11 +425,17 @@ def _ann_recall_sql() -> str:
     return f"""
 WITH exact AS (SELECT query_id, match_id FROM ({_VECTOR_TOPK_SQL})),
 lsh AS (SELECT query_id, match_id FROM ({_ANN_LSH_SQL})),
+mp AS (SELECT query_id, match_id FROM ({_ANN_MULTIPROBE_SQL})),
 ivf AS (SELECT query_id, match_id FROM ({_IVF_SQL})),
 qs AS (SELECT DISTINCT query_id FROM exact),
 lsh_hits AS (
   SELECT e.query_id, count(*) AS n FROM exact e
   JOIN lsh ON e.query_id = lsh.query_id AND e.match_id = lsh.match_id
+  GROUP BY e.query_id
+),
+mp_hits AS (
+  SELECT e.query_id, count(*) AS n FROM exact e
+  JOIN mp ON e.query_id = mp.query_id AND e.match_id = mp.match_id
   GROUP BY e.query_id
 ),
 ivf_hits AS (
@@ -333,6 +446,10 @@ ivf_hits AS (
 SELECT query_id, 'lsh' AS tier,
        round(coalesce(n, 0) / {_TOP_K}.0, 6) AS recall_at_5
 FROM qs LEFT JOIN lsh_hits USING (query_id)
+UNION ALL
+SELECT query_id, 'multiprobe' AS tier,
+       round(coalesce(n, 0) / {_TOP_K}.0, 6) AS recall_at_5
+FROM qs LEFT JOIN mp_hits USING (query_id)
 UNION ALL
 SELECT query_id, 'ivf' AS tier,
        round(coalesce(n, 0) / {_TOP_K}.0, 6) AS recall_at_5
@@ -351,11 +468,15 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-verified, not sampled.
 
     Shape: each tier's top-k output is |queries| × k rows — a few
-    dozen — so the three pipelines are materialized once via
+    dozen — so the tier pipelines are materialized once via
     localCheckpoint (the exact list would otherwise be recomputed
-    per tier it scores) and the report itself is broadcast joins over
-    tiny inputs. This mirrors a real evaluation harness: search
-    stages run once, the scorer consumes their (small) outputs."""
+    per tier it scores), then UNIONED with a tier tag and scored in a
+    single join + groupBy(tier, query_id) — one exchange for the whole
+    report instead of one per tier (the per-tier form hit 6 shuffles
+    when the multiprobe tier joined the ladder). Zero-recall rows come
+    from a broadcast (query × tier) grid left-join. This mirrors a
+    real evaluation harness: search stages run once, the scorer
+    consumes their (small) outputs in one pass."""
     from ..functions.vector import q_vector_topk
 
     exact = (
@@ -365,27 +486,31 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qs = exact.select("query_id").distinct()
 
-    def tier_recall(ann: DataFrame, tier: str) -> DataFrame:
-        hits = (
-            exact.join(
-                F.broadcast(
-                    ann.select("query_id", "match_id").localCheckpoint(
-                        eager=True
-                    )
-                ),
-                ["query_id", "match_id"],
-            )
-            .groupBy("query_id")
-            .agg(F.count("*").alias("n"))
+    tiers = [
+        ("lsh", q_ann_lsh),
+        ("multiprobe", q_ann_multiprobe),
+        ("ivf", q_ann_ivf),
+    ]
+    anns = None
+    for tname, fn in tiers:
+        t = (
+            fn(spark, sf_dir)
+            .select("query_id", "match_id")
+            .localCheckpoint(eager=True)
+            .withColumn("tier", F.lit(tname))
         )
-        return qs.join(F.broadcast(hits), "query_id", "left").select(
-            "query_id",
-            F.lit(tier).alias("tier"),
-            F.round(
-                F.coalesce(F.col("n"), F.lit(0)) / float(_TOP_K), 6
-            ).alias("recall_at_5"),
-        )
-
-    lsh = tier_recall(q_ann_lsh(spark, sf_dir), "lsh")
-    ivf = tier_recall(q_ann_ivf(spark, sf_dir), "ivf")
-    return lsh.unionAll(ivf)
+        anns = t if anns is None else anns.unionAll(t)
+    hits = (
+        exact.join(F.broadcast(anns), ["query_id", "match_id"])
+        .groupBy("tier", "query_id")
+        .agg(F.count("*").alias("n"))
+    )
+    tier_lits = spark.createDataFrame([(t,) for t, _ in tiers], "tier string")
+    grid = qs.crossJoin(F.broadcast(tier_lits))
+    return grid.join(F.broadcast(hits), ["tier", "query_id"], "left").select(
+        "query_id",
+        "tier",
+        F.round(F.coalesce(F.col("n"), F.lit(0)) / float(_TOP_K), 6).alias(
+            "recall_at_5"
+        ),
+    )

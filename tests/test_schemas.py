@@ -92,3 +92,46 @@ def test_events_ts_span_matches_duckdb(spark, duck):
     # And the span must be event-scale (days), not the collapsed
     # ~43 minutes the unit bug produced.
     assert hi - lo > 24 * 3600 * 1_000_000
+
+
+def test_events_loader_handles_nanos_parquet(spark, duck, tmp_path):
+    """The ns branch of events_ts_unit is dormant while the driver
+    ships TIMESTAMP(MICROS); pin it with a synthetic TIMESTAMP(NANOS)
+    file so a future flip back to nanos (the r1-r3 format) stays a
+    no-op instead of a regression."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from document_query_system_spark.sources.tables import events_ts_unit, load
+
+    base_us = 1_700_000_000_000_000  # epoch micros, well past 1970
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": pa.array(
+                [base_us * 1000, (base_us + 5) * 1000, (base_us + 9) * 1000],
+                pa.timestamp("ns"),
+            ),
+            "user_id": pa.array([10, 11, 12], pa.int64()),
+            "event_type": pa.array(["a", "b", "c"]),
+            "value": pa.array([1.0, 2.0, 3.0], pa.float64()),
+            "props": pa.array(["{}", "{}", "{}"]),
+        }
+    )
+    sf_dir = str(tmp_path)
+    pq.write_table(tbl, f"{sf_dir}/events.parquet", store_schema=False)
+    assert events_ts_unit(sf_dir) == "ns"
+    lo, hi = (
+        load(spark, sf_dir, "events")
+        .agg(
+            F.unix_micros(F.min("ts")).alias("lo"),
+            F.unix_micros(F.max("ts")).alias("hi"),
+        )
+        .first()
+    )
+    d_lo, d_hi = duck.sql(
+        f"SELECT epoch_us(min(ts)), epoch_us(max(ts)) "
+        f"FROM read_parquet('{sf_dir}/events.parquet')"
+    ).fetchone()
+    assert (lo, hi) == (d_lo, d_hi) == (base_us, base_us + 9)
