@@ -265,6 +265,79 @@ def q_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q8_SQL = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+q8 AS (
+  SELECT vec_id,
+         list_transform(v, x -> CAST(round(greatest(-1.0, least(1.0, x)) * 127)
+                                     AS BIGINT)) AS v8
+  FROM e
+),
+qq AS (SELECT vec_id, v8 FROM q8 WHERE vec_id < 5),
+cand AS (
+  SELECT qq.vec_id AS query_id, c.vec_id AS match_id,
+         CAST(list_dot_product(qq.v8, c.v8) AS BIGINT) AS dot_q8
+  FROM qq CROSS JOIN q8 c
+  WHERE qq.vec_id <> c.vec_id
+)
+SELECT query_id, match_id, dot_q8
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY dot_q8 DESC, match_id) AS rn
+      FROM cand)
+WHERE rn <= {_TOP_K}
+"""
+
+
+@register("q_ann_quantized", oracle=_Q8_SQL)
+def q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k over the int8-quantized index (q_embed_quantize_int8's
+    encoding: clamp [-1,1], scale by 127): ranking runs on INTEGER dot
+    products — 4× less memory bandwidth than the float scan, which is
+    the binding resource of a brute-force tier at 100 TB (the scan is
+    bandwidth-bound, not FLOP-bound), and bit-exact across engines (no
+    float summation-order rounding in the oracle compare). On unit
+    vectors the integer dot is a monotone-enough proxy for cosine that
+    serving stacks quantize precisely this way; re-ranking the top
+    candidates with float vectors is the standard refinement step."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    v8 = F.transform(
+        F.col("v"),
+        lambda x: F.round(
+            F.greatest(F.lit(-1.0), F.least(F.lit(1.0), x)) * 127
+        ).cast("long"),
+    )
+    s1 = e.select("vec_id", v8.alias("v8"))
+    q = F.broadcast(
+        s1.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), F.col("v8").alias("qv8")
+        )
+    )
+    dot8 = F.aggregate(
+        F.zip_with(F.col("qv8"), F.col("v8"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda s, p: s + p,
+    )
+    cand = (
+        s1.crossJoin(q)
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("match_id"),
+            dot8.alias("dot_q8"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot_q8"), F.asc("match_id"))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .drop("rn")
+    )
+
+
 @register("q_ann_mllib_lsh", oracle=None)  # MLlib hash family → rows-only
 def q_ann_mllib_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The MLlib scale path (SURVEY §4.1): BucketedRandomProjectionLSH

@@ -32,8 +32,13 @@ HEAVY = [
     "q_embed_hash",
     "q_golden_vector_search",
     "q_ann_lsh",
+    "q_ann_multiprobe",
+    "q_ann_quantized",
     "q_cross_score",
     "q_quality_filter_chain",
+    "q_sequence_pack",
+    "q_token_budget_cap",
+    "q_bm25_topk",
 ]
 
 
