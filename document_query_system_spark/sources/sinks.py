@@ -243,7 +243,11 @@ def q_partition_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def upsert_parquet(
-    spark: SparkSession, updates: DataFrame, path: str, key: str, order_col: str
+    spark: SparkSession,
+    updates: DataFrame,
+    path: str,
+    key: str,
+    order_col: str | list[str],
 ) -> None:
     """Library helper: merge ``updates`` into the Parquet table at
     ``path`` with last-writer-wins semantics on ``key`` (S8). On a
@@ -262,7 +266,10 @@ def upsert_parquet(
         unioned = spark.read.parquet(path).unionByName(updates)
     else:
         unioned = updates
-    w = Window.partitionBy(key).orderBy(F.desc(order_col))
+    # order_col may be a list: secondary keys make the winner
+    # deterministic when the primary (e.g. a timestamp) ties.
+    cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    w = Window.partitionBy(key).orderBy(*[F.desc(c) for c in cols])
     deduped = (
         unioned.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

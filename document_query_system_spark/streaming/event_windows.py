@@ -250,11 +250,27 @@ def _run_to_memory(
     return spark.table(sink)
 
 
-@register("q_stream_tumbling", oracle=None)  # genuine streaming → rows-only
+@register(
+    "q_stream_tumbling",
+    oracle="""
+SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+""",
+)
 def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1/T2/T5: Structured Streaming tumbling-window count with a
     10-minute watermark, executed incrementally (availableNow) into a
-    memory sink. Same logical plan as q_tumbling_window."""
+    memory sink. Same logical plan as q_tumbling_window.
+
+    VALUE-checkable despite being a real stream: the driver file is a
+    single parquet (one micro-batch under maxFilesPerTrigger) and the
+    sink runs in COMPLETE mode, so the memory table holds the final
+    aggregation state — identical to the batch twin's result. The
+    oracle is the batch twin's SQL."""
     ev = _read_event_stream(spark, sf_dir)
     agg = (
         ev.withWatermark("ts", "10 minutes")
@@ -273,14 +289,30 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, spark)
 
 
-@register("q_stream_stream_join", oracle=None)  # dual watermark state → rows-only
+@register(
+    "q_stream_stream_join",
+    oracle="""
+SELECT a.user_id AS a_user, a.event_id AS view_id, b.event_id AS click_id
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'view' AND b.event_type = 'click'
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+""",
+)
 def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join: each 'view' event joined to
     'click' events by the same user within [0, 30 min] after it. Both
     sides carry watermarks and the join condition bounds event time on
     both ends, so the state store retains only the interval horizon
     per side — the canonical funnel/attribution join, running here
-    under availableNow."""
+    under availableNow.
+
+    VALUE-checkable: an INNER stream-stream join emits every matched
+    pair in the micro-batch where the match is found (watermarks only
+    bound state retention and outer-null emission), and the single
+    driver file is one micro-batch — so the appended sink holds
+    exactly the batch interval-join result."""
     a = (
         _read_event_stream(spark, sf_dir)
         .filter(F.col("event_type") == "view")
@@ -310,12 +342,48 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(joined, spark, output_mode="append")
 
 
-@register("q_stream_session", oracle=None)  # merging window state → rows-only
+@register(
+    "q_stream_session",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE
+               OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked
+),
+agg AS (
+  SELECT user_id, sid, epoch_us(min(ts)) AS session_start_us,
+         count(*) AS n_events, max(ts) AS last_ts
+  FROM sess GROUP BY user_id, sid
+),
+wm AS (SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM events)
+SELECT user_id, session_start_us, n_events
+FROM agg, wm
+WHERE last_ts + INTERVAL 30 MINUTE <= w
+""",
+)
 def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T4 (streaming form): session_window aggregation under a
     watermark — Spark's merging-window state (sessions extend/merge as
     events arrive, emit on watermark close). Batch twin with a full
-    gaps-and-islands oracle: q_session_window."""
+    gaps-and-islands oracle: q_session_window.
+
+    VALUE-checkable INCLUDING the watermark holdback: append mode
+    emits a session only once the watermark passes its end, and with
+    the single driver file the final watermark is max(ts) − 30 min —
+    so the sink holds exactly the gaps-and-islands sessions whose end
+    (last event + 30 min gap) is ≤ that watermark; the few sessions
+    near the end of the timeline stay in state at shutdown, and the
+    oracle's WHERE clause reproduces precisely that holdback
+    (calibrated: 9536 of 9549 sessions at sf0.01, 945 at sf0.001)."""
     ev = _read_event_stream(spark, sf_dir)
     agg = (
         ev.withWatermark("ts", "30 minutes")
@@ -330,14 +398,31 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, spark, output_mode="append")
 
 
-@register("q_stream_upsert_foreachbatch", oracle=None)  # sink side effect
+@register(
+    "q_stream_upsert_foreachbatch",
+    oracle="""
+SELECT user_id, event_type, event_id, value
+FROM (
+  SELECT user_id, event_type, event_id, value,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+""",
+)
 def q_stream_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T6/S8 streaming sink: foreachBatch MERGE — each micro-batch is
     upserted into a keyed Parquet table with last-writer-wins
     semantics (the Structured Streaming form of the reference's
     batched Pinecone upsert, ref: pinecone_manager.py:61-103). The
     returned DataFrame is the final table state: one row per
-    (user_id, event_type) key."""
+    (user_id, event_type) key.
+
+    VALUE-checkable: the (ts, event_id) tiebreak makes the surviving
+    row deterministic whatever the batch split, so the final table
+    equals the batch last-writer-wins query (q_upsert_last_writer's
+    oracle)."""
     import uuid as _uuid
 
     from ..sources.sinks import upsert_parquet
@@ -352,7 +437,7 @@ def q_stream_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         keyed = batch_df.withColumn(
             "key", F.concat_ws("|", "user_id", "event_type")
         )
-        upsert_parquet(spark, keyed, path, key="key", order_col="ts")
+        upsert_parquet(spark, keyed, path, key="key", order_col=["ts", "event_id"])
 
     with _scoped_shuffle_partitions(spark, _STREAM_SHUFFLE_PARTITIONS):
         q = (
@@ -367,14 +452,26 @@ def q_stream_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_stream_stateful_counts", oracle=None)  # custom state → rows-only
+@register(
+    "q_stream_stateful_counts",
+    oracle="""
+SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY user_id
+""",
+)
 def q_stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T6+ (custom stateful operator): applyInPandasWithState keyed by
     user_id — per-user running event count and value sum held in a
     user-managed state store across micro-batches, the Structured
     Streaming analog of a hand-rolled stateful fold. State per key is
     two scalars, so the store stays O(|users|) regardless of stream
-    length."""
+    length.
+
+    VALUE-checkable: update mode emits one row per key per micro-batch
+    it appears in; the single driver file is one micro-batch, so the
+    sink holds exactly the per-user totals (rounding inside absorbs
+    pandas-vs-DuckDB summation order)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -402,11 +499,23 @@ def q_stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(counted, spark, output_mode="update")
 
 
-@register("q_stream_dedup", oracle=None)  # genuine streaming → rows-only
+@register(
+    "q_stream_dedup",
+    oracle="""
+SELECT event_type, count(DISTINCT user_id) AS n_first_seen
+FROM events
+GROUP BY event_type
+""",
+)
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T6: stateful streaming dedup — dropDuplicatesWithinWatermark on
     (user_id, event_type), the streaming form of the upsert sink (S8).
-    State is bounded by the watermark horizon."""
+    State is bounded by the watermark horizon.
+
+    VALUE-checkable: WHICH row survives dedup is arbitrary, but the
+    downstream count of first-seen rows per event_type equals the
+    count of DISTINCT (user_id, event_type) keys — deterministic
+    regardless of arrival order."""
     ev = _read_event_stream(spark, sf_dir)
     deduped = (
         ev.withWatermark("ts", "1 hour")
