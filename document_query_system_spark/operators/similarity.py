@@ -564,6 +564,13 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("multiprobe", q_ann_multiprobe),
         ("ivf", q_ann_ivf),
     ]
+    # Each tier materializes via localCheckpoint before the union:
+    # the report then consumes three tiny (|queries|·k row) tables,
+    # keeping the scorer's own plan within the engine's shuffle
+    # budget. (Skipping the checkpoints fuses the tiers' internal
+    # shuffles into one giant scorer plan for a ~10% wall win — not
+    # worth abandoning the evaluation-harness shape: search stages
+    # run once, the scorer reads their outputs.)
     anns = None
     for tname, fn in tiers:
         t = (
