@@ -726,3 +726,86 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cos, 6).alias("cos_sim"),
         )
     )
+
+
+# ----------------------------------------------- incremental dedup ingest
+#
+# Steady-state dedup at 100 TB is never "re-pair the whole corpus":
+# the band-key table IS the stored dedup index (constant bytes per
+# doc), a new ingest batch explodes to its band keys and equi-joins
+# against it, and the shuffle is proportional to the new batch plus
+# its colliding buckets. The batch form below marks doc_id >=
+# _INCR_NEW_FROM as "the new batch" so the shape is oracle-checkable
+# on static driver data; in production the right side is the
+# persisted index and the join is identical.
+
+_INCR_NEW_FROM = 400
+
+
+@register(
+    "q_dedup_incremental",
+    oracle=_BANDS_SQL
+    + f"""
+SELECT least(n.doc_id, c.doc_id) AS doc_a,
+       greatest(n.doc_id, c.doc_id) AS doc_b,
+       round(CAST(len(list_filter(generate_series(1, {N_PERM}),
+                                  i -> n.minhash[i] = c.minhash[i])) AS DOUBLE)
+             / {N_PERM}, 6) AS est_jaccard
+FROM keyed n JOIN keyed c
+  ON n.band = c.band AND n.band_key = c.band_key AND n.doc_id <> c.doc_id
+WHERE n.doc_id >= {_INCR_NEW_FROM}
+GROUP BY ALL
+""",
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash-LSH dedup: candidate pairs touching the NEW
+    ingest batch (doc_id >= _INCR_NEW_FROM) against the full corpus
+    — new-vs-old and new-vs-new, never old-vs-old. The new side is the
+    only exploded/probing input; the corpus side is the stored
+    band-key index, so steady-state ingest cost tracks batch size, not
+    corpus size (the dedup analog of q_incremental_index's anti-join
+    embedding delta)."""
+    sig = minhash_signatures(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(N_BANDS - 1))).alias("band"),
+        "minhash",
+    )
+    keyed = bands.select(
+        "doc_id",
+        "band",
+        (
+            (
+                F.element_at("minhash", F.col("band") * 2 + 1) * 31
+                + F.element_at("minhash", F.col("band") * 2 + 2)
+            )
+            % P
+        ).alias("band_key"),
+        "minhash",
+    )
+    new = keyed.filter(F.col("doc_id") >= _INCR_NEW_FROM).alias("n")
+    corpus = keyed.alias("c")
+    est = (
+        F.size(
+            F.filter(
+                F.sequence(F.lit(1), F.lit(N_PERM)),
+                lambda i: F.element_at(F.col("n.minhash"), i)
+                == F.element_at(F.col("c.minhash"), i),
+            )
+        ).cast("double")
+        / N_PERM
+    )
+    return (
+        new.join(
+            corpus,
+            (F.col("n.band") == F.col("c.band"))
+            & (F.col("n.band_key") == F.col("c.band_key"))
+            & (F.col("n.doc_id") != F.col("c.doc_id")),
+        )
+        .select(
+            F.least(F.col("n.doc_id"), F.col("c.doc_id")).alias("doc_a"),
+            F.greatest(F.col("n.doc_id"), F.col("c.doc_id")).alias("doc_b"),
+            F.round(est, 6).alias("est_jaccard"),
+        )
+        .distinct()
+    )

@@ -218,3 +218,81 @@ def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "top_token_frac",
         "distinct_frac",
     )
+
+
+# --------------------------------------------- relative quality cut
+#
+# Absolute quality thresholds (the C4 chain above) break when score
+# distributions drift per language; the mixing recipe usually wants
+# "the best X% of EACH language" instead. percent_rank within the
+# language stratum gives the exact relative cut; strata rank in
+# parallel. At 100 TB a very large stratum's window sort is the cost
+# — the approximate swap-in is percentile_approx(quality, 1-frac) per
+# stratum (one agg, partial-combinable) + a threshold filter, same
+# output up to boundary ties.
+
+_TOPFRAC = 0.25
+
+
+@register(
+    "q_sample_quality_topfrac",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, lang, {{toks}} AS toks FROM documents),
+m AS (
+  SELECT doc_id, lang,
+         CAST(len(toks) AS DOUBLE) AS n,
+         CAST(len(list_filter(toks, t -> t IN ('the', 'a'))) AS DOUBLE) AS n_stop,
+         CAST(len(list_distinct(toks)) AS DOUBLE) AS n_uniq
+  FROM tok
+  WHERE len(toks) > 0
+),
+q AS (
+  SELECT doc_id, lang,
+         0.5 * (n_uniq / n) + 0.5 * (1.0 - n_stop / n) AS quality
+  FROM m
+),
+r AS (
+  SELECT doc_id, lang, quality,
+         percent_rank() OVER (PARTITION BY lang
+                              ORDER BY quality DESC, doc_id) AS pr
+  FROM q
+)
+SELECT lang, doc_id, round(quality, 6) AS quality, round(pr, 6) AS pr
+FROM r WHERE pr <= {_TOPFRAC}
+""".format(toks=tokens_sql("text")),
+)
+def q_sample_quality_topfrac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language relative quality cut: keep the top 25% of each
+    language stratum by the engine's quality score (percent_rank with
+    a doc_id tiebreak — exact rational, engine-portable). The same
+    stopword/diversity score as q_quality_score, staged per the
+    embed.py:55-62 discipline."""
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "lang", "text"))
+    s1 = docs.select("doc_id", "lang", tokens(F.col("text")).alias("toks"))
+    m = s1.filter(F.size("toks") > 0).select(
+        "doc_id",
+        "lang",
+        F.size("toks").cast("double").alias("n"),
+        F.size(F.filter(F.col("toks"), lambda t: t.isin("the", "a")))
+        .cast("double")
+        .alias("n_stop"),
+        F.size(F.array_distinct("toks")).cast("double").alias("n_uniq"),
+    )
+    q = m.select(
+        "doc_id",
+        "lang",
+        (
+            0.5 * (F.col("n_uniq") / F.col("n"))
+            + 0.5 * (1.0 - F.col("n_stop") / F.col("n"))
+        ).alias("quality"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(F.desc("quality"), F.asc("doc_id"))
+    r = q.withColumn("pr", F.percent_rank().over(w))
+    return r.filter(F.col("pr") <= _TOPFRAC).select(
+        "lang",
+        "doc_id",
+        F.round("quality", 6).alias("quality"),
+        F.round("pr", 6).alias("pr"),
+    )
