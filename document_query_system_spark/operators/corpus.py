@@ -1,0 +1,531 @@
+"""Corpus-hygiene operators, round 6: segment-level exact dedup
+(the line-dedup pass of CCNet-style pipelines), token-distribution
+quality metrics, TF-IDF cosine retrieval, URL canonicalization,
+pivot→unpivot round-trip, and a document-length histogram.
+
+Scale shapes:
+
+- Segment dedup: posting-list groupBy on a fixed-width md5 key —
+  shuffle ∝ corpus tokens, never pairwise; reassembly is one
+  per-document sort of its own (tiny) segment list.
+- Entropy/TTR: per-(doc, token) count then ONE per-doc aggregate —
+  the Σc·ln c identity avoids a second pass / window for the total.
+- TF-IDF: the classic "weight the index once, probe per query" plan;
+  document norms need every term's df, so the df aggregate runs over
+  the full posting table (the pass a real index build pays exactly
+  once), while the per-question probe joins only broadcast-size
+  sides.
+- URL normalize: pure scan-local regexp chain + one groupBy on the
+  canonical key.
+- Unpivot: wide→long with stack() is expression-only (no shuffle
+  beyond the pivot's own aggregate).
+- Histogram: integer bucketing + groupBy — the fixed-cardinality
+  aggregate any profiler runs first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import tokens, tokens_sql
+from ..registry import register
+from ..sources.tables import load, spread
+
+# ------------------------------------------------- segment-level exact dedup
+#
+# CCNet/RefinedWeb dedup the corpus at LINE granularity before any
+# document-level near-dup pass. The synthetic corpus is single-line,
+# so the unit here is a fixed-width non-overlapping token segment —
+# same posting-list plan, same keep-first semantics: a segment is
+# kept only in the lowest-doc_id document that contains it.
+
+_SEG_W = 3  # tokens per segment (small so the synthetic corpus has real dups)
+
+
+@register(
+    "q_dedup_lines",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, {tokens_sql('text')} AS toks FROM documents),
+segs AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(0, CAST(ceil(len(toks) / {_SEG_W}.0) AS INT) - 1),
+           s -> array_to_string(toks[s * {_SEG_W} + 1 : s * {_SEG_W} + {_SEG_W}], ' ')
+         ) AS segs
+  FROM tok WHERE len(toks) > 0
+),
+post AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(segs))) AS pos,
+         unnest(list_transform(segs, s -> md5(s))) AS seg_key,
+         unnest(segs) AS seg
+  FROM segs
+),
+own AS (SELECT seg_key, min(doc_id) AS keeper FROM post GROUP BY seg_key),
+kept AS (
+  SELECT p.doc_id, p.pos, p.seg
+  FROM post p JOIN own o ON p.seg_key = o.seg_key AND p.doc_id = o.keeper
+),
+tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments FROM post GROUP BY doc_id),
+ka AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         string_agg(seg, ' ' ORDER BY pos) AS dedup_text
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_segments,
+       coalesce(ka.n_kept, 0) AS n_kept,
+       coalesce(ka.dedup_text, '') AS dedup_text
+FROM tot t LEFT JOIN ka USING (doc_id)
+""",
+)
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level exact dedup (the line-dedup pass of CCNet-style
+    corpus cleaning, ref keyword pipeline has no equivalent): split
+    each document into non-overlapping 3-token segments, keep a
+    segment only in the lowest-doc_id document containing it, and
+    reassemble the surviving text in original order.
+
+    Plan: posting table (doc, pos, md5(segment)) → min-doc owner per
+    key (one groupBy on a fixed 32-char key) → equi-join back →
+    per-doc reassembly sorting only each document's own segment list
+    (array_sort of a tiny collected array, no global sort). Shuffle
+    ∝ corpus segments; nothing pairwise, nothing driver-side."""
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    tok = docs.select("doc_id", tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    segs = tok.select(
+        "doc_id",
+        F.transform(
+            F.sequence(
+                F.lit(0), F.ceil(F.size("toks") / F.lit(_SEG_W)).cast("int") - 1
+            ),
+            lambda s: F.array_join(F.slice(F.col("toks"), s * _SEG_W + 1, _SEG_W), " "),
+        ).alias("segs"),
+    )
+    post = segs.select(
+        "doc_id", F.posexplode("segs").alias("pos0", "seg")
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.md5("seg").alias("seg_key"),
+        "seg",
+    )
+    own = post.groupBy("seg_key").agg(F.min("doc_id").alias("keeper"))
+    kept = post.join(own, "seg_key").filter(F.col("doc_id") == F.col("keeper"))
+    tot = post.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_segments"))
+    ka = kept.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                lambda x: x.getField("seg"),
+            ),
+            " ",
+        ).alias("dedup_text"),
+    )
+    return tot.join(ka, "doc_id", "left").select(
+        "doc_id",
+        "n_segments",
+        F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+        F.coalesce("dedup_text", F.lit("")).alias("dedup_text"),
+    )
+
+
+# --------------------------------------------- token-distribution metrics
+#
+# Entropy / type-token-ratio / top-token share are the distributional
+# quality cut above the ratio heuristics in functions/text.py: low
+# entropy or a dominant token flags template spam regardless of
+# stopword profile. The Σc·ln c identity
+#   H = ln(n) − (Σ c·ln c) / n
+# turns entropy into ONE per-doc aggregate over (doc, token) counts —
+# no window, no second pass for the total.
+
+
+@register(
+    "q_token_entropy",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, {tokens_sql('text')} AS toks FROM documents),
+tf AS (
+  SELECT doc_id, term, count(*) AS c
+  FROM (SELECT doc_id, unnest(toks) AS term FROM tok WHERE len(toks) > 0)
+  GROUP BY doc_id, term
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_types,
+       round(CAST(count(*) AS DOUBLE) / sum(c), 6) AS ttr,
+       round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy,
+       round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_share
+FROM tf GROUP BY doc_id
+""",
+)
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution quality metrics per document: Shannon
+    entropy of the token frequency distribution, type-token ratio,
+    and the most-frequent token's share. One explode + two hash
+    aggregates keyed (doc, token) then (doc) — embarrassingly
+    parallel, and the entropy total falls out of the same aggregate
+    via H = ln(n) − Σc·ln(c)/n."""
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    tok = docs.select("doc_id", tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    tf = (
+        tok.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("c"))
+    )
+    return tf.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        F.round(F.count("*").cast("double") / F.sum("c"), 6).alias("ttr"),
+        F.round(
+            F.log(F.sum("c")) - F.sum(F.col("c") * F.log("c")) / F.sum("c"), 6
+        ).alias("entropy"),
+        F.round(F.max("c").cast("double") / F.sum("c"), 6).alias("top_share"),
+    )
+
+
+# ------------------------------------------------------ TF-IDF cosine top-k
+#
+# The vector-space-model counterpart of q_bm25_topk (same golden
+# questions, independently rankable): w = tf·ln(N/df), cosine over
+# the query-term subspace with FULL document norms. The norm pass
+# needs df for every term — that full-posting-table aggregate is the
+# cost an index build pays once; the per-question probe side joins
+# only broadcast-size relations. Contributions round to 6 and scores
+# to 4 before ranking (registry conventions) so ordering is
+# engine-identical.
+
+_TFIDF_TOPK = 10
+
+
+def _tfidf_oracle() -> str:
+    from .questions import question_values_sql
+
+    return f"""
+WITH {question_values_sql()},
+tok AS (SELECT doc_id, {tokens_sql('lower(text)')} AS tk FROM documents),
+stats AS (SELECT count(*) AS n_docs FROM tok),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(tk) AS term FROM tok)
+  GROUP BY doc_id, term
+),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+w AS (
+  SELECT t.doc_id, t.term,
+         round(t.tf * ln(CAST(s.n_docs AS DOUBLE) / d.df), 6) AS w
+  FROM tf t JOIN dfq d USING (term) CROSS JOIN stats s
+),
+norm AS (
+  SELECT doc_id, round(sqrt(sum(round(w * w, 6))), 6) AS dnorm
+  FROM w GROUP BY doc_id
+),
+qt AS (
+  SELECT DISTINCT question_id, term
+  FROM (SELECT question_id,
+               unnest(string_split(lower(question_text), ' ')) AS term
+        FROM questions)
+),
+qw AS (
+  SELECT q.question_id, q.term,
+         round(ln(CAST(s.n_docs AS DOUBLE) / d.df), 6) AS wq
+  FROM qt q JOIN dfq d USING (term) CROSS JOIN stats s
+),
+qnorm AS (
+  SELECT question_id, round(sqrt(sum(round(wq * wq, 6))), 6) AS qn
+  FROM qw GROUP BY question_id
+),
+scored AS (
+  SELECT qw.question_id, w.doc_id,
+         round(sum(round(w.w * qw.wq, 6)), 4) AS num
+  FROM w JOIN qw USING (term)
+  GROUP BY qw.question_id, w.doc_id
+),
+cos AS (
+  SELECT s.question_id, s.doc_id,
+         round(s.num / (n.dnorm * q.qn), 4) AS cosine
+  FROM scored s JOIN norm n USING (doc_id) JOIN qnorm q USING (question_id)
+)
+SELECT question_id, doc_id, cosine
+FROM (SELECT *, row_number() OVER (PARTITION BY question_id
+                                   ORDER BY cosine DESC, doc_id) AS rn
+      FROM cos)
+WHERE rn <= {_TFIDF_TOPK}
+"""
+
+
+@register("q_tfidf_topk", oracle=_tfidf_oracle())
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF cosine top-10 per golden question — the vector-space
+    ranker next to BM25 (ref's keyword scorer is the degenerate
+    tf-only case, ref: src/main.py:137-145). Index side: tf + df
+    aggregates and per-doc norms over the full posting table (the
+    one-time index-build pass). Probe side: question terms and their
+    idf weights are broadcast; the only big shuffle keys on
+    (question, doc) for the score aggregate."""
+    from .questions import GOLDEN_QUESTIONS
+
+    # ---- index build (materialized ONCE; the stored index a real
+    # deployment writes to disk). Without the checkpoints Catalyst
+    # duplicates the posting subtree per consumer — tok feeds
+    # stats+tf, tf feeds df+w, w feeds norm+score — and the static
+    # plan exploded to 18 shuffles (caught by test_shuffle_budget).
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    tok = docs.select("doc_id", tokens(F.lower(F.col("text"))).alias("tk"))
+    stats = F.broadcast(tok.agg(F.count("*").alias("n_docs")))
+    tf = (
+        tok.select("doc_id", F.explode("tk").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    # Per-term document frequency WITH the corpus size folded in, so
+    # the probe side never re-derives the corpus stats.
+    dfq = (
+        tf.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(stats)
+        .localCheckpoint(eager=False)
+    )
+    w = tf.join(dfq, "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+        ).alias("w"),
+    )
+    norm = w.groupBy("doc_id").agg(
+        F.round(F.sqrt(F.sum(F.round(F.col("w") * F.col("w"), 6))), 6).alias(
+            "dnorm"
+        )
+    )
+    # The stored index row: (doc, term, w, dnorm) — dnorm rides as a
+    # column (NOT pre-divided into w) so the probe's rounding
+    # structure stays bit-identical to the oracle's.
+    wn = w.join(norm, "doc_id").localCheckpoint(eager=False)
+
+    # ---- probe (per-question): broadcast-size sides only.
+    pairs = sorted(
+        {(qid, t) for qid, q in GOLDEN_QUESTIONS for t in q.lower().split()}
+    )
+    qt = spark.createDataFrame(pairs, "question_id INT, term STRING")
+    qw = F.broadcast(
+        F.broadcast(qt)
+        .join(dfq, "term")
+        .select(
+            "question_id",
+            "term",
+            F.round(
+                F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("wq"),
+        )
+    )
+    qnorm = F.broadcast(
+        qw.groupBy("question_id").agg(
+            F.round(F.sqrt(F.sum(F.round(F.col("wq") * F.col("wq"), 6))), 6).alias(
+                "qn"
+            )
+        )
+    )
+    scored = (
+        wn.join(qw, "term")
+        .repartition("question_id")
+        .groupBy("question_id", "doc_id")
+        .agg(
+            F.round(F.sum(F.round(F.col("w") * F.col("wq"), 6)), 4).alias("num"),
+            F.first("dnorm").alias("dnorm"),
+        )
+    )
+    cos = scored.join(qnorm, "question_id").select(
+        "question_id",
+        "doc_id",
+        F.round(F.col("num") / (F.col("dnorm") * F.col("qn")), 4).alias("cosine"),
+    )
+    w_rank = Window.partitionBy("question_id").orderBy(
+        F.desc("cosine"), F.asc("doc_id")
+    )
+    return (
+        cos.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= _TFIDF_TOPK)
+        .drop("rn")
+    )
+
+
+# ---------------------------------------------------- URL canonicalization
+#
+# Web-corpus dedup starts at the URL: strip scheme / www / query
+# string / trailing slash, lowercase, then group. The synthetic
+# corpus has no URL column, so (like q_pii_redact's injection) each
+# document derives a deterministic messy URL from its own fields —
+# the regex chain then has real case/query/slash variance to
+# normalize, and the oracle checks exact canonical output.
+
+
+@register(
+    "q_url_normalize",
+    oracle="""
+WITH raw AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.' ELSE 'https://www.' END)
+         || source || '.example.com/page/' || CAST(doc_id % 5 AS VARCHAR)
+         || (CASE WHEN doc_id % 3 = 0
+                  THEN '/?utm_source=feed&utm_id=' || CAST(doc_id AS VARCHAR)
+                  ELSE '/' END) AS url
+  FROM documents
+),
+norm AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(lower(url), '^https?://', ''),
+               '^www\\.', ''),
+             '\\?.*$', ''),
+           '/$', '') AS canon_url
+  FROM raw
+)
+SELECT canon_url,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS min_doc_id
+FROM norm GROUP BY canon_url
+""",
+)
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup grouping: lowercase, strip scheme,
+    leading www., query string, and trailing slash, then group
+    documents by canonical URL (keeper = min doc_id). The normalize
+    chain is scan-local column expressions; the only shuffle is the
+    final groupBy on the canonical key."""
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "source"))
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, "HTTPS://WWW.").otherwise("https://www."),
+        F.col("source"),
+        F.lit(".example.com/page/"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("/?utm_source=feed&utm_id="), F.col("doc_id").cast("string")
+            ),
+        ).otherwise(F.lit("/")),
+    )
+    canon = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(url), "^https?://", ""), r"^www\.", ""
+            ),
+            r"\?.*$",
+            "",
+        ),
+        "/$",
+        "",
+    )
+    return (
+        docs.select("doc_id", canon.alias("canon_url"))
+        .groupBy("canon_url")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("min_doc_id"),
+        )
+    )
+
+
+# ------------------------------------------------------- unpivot (stack)
+#
+# The long→wide direction lives in analytics.q_pivot_lang_source;
+# this is the inverse: pivot the per-(lang, source) counts wide, then
+# stack() back to long form. stack is expression-only — the round
+# trip costs exactly the pivot's one aggregate — and must reproduce
+# the direct long-form groupBy, which is the oracle.
+
+_UNPIVOT_SOURCES = ("src0", "src1", "src2", "src3")
+
+
+@register(
+    "q_unpivot_source",
+    oracle=f"""
+SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+FROM documents
+WHERE source IN {_UNPIVOT_SOURCES!r}
+GROUP BY lang, source
+""",
+)
+def q_unpivot_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide → long) with stack(): pivot per-language counts
+    for four sources wide (explicit value list → one-pass plan), then
+    stack back to (lang, source, n) and drop empty combinations —
+    recovering exactly the direct long-form aggregate the oracle
+    computes."""
+    d = load(spark, sf_dir, "documents").filter(
+        F.col("source").isin(*_UNPIVOT_SOURCES)
+    )
+    wide = d.groupBy("lang").pivot("source", list(_UNPIVOT_SOURCES)).count()
+    stack_args = ", ".join(f"'{s}', `{s}`" for s in _UNPIVOT_SOURCES)
+    return (
+        wide.selectExpr(
+            "lang",
+            f"stack({len(_UNPIVOT_SOURCES)}, {stack_args}) AS (source, n0)",
+        )
+        .filter(F.col("n0").isNotNull())
+        .select("lang", "source", F.col("n0").cast("long").alias("n"))
+    )
+
+
+# ------------------------------------------------------ length histogram
+#
+# Fixed-width bucketing on n_chars: the first profiling aggregate any
+# corpus audit runs. Integer floor-division bucketing is portable
+# across engines (no width_bucket semantics drift), and the share
+# denominator rides a broadcast 1-row aggregate, not a window.
+
+_HIST_W = 50
+
+
+@register(
+    "q_length_histogram",
+    oracle=f"""
+WITH b AS (SELECT doc_id, n_chars, n_chars // {_HIST_W} AS bucket FROM documents),
+tot AS (SELECT count(*) AS total FROM b)
+SELECT bucket * {_HIST_W} AS bucket_lo,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars,
+       round(count(*) / CAST(any_value(total) AS DOUBLE), 6) AS share
+FROM b CROSS JOIN tot
+GROUP BY bucket
+""",
+)
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram in fixed 50-char buckets with each
+    bucket's corpus share. One groupBy on a derived integer key; the
+    total rides a broadcast single-row aggregate so no second pass
+    and no window over the whole table."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    b = d.select(
+        "n_chars", (F.col("n_chars") / _HIST_W).cast("long").alias("bucket")
+    )
+    tot = F.broadcast(b.agg(F.count("*").alias("total")))
+    return (
+        b.crossJoin(tot)
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+            F.round(F.count("*") / F.any_value("total").cast("double"), 6).alias(
+                "share"
+            ),
+        )
+        .select(
+            (F.col("bucket") * _HIST_W).alias("bucket_lo"),
+            "n_docs",
+            "min_chars",
+            "max_chars",
+            "share",
+        )
+    )

@@ -86,25 +86,36 @@ def _load_all() -> None:
     # IMPORT ORDER IS THE DRIVER-COVERAGE ROTATION. The external
     # harness verifies a ~50-query prefix of the registration order
     # per round, so modules needing a FRESH driver row register first.
-    # Round-5 prefix (r4 verdict items 2 & 9):
-    # - event_windows (9): the r4 red rows (q_tumbling/sliding/session
-    #   _window, q_retention_sweep) must show driver-green after the
-    #   events ts-unit fix (sources/tables.py:events_ts_unit);
-    # - joins (8): q_join_asof went latently red on the same ts bug;
-    # - api (3) + search (3): retrieval/scoring paths rebuilt this
-    #   round (stored-index RRF probe, staged keyword scoring);
-    # - extraction (8): codec dispatch seams rerouted this round;
-    # - sinks (6): q_retention_sweep (5th in module, prefix pos ~36)
-    #   was the 4th r4 red row — same ts-unit root cause;
-    # - filters (5) + aggregates (9): last driver rows date to r1 —
-    #   refresh while slots remain (51 total; aggregates' tail may
-    #   spill just past the ~50 boundary, all r1-green rows).
-    # Modules with recent green rows (pipeline/windows/text/sinks/
-    # sampling/scalar r4, dedup/similarity/vector r2-r4) register
-    # last. NOTE: shared helpers live in registration-free modules
-    # (functions/hashing.py, functions/embed.py,
-    # operators/questions.py) so a prefix module's import never drags
-    # an already-verified module's registrations into the prefix.
+    # Round-6 prefix (r5 verdict item 1 — the six round-5 queries
+    # with no driver CORRECTNESS row yet):
+    # - similarity (6): q_ann_multiprobe, q_ann_quantized;
+    # - dedup (10): q_dedup_incremental;
+    # - pipeline (8): q_sequence_pack, q_token_budget_cap;
+    # - sampling (6): q_sample_quality_topfrac;
+    # - corpus (new this round): every round-6 query needs its first
+    #   driver row;
+    # - analytics (11): oldest remaining driver rows (r1) — refresh
+    #   while slots remain; its tail may spill past the ~50 boundary
+    #   (all green rows, lowest risk).
+    # Modules with recent green rows (event_windows/joins/api/search/
+    # extraction/sinks/filters/aggregates all r5; windows/text/scalar
+    # r4; setops/vector/textpipe/scans r2) register last. NOTE: shared
+    # helpers live in registration-free modules (functions/hashing.py,
+    # functions/embed.py, operators/questions.py) so a prefix module's
+    # import never drags an already-verified module's registrations
+    # into the prefix.
+    from .operators import similarity  # noqa: F401
+    from .operators import dedup  # noqa: F401
+    from .operators import pipeline  # noqa: F401
+    from .operators import sampling  # noqa: F401
+    from .operators import corpus  # noqa: F401
+    from .operators import analytics  # noqa: F401
+    # ---- ~50-query prefix boundary ----
+    from .operators import setops  # noqa: F401
+    from .functions import vector  # noqa: F401
+    from .operators import textpipe  # noqa: F401
+    from .sources import scans  # noqa: F401
+    from .operators import multimodal  # noqa: F401
     from .streaming import event_windows  # noqa: F401
     from .operators import joins  # noqa: F401
     from . import api  # noqa: F401
@@ -113,20 +124,9 @@ def _load_all() -> None:
     from .sources import sinks  # noqa: F401
     from .operators import filters  # noqa: F401
     from .operators import aggregates  # noqa: F401
-    # ---- ~50-query prefix boundary (51 above) ----
-    from .operators import setops  # noqa: F401
-    from .functions import vector  # noqa: F401
-    from .operators import dedup  # noqa: F401
-    from .operators import similarity  # noqa: F401
-    from .operators import analytics  # noqa: F401
-    from .operators import textpipe  # noqa: F401
-    from .sources import scans  # noqa: F401
-    from .operators import multimodal  # noqa: F401
-    from .operators import pipeline  # noqa: F401
     from .sources import http_ingest  # noqa: F401
     from .operators import windows  # noqa: F401
     from .functions import text  # noqa: F401
-    from .operators import sampling  # noqa: F401
     from .functions import scalar  # noqa: F401
 
     _LOADED = True
