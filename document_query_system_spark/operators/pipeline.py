@@ -324,16 +324,25 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     score to 4 before ranking, so ordering is engine-identical."""
     from .questions import questions_df
 
-    # Shuffle budget (4): ① tf groupBy ② df window on term ③ the tiny
-    # corpus-stats agg ④ repartition(question_id) — which the score
-    # groupBy AND the rank window both reuse (hash(question) satisfies
-    # ClusteredDistribution(question, doc), so neither adds an
-    # exchange). df comes from a count window over the already-built
-    # posting table rather than a second aggregation pass, which would
-    # recompute the whole tf subtree. Skew note: partitioning by term
-    # puts a stopword's whole posting list in one task — a production
-    # corpus caps df / drops stopwords before this stage (same knob as
-    # dedup's shingle DF cap).
+    # Shuffle budget (4): ① tf groupBy ② the df groupBy on term ③ the
+    # tiny corpus-stats agg ④ repartition(question_id) — which the
+    # score groupBy AND the rank window both reuse (hash(question)
+    # satisfies ClusteredDistribution(question, doc), so neither adds
+    # an exchange). df was a count(*) window over the filtered posting
+    # table through r5 — the golden-question terms cover most of the
+    # synthetic vocabulary, so that window sorted nearly the whole
+    # posting table per term and regressed 1.7× in BENCH_r05 (r5
+    # verdict item 2). Now: the filtered posting table is materialized
+    # ONCE with a lazy localCheckpoint — the "build the index once"
+    # step a BM25 engine persists anyway — and both consumers (the
+    # one-row-per-term df groupBy, broadcast back, and the scoring
+    # join) read the materialized postings instead of re-running
+    # scan→tokenize→explode (Catalyst prunes the two subtrees
+    # differently, so exchange reuse alone cannot dedup them).
+    # Measured at sf0.1: 3.45 s (r5 window) → 2.0 s (recompute) →
+    # 1.6 s (checkpoint). Skew note: a stopword's posting list lands
+    # in one reducer for ②'s partial-agg input — map-side combine
+    # bounds it at one row per (partition, term).
     docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
     tok = docs.select("doc_id", tokens(F.lower(F.col("text"))).alias("tk"))
     stats = F.broadcast(
@@ -360,8 +369,9 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qt = spark.createDataFrame(pairs, "question_id INT, term STRING")
     terms = sorted({t for _, t in pairs})
-    tfq = tf.filter(F.col("term").isin(terms))
-    tfq = tfq.withColumn("df", F.count("*").over(Window.partitionBy("term")))
+    tfq = tf.filter(F.col("term").isin(terms)).localCheckpoint(eager=False)
+    dfq = F.broadcast(tfq.groupBy("term").agg(F.count("*").alias("df")))
+    tfq = tfq.join(dfq, "term")
     contrib = (
         tfq.join(F.broadcast(qt), "term")
         .crossJoin(stats)
@@ -545,8 +555,8 @@ FROM cum
 )
 def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing for training batches: documents are dealt to
-    {_PACK_SHARDS} shards (doc_id mod — the deterministic stand-in for
-    a training worker id) and greedily packed to ~2048 tokens per
+    shards (doc_id mod — the deterministic stand-in for a training
+    worker id) and greedily packed to a target token count per
     sequence via a running token cumsum: pack_id = floor(tokens-
     before-me / target). A document straddling a boundary joins the
     pack its prefix sum lands in (best-effort packing; exact bin
@@ -612,10 +622,10 @@ FROM cum WHERE cum_tokens <= {_DOMAIN_TOKEN_BUDGET}
 def q_token_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain token budget: keep documents, in reproducible
     md5(doc_id) order, while the domain's running token total stays
-    within {_DOMAIN_TOKEN_BUDGET} — the 'cap web at N tokens, books at
-    M' mixing pass every pretraining data recipe runs. Inclusive
-    cumsum ⇒ the document that crosses the cap is dropped along with
-    everything after it."""
+    within the budget — the 'cap web at N tokens, books at M' mixing
+    pass every pretraining data recipe runs. Inclusive cumsum ⇒ the
+    document that crosses the cap is dropped along with everything
+    after it."""
     docs = load(spark, sf_dir, "documents").select("source", "doc_id", "text")
     s1 = docs.select(
         "source",

@@ -114,12 +114,32 @@ def test_cosine_dedup_salts_the_bucket_key(spark):
 
 
 def test_bm25_shuffle_shape(spark):
-    """Posting-table build + df window + stats + question repartition:
-    exactly 4 keyed shuffles, and the score groupBy / rank window must
-    reuse the question_id exchange rather than adding their own."""
+    """The r5 regression fix (verdict item 2): df must come from a
+    groupBy over the ONE materialized posting table, not a per-term
+    count window (which sorted nearly the whole posting table — the
+    golden terms cover most of the synthetic vocabulary). Pin: no
+    Window node partitions by term (the question_id rank window is the
+    only one allowed), the posting table is checkpointed exactly once
+    (both df and scoring consumers read the same RDD scan instead of
+    re-running scan→tokenize→explode), shuffle budget holds, and no
+    SortAggregate."""
+    import re
+
     rep = _plan(spark, "q_bm25_topk")
     assert rep.n_shuffles <= 4
     assert rep.n_sort_aggregates == 0
+    windows = [
+        blk for blk in re.split(r"\n\(\d+\) ", rep.raw)
+        if blk.startswith("Window") and "term" in blk.split("\n")[1]
+    ]
+    assert windows == [], "df must come from a groupBy, not a term window"
+    # Exactly one checkpointed posting table feeding >=2 consumers:
+    # the lazy localCheckpoint surfaces as "Scan ExistingRDD" and the
+    # tokenize/explode pipeline disappears from this plan.
+    assert len(re.findall(r"\(\d+\) Scan ExistingRDD", rep.raw)) >= 2
+    assert "explode" not in rep.raw, (
+        "posting table must be materialized once, not re-derived per consumer"
+    )
 
 
 def test_no_sort_aggregates_anywhere(spark):
