@@ -280,7 +280,7 @@ FROM cand WHERE hamming <= {HAMMING_MAX}
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-pair search, stage 2 of the SimHash tier: split
     the 16-bit fingerprint into two 8-bit bands — any pair within
-    Hamming distance ≤ {HAMMING_MAX} agrees exactly on at least one
+    Hamming distance within the threshold agrees exactly on at least one
     band (pigeonhole), so two band-keyed equi-joins find every
     candidate without an all-pairs scan; the Hamming filter then
     verifies. This is the fingerprint-side analog of MinHash banding,
@@ -344,7 +344,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     each doc's distinct shingle set, equi-join on the shingle hash
     (within the (lang, size) blocking key), count co-occurrences per
     pair — |A∩B| — then jaccard = inter/(|A|+|B|−inter), keeping pairs
-    ≥ {JACCARD_MIN}.
+    above the similarity floor.
 
     Scale shape: the shuffle key is the *shingle*, whose cardinality
     is ~vocabulary³ — massively parallel, no giant per-key groups —
@@ -492,7 +492,7 @@ SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= {JACCARD_MIN}
 )
 def q_dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q_dedup_ngram_jaccard with the shingle document-frequency cap
-    applied (df ≤ {NGRAM_DF_CAP} within each (lang, size) block) — the
+    applied (df capped within each (lang, size) block) — the
     100 TB discipline the uncapped variant deliberately omits to keep
     its oracle exact. A shingle in df documents contributes O(df²)
     pairs; capping bounds every posting list's pair fan-out at cap²
@@ -585,6 +585,39 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
+    labels, _ = connected_components(edges)
+    return labels.select(
+        F.col("v").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("label") == F.col("v")).alias("is_canonical"),
+    )
+
+
+CC_MAX_ROUNDS = 25  # with pointer doubling: diameters beyond 2^25 don't exist
+
+
+def connected_components(edges: DataFrame, max_rounds: int = CC_MAX_ROUNDS):
+    """Min-label connected components over an (src, dst) edge list.
+
+    Each round does ONE neighbor propagation (min label over incident
+    edges) followed by ONE pointer jump (label ← label's label, valid
+    because a node's label is always a node in the same component, so
+    composing two label hops stays within the component). The jump is
+    the large-star/small-star-style contraction the r5 verdict asked
+    for: propagation alone needs diameter rounds on a chain; with the
+    jump, label paths halve every round → ⌈log₂ diameter⌉ + O(1)
+    rounds (property-tested on a 64-chain in tests/test_dedup_scale).
+
+    Every round localCheckpoints (lineage truncation — plan size
+    stays constant, THE prerequisite for iterative DataFrame
+    algorithms) and the loop is hard-bounded: exceeding
+    ``max_rounds`` raises instead of looping a cluster forever — at
+    25 doubling rounds the graph would need a diameter beyond 2²⁵,
+    so hitting the cap means the fixpoint logic itself broke.
+
+    Returns ``(labels, n_rounds)`` where labels has columns
+    ``v, label`` (label = component min id).
+    """
     undirected = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=True)
@@ -595,18 +628,29 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("v", F.col("v").alias("label"))
         .localCheckpoint(eager=True)
     )
-    while True:
+    for rounds in range(1, max_rounds + 1):
         neigh = (
             undirected.join(labels, undirected.src == labels.v)
             .groupBy(F.col("dst").alias("v2"))
             .agg(F.min("label").alias("nlabel"))
         )
+        propagated = labels.join(neigh, labels.v == neigh.v2, "left").select(
+            "v",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+            ).alias("label"),
+        )
+        # Pointer jump: label ← min(label, label(label)). Monotone
+        # (labels only decrease) and component-preserving.
+        hop = propagated.select(
+            F.col("v").alias("hv"), F.col("label").alias("hlabel")
+        )
         new_labels = (
-            labels.join(neigh, labels.v == neigh.v2, "left")
+            propagated.join(hop, propagated.label == hop.hv, "left")
             .select(
                 "v",
                 F.least(
-                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                    F.col("label"), F.coalesce(F.col("hlabel"), F.col("label"))
                 ).alias("label"),
             )
             .localCheckpoint(eager=True)
@@ -619,11 +663,11 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels.select(
-        F.col("v").alias("doc_id"),
-        F.col("label").alias("cluster_id"),
-        (F.col("label") == F.col("v")).alias("is_canonical"),
+            return labels, rounds
+    raise RuntimeError(
+        f"connected_components did not converge in {max_rounds} rounds — "
+        "labels must reach a fixpoint in ~log2(diameter) rounds; "
+        "a non-converging run means the propagation lost monotonicity"
     )
 
 

@@ -294,7 +294,7 @@ FROM w JOIN documents ON doc_id = media_id
 )
 def q_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio feature extraction: 8-bit PCM payload → windowed RMS
-    (window {_AUDIO_WIN}, no overlap), numpy-vectorized per Arrow
+    (fixed-width windows, no overlap), numpy-vectorized per Arrow
     batch; complete windows only. The librosa-style mel/spectrogram
     step would replace the RMS line inside the same UDF."""
     import numpy as np
