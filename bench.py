@@ -35,6 +35,12 @@ def main() -> None:
         sf_val = sf
 
     spark = get_spark(app_name="dqs-bench")
+    # The driver records a bounded tail of this process's output as
+    # the round's bench artifact; streaming queries otherwise spray
+    # log4j WARN lines (temp-checkpoint, AQE-disabled) into it (r2/r5
+    # ADVICE hygiene item). Errors still surface — BENCH-ERROR lines
+    # are print()s, not log4j.
+    spark.sparkContext.setLogLevel("ERROR")
     specs = registry.all_specs()
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
     if only:
@@ -79,20 +85,28 @@ def main() -> None:
     except Exception as exc:  # pragma: no cover
         print(f"BENCH-ERROR index warmup: {exc}", file=sys.stderr)
 
-    # JMH-style untimed warmup pass: run every query once before
-    # timing so per-query numbers measure STEADY-STATE engine
+    # JMH-style warmup pass: run every query once before the timed
+    # loop so per-query numbers measure STEADY-STATE engine
     # throughput, not whole-stage-codegen JIT compilation (measured
     # 2-6× on cold keyword-scoring and extract-cascade plans — the
     # generated class is cached per plan, so the timed run below hits
-    # warm code). This is the standard benchmark methodology (warmup
-    # iterations before measurement); disable with
-    # SPARK_GRAFT_BENCH_WARMUP=0 to measure cold-start instead.
+    # warm code). The warmup pass is itself TIMED and reported as
+    # value_cold / queries_cold (r5 verdict item 7: keep cross-round
+    # comparisons possible against the r1-r4 cold numbers); disable
+    # with SPARK_GRAFT_BENCH_WARMUP=0 to skip it, making the main
+    # timings cold-start.
+    cold_timings: dict[str, float] = {}
+    cold_total = None
     if os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0":
+        t_cold0 = time.perf_counter()
         for name in sorted(specs):
+            t0 = time.perf_counter()
             try:
                 _force(specs[name].fn(spark, sf_dir))
+                cold_timings[name] = round(time.perf_counter() - t0, 3)
             except Exception:
                 pass  # the timed loop below reports the failure
+        cold_total = round(time.perf_counter() - t_cold0, 3)
 
     timings: dict[str, float] = {}
     t_total0 = time.perf_counter()
@@ -160,8 +174,10 @@ def main() -> None:
     full = {
         "metric": "queries_suite_wall_sec",
         "value": total,
+        "value_cold": cold_total,
         "unit": "sec",
         "queries": timings,
+        "queries_cold": cold_timings,
         "sf": sf_val,
         "n_queries": len(timings),
         "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
@@ -183,6 +199,7 @@ def main() -> None:
             {
                 "metric": "queries_suite_wall_sec",
                 "value": total,
+                "value_cold": cold_total,  # first-run total (JIT included)
                 "unit": "sec",
                 "queries": slowest,  # slowest 5 only; full map in BENCH_FULL.json
                 "sf": sf_val,

@@ -59,3 +59,21 @@ def test_bench_emits_one_json_line():
     }
     assert all(v >= 0 for v in full["queries"].values()), full["queries"]
     assert "BENCH-ERROR" not in out.stderr
+    # r5 verdict item 7: cold (first-run, JIT included) AND steady-state
+    # both reported, cold >= steady is the expected direction.
+    assert full["value_cold"] is not None and d["value_cold"] is not None
+    assert set(full["queries_cold"]) == set(full["queries"])
+    # r5 verdict item 6 (r2 ADVICE, third recurrence): the driver
+    # captures a bounded output tail — it must contain the JSON line
+    # and no log4j WARN spray (streaming checkpoint/AQE notices,
+    # function-replaced). The only WARNs allowed are the fixed JVM /
+    # context-startup lines that print before any log level applies
+    # (documented in BENCH_NOTES.md §tail).
+    startup_ok = ("NativeCodeLoader",)
+    tail_lines = (out.stdout + out.stderr).splitlines()[-25:]
+    bad = [
+        l
+        for l in tail_lines
+        if " WARN " in l and not any(p in l for p in startup_ok)
+    ]
+    assert bad == [], bad
