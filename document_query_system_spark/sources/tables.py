@@ -31,7 +31,6 @@ TABLES = (
 BROADCAST_DIMS = ("region", "nation")
 
 
-@lru_cache(maxsize=None)
 def events_ts_unit(sf_dir: str) -> str:
     """Probe events.parquet's footer for the ``ts`` column's time unit.
 
@@ -42,14 +41,39 @@ def events_ts_unit(sf_dir: str) -> str:
     silently corrupts event time when the file format flips (a 30-day
     timeline read with the wrong unit collapses to ~43 minutes), so the
     unit is read from the file itself: ONE driver-side footer read per
-    (sf_dir), cached for the process lifetime — no data pages touched.
+    (path, mtime) — no data pages touched. The cache keys on mtime
+    (r5 ADVICE item 1): a process-lifetime cache keyed on sf_dir alone
+    would reproduce exactly the silent time-collapse bug this probe
+    fixes if the driver regenerated events.parquet in-place with a
+    different unit inside a long-lived process.
+
+    Units other than us/ns raise immediately: ``load()`` has an
+    explicit reader strategy for exactly those two, and falling
+    through to schema inference for, say, TIMESTAMP(MILLIS) would
+    surface TIMESTAMP_NTZ on Spark 4 and fail later and less clearly.
     """
+    import os
+
+    path = f"{sf_dir}/events.parquet"
+    return _events_ts_unit_cached(path, os.stat(path).st_mtime_ns)
+
+
+@lru_cache(maxsize=None)
+def _events_ts_unit_cached(path: str, mtime_ns: int) -> str:
     import pyarrow.parquet as pq
 
-    t = pq.ParquetFile(f"{sf_dir}/events.parquet").schema_arrow.field("ts").type
+    t = pq.ParquetFile(path).schema_arrow.field("ts").type
     # timestamp[us]/timestamp[ns] expose .unit; a raw INT64 with no
     # logical type means driver-written epoch nanos — treat as "ns".
-    return getattr(t, "unit", "ns")
+    unit = getattr(t, "unit", "ns")
+    if unit not in ("us", "ns"):
+        raise ValueError(
+            f"events.parquet ts column has unsupported time unit {unit!r} "
+            f"(type {t}); sources.tables.load knows how to read us and ns — "
+            "add an explicit reader strategy instead of falling through "
+            "to schema inference"
+        )
+    return unit
 
 
 _EVENTS_TS_DDL = (

@@ -383,7 +383,15 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     (last event + 30 min gap) is ≤ that watermark; the few sessions
     near the end of the timeline stay in state at shutdown, and the
     oracle's WHERE clause reproduces precisely that holdback
-    (calibrated: 9536 of 9549 sessions at sf0.01, 945 at sf0.001)."""
+    (calibrated: 9536 of 9549 sessions at sf0.01, 945 at sf0.001).
+
+    Boundary semantics (r5 ADVICE item 2): Spark's session-state
+    eviction is INCLUSIVE at the watermark — a session whose end
+    equals the final watermark exactly IS emitted — matching the
+    oracle's ``last_ts + gap <= w``. Pinned empirically by
+    tests/test_streaming_boundary.py with an exact-tie fixture, so a
+    Spark comparison-direction change fails CI rather than the
+    driver gate on tie-shaped data."""
     ev = _read_event_stream(spark, sf_dir)
     agg = (
         ev.withWatermark("ts", "30 minutes")
