@@ -94,6 +94,9 @@ def _load_all() -> None:
     # - sampling (6): q_sample_quality_topfrac;
     # - corpus (new this round): every round-6 query needs its first
     #   driver row;
+    # - scoring (new this round, second half): LM perplexity,
+    #   dup-span fraction, quality classifier, split assignment —
+    #   first driver rows needed;
     # - analytics (11): oldest remaining driver rows (r1) — refresh
     #   while slots remain; its tail may spill past the ~50 boundary
     #   (all green rows, lowest risk).
@@ -109,6 +112,7 @@ def _load_all() -> None:
     from .operators import pipeline  # noqa: F401
     from .operators import sampling  # noqa: F401
     from .operators import corpus  # noqa: F401
+    from .operators import scoring  # noqa: F401
     from .operators import analytics  # noqa: F401
     # ---- ~50-query prefix boundary ----
     from .operators import setops  # noqa: F401
