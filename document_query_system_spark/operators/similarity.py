@@ -12,7 +12,9 @@ north star for similarity search):
   flip buckets (Lv et al., VLDB 2007) — recall repair that costs
   probe reads, not index storage;
 - q_ann_ivf: IVF-style coarse quantization — centroid per label
-  partition, probe only the query's nprobe nearest partitions.
+  partition, probe only the query's nprobe nearest partitions;
+- q_ann_pq: product quantization — 8-byte codes (32× index
+  compression), ADC shortlist, exact re-rank (Jégou et al. 2011).
 
 Hyperplanes are fixed pseudorandom literals (seeded stdlib Mersenne,
 platform-stable) embedded in both the Spark plan and the DuckDB
@@ -492,6 +494,198 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------- product quantization
+#
+# The fourth ANN tier (Jégou et al., "Product Quantization for
+# Nearest Neighbor Search", TPAMI 2011): split each vector into 8
+# subvectors of 8 dims, quantize every subvector to its nearest of 16
+# per-subspace centroids (codes: 8 bytes/vector — a 32× compression
+# of the float index), score by asymmetric distance computation (ADC:
+# the query's precomputed dot with each centroid, summed over the
+# code), then re-rank a shortlist with exact cosine. The codebook is
+# deterministic — the subvectors of 16 fixed corpus vectors (ids
+# 100–115) — standing in for k-means training so BOTH engines derive
+# byte-identical codes and the whole tier stays value-checkable; a
+# trained codebook would arrive as the same 128-row relation.
+
+_PQ_SUBS = 8  # subspaces
+_PQ_SUBDIM = DIM // _PQ_SUBS
+_PQ_K = 16  # centroids per subspace
+_PQ_SEED_LO = 100  # codebook = subvectors of vec_id in [100, 116)
+# ADC shortlist size fed to the exact re-ranker — the recall/read
+# knob: measured recall@5 at sf0.01 is 0.28/0.56/0.72 for 20/40/60
+# (the synthetic embeddings are near-isotropic, so the 16-centroid
+# codebook quantizes coarsely; clustered real embeddings sit far
+# higher at the same depth). 40 ≈ 8% of this corpus; at real scale
+# the shortlist is a vanishing fraction of N.
+_PQ_RERANK = 40
+
+_PQ_SQL = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+subs AS (
+  SELECT vec_id, t.s AS s,
+         list_slice(v, t.s * {_PQ_SUBDIM} + 1, t.s * {_PQ_SUBDIM} + {_PQ_SUBDIM}) AS sub
+  FROM e CROSS JOIN generate_series(0, {_PQ_SUBS - 1}) t(s)
+),
+seeds AS (
+  SELECT vec_id - {_PQ_SEED_LO} AS cid, s, sub AS csub
+  FROM subs WHERE vec_id BETWEEN {_PQ_SEED_LO} AND {_PQ_SEED_LO + _PQ_K - 1}
+),
+enc AS (
+  SELECT vec_id, s, cid,
+         round(list_dot_product(sub, sub)
+               - 2 * list_dot_product(sub, csub)
+               + list_dot_product(csub, csub), 6) AS d2
+  FROM subs JOIN seeds USING (s)
+),
+codes AS (
+  SELECT vec_id, s,
+         min(CAST(round(d2 * 1000000) AS BIGINT) * {_PQ_K} + cid) % {_PQ_K} AS code
+  FROM enc GROUP BY vec_id, s
+),
+lut AS (
+  SELECT q.vec_id AS query_id, q.s, sd.cid,
+         round(list_dot_product(q.sub, sd.csub), 6) AS part
+  FROM (SELECT * FROM subs WHERE vec_id < 5) q JOIN seeds sd USING (s)
+),
+adc AS (
+  SELECT l.query_id, c.vec_id AS match_id, round(sum(l.part), 6) AS adc
+  FROM codes c JOIN lut l ON c.s = l.s AND c.code = l.cid
+  WHERE c.vec_id <> l.query_id
+  GROUP BY l.query_id, c.vec_id
+),
+shortlist AS (
+  SELECT query_id, match_id, adc
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adc DESC, match_id) AS rn FROM adc)
+  WHERE rn <= {_PQ_RERANK}
+),
+rer AS (
+  SELECT sl.query_id, sl.match_id, sl.adc,
+         round(list_dot_product(qe.v, me.v)
+               / (sqrt(list_dot_product(qe.v, qe.v))
+                  * sqrt(list_dot_product(me.v, me.v))), 6) AS cos_sim
+  FROM shortlist sl
+  JOIN e qe ON qe.vec_id = sl.query_id
+  JOIN e me ON me.vec_id = sl.match_id
+)
+SELECT query_id, match_id, adc, cos_sim
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, match_id) AS rn
+      FROM rer)
+WHERE rn <= {_TOP_K}
+"""
+
+
+@register("q_ann_pq", oracle=_PQ_SQL)
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011): encode every
+    vector as 8 sub-codes (nearest of 16 deterministic per-subspace
+    centroids — 8 bytes/vector, 32× smaller than the float index),
+    rank by ADC (the query's precomputed centroid dots summed over
+    each code), then re-rank the top-20 shortlist with exact cosine.
+
+    Scale shape: encoding is the one-time index build — a broadcast
+    join against the 128-row codebook plus a map-side-combined argmin
+    aggregate; the serving scan reads ONLY the 8-byte codes (the
+    memory-bandwidth win that makes PQ the standard billion-vector
+    tier), the per-query LUT is 128 broadcast rows, and the exact
+    re-rank touches 20 full vectors per query instead of N."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    subs = e.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_PQ_SUBS - 1))).alias("s"),
+        "v",
+    ).select(
+        "vec_id",
+        "s",
+        F.slice("v", F.col("s") * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias("sub"),
+    )
+    seeds = F.broadcast(
+        subs.filter(
+            (F.col("vec_id") >= _PQ_SEED_LO)
+            & (F.col("vec_id") < _PQ_SEED_LO + _PQ_K)
+        ).select(
+            (F.col("vec_id") - _PQ_SEED_LO).alias("cid"),
+            "s",
+            F.col("sub").alias("csub"),
+        )
+    )
+    d2 = F.round(
+        dot(F.col("sub"), F.col("sub"))
+        - 2 * dot(F.col("sub"), F.col("csub"))
+        + dot(F.col("csub"), F.col("csub")),
+        6,
+    )
+    # argmin via a packed long key, NOT min(struct(d2, cid)): a
+    # struct-valued aggregation buffer forces SortAggregate (pinned
+    # away by test_plan_quality). d2 carries exactly 6 decimals, so
+    # round(d2·1e6)·K + cid is an exact (d2, cid) lexicographic
+    # ordering in one hash-aggregable BIGINT.
+    packed = F.round(d2 * 1e6).cast("long") * _PQ_K + F.col("cid")
+    codes = (
+        subs.join(seeds, "s")
+        .groupBy("vec_id", "s")
+        .agg((F.min(packed) % _PQ_K).alias("code"))
+    )
+    lut = F.broadcast(
+        subs.filter(F.col("vec_id") < 5)
+        .withColumnRenamed("vec_id", "query_id")
+        .join(seeds, "s")
+        .select(
+            "query_id",
+            "s",
+            "cid",
+            F.round(dot(F.col("sub"), F.col("csub")), 6).alias("part"),
+        )
+    )
+    adc = (
+        codes.join(
+            lut,
+            (codes.s == lut.s)
+            & (codes.code == lut.cid)
+            & (codes.vec_id != lut.query_id),
+        )
+        .groupBy("query_id", "vec_id")
+        .agg(F.round(F.sum("part"), 6).alias("adc"))
+        .withColumnRenamed("vec_id", "match_id")
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("match_id"))
+    shortlist = (
+        adc.withColumn("rn", F.row_number().over(w_adc))
+        .filter(F.col("rn") <= _PQ_RERANK)
+        .drop("rn")
+    )
+    qv = F.broadcast(
+        e.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        )
+    )
+    cos = dot(F.col("qv"), F.col("mv")) / (
+        l2_norm(F.col("qv")) * l2_norm(F.col("mv"))
+    )
+    rer = (
+        e.select(F.col("vec_id").alias("match_id"), F.col("v").alias("mv"))
+        .join(F.broadcast(shortlist), "match_id")
+        .join(qv, "query_id")
+        .select(
+            "query_id", "match_id", "adc", F.round(cos, 6).alias("cos_sim")
+        )
+    )
+    w_cos = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("match_id")
+    )
+    return (
+        rer.withColumn("rn", F.row_number().over(w_cos))
+        .filter(F.col("rn") <= _TOP_K)
+        .drop("rn")
+    )
+
+
 def _ann_recall_sql() -> str:
     from ..functions.vector import _VECTOR_TOPK_SQL
 
@@ -500,6 +694,7 @@ WITH exact AS (SELECT query_id, match_id FROM ({_VECTOR_TOPK_SQL})),
 lsh AS (SELECT query_id, match_id FROM ({_ANN_LSH_SQL})),
 mp AS (SELECT query_id, match_id FROM ({_ANN_MULTIPROBE_SQL})),
 ivf AS (SELECT query_id, match_id FROM ({_IVF_SQL})),
+pq AS (SELECT query_id, match_id FROM ({_PQ_SQL})),
 qs AS (SELECT DISTINCT query_id FROM exact),
 lsh_hits AS (
   SELECT e.query_id, count(*) AS n FROM exact e
@@ -515,6 +710,11 @@ ivf_hits AS (
   SELECT e.query_id, count(*) AS n FROM exact e
   JOIN ivf ON e.query_id = ivf.query_id AND e.match_id = ivf.match_id
   GROUP BY e.query_id
+),
+pq_hits AS (
+  SELECT e.query_id, count(*) AS n FROM exact e
+  JOIN pq ON e.query_id = pq.query_id AND e.match_id = pq.match_id
+  GROUP BY e.query_id
 )
 SELECT query_id, 'lsh' AS tier,
        round(coalesce(n, 0) / {_TOP_K}.0, 6) AS recall_at_5
@@ -527,6 +727,10 @@ UNION ALL
 SELECT query_id, 'ivf' AS tier,
        round(coalesce(n, 0) / {_TOP_K}.0, 6) AS recall_at_5
 FROM qs LEFT JOIN ivf_hits USING (query_id)
+UNION ALL
+SELECT query_id, 'pq' AS tier,
+       round(coalesce(n, 0) / {_TOP_K}.0, 6) AS recall_at_5
+FROM qs LEFT JOIN pq_hits USING (query_id)
 """
 
 
@@ -563,6 +767,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("lsh", q_ann_lsh),
         ("multiprobe", q_ann_multiprobe),
         ("ivf", q_ann_ivf),
+        ("pq", q_ann_pq),
     ]
     # Each tier materializes via localCheckpoint before the union:
     # the report then consumes three tiny (|queries|·k row) tables,
