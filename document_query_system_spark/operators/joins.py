@@ -231,3 +231,80 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("t").alias("ts_us"),
         "last_orderkey",
     )
+
+
+@register(
+    "q_join_asof_forward",
+    oracle="""
+WITH od AS (
+  SELECT o_custkey, o_orderdate, min(o_orderkey) AS next_orderkey
+  FROM orders GROUP BY o_custkey, o_orderdate
+),
+nxt AS (
+  SELECT e.event_id, min(od.o_orderdate) AS nd
+  FROM events e JOIN od ON e.user_id = od.o_custkey
+    AND od.o_orderdate > e.ts
+    AND od.o_orderdate <= e.ts + INTERVAL 7 DAY
+  GROUP BY e.event_id
+)
+SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us, od.next_orderkey
+FROM events e
+LEFT JOIN nxt ON nxt.event_id = e.event_id
+LEFT JOIN od ON od.o_custkey = e.user_id AND od.o_orderdate = nxt.nd
+""",
+)
+def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 variant: FORWARD as-of join with a tolerance — each event
+    matched to the EARLIEST order of the same customer strictly after
+    the event time, but only within a 7-day window (no match → null).
+    The direction+tolerance pair is what reference as-of APIs (pandas
+    merge_asof direction='forward', tolerance=...) add over the plain
+    backward join.
+
+    Same scalable union+window shape as q_join_asof — tag both sides,
+    one shuffle on the key, first(value, ignorenulls) over
+    (key ORDER BY time ROWS CURRENT→FOLLOWING) — no row fan-out (a
+    range-join rewrite would multiply events by every order in the
+    window). The tolerance is a post-window filter: a match beyond 7
+    days nulls out, it never re-joins. Orders at exactly the event
+    timestamp sort before the event (side order), matching the
+    oracle's strict '>'."""
+    ev = load(spark, sf_dir, "events")
+    od = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.min("o_orderkey").alias("next_orderkey"))
+    )
+    left = ev.select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("side"),  # events sort after same-t orders → strict >
+        "event_id",
+        F.lit(None).cast("timestamp").alias("nd"),
+        F.lit(None).cast("long").alias("next_orderkey"),
+    )
+    right = od.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("side"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("o_orderdate").alias("nd"),
+        "next_orderkey",
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "side")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    merged = left.unionByName(right).select(
+        "*",
+        F.first("nd", ignorenulls=True).over(w).alias("m_nd"),
+        F.first("next_orderkey", ignorenulls=True).over(w).alias("m_key"),
+    )
+    in_tol = F.col("m_nd") <= F.col("t") + F.expr("INTERVAL 7 DAYS")
+    return merged.filter(F.col("side") == 1).select(
+        "event_id",
+        F.col("k").alias("user_id"),
+        F.unix_micros("t").alias("ts_us"),
+        F.when(in_tol, F.col("m_key")).alias("next_orderkey"),
+    )

@@ -532,3 +532,110 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_first_seen"))
     )
     return _run_to_memory(deduped, spark)
+
+
+class _scoped_state_store_provider:
+    """Set the state-store provider for the duration of starting a
+    streaming query (the query keeps the provider it saw at start;
+    restore keeps later queries on the session default)."""
+
+    _KEY = "spark.sql.streaming.stateStore.providerClass"
+
+    def __init__(self, spark: SparkSession, cls: str):
+        self._spark, self._cls = spark, cls
+
+    def __enter__(self):
+        self._old = self._spark.conf.get(self._KEY, None)
+        self._spark.conf.set(self._KEY, self._cls)
+
+    def __exit__(self, *exc):
+        if self._old is None:
+            self._spark.conf.unset(self._KEY)
+        else:
+            self._spark.conf.set(self._KEY, self._old)
+
+
+#: DuckDB oracle for stream_transform_with_state (the opt-in test
+#: uses it; not driver-registered — see the docstring).
+TRANSFORM_WITH_STATE_ORACLE = """
+SELECT user_id, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(max(value), 2) AS max_value
+FROM events
+GROUP BY user_id, event_type
+"""
+
+
+def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6+ (modern stateful API): transformWithStateInPandas — the
+    Spark 4 StatefulProcessor replacing applyInPandasWithState
+    (q_stream_stateful_counts shows the legacy form) — keyed by
+    user_id with a typed MapState(event_type → (count, max)) held in
+    the RocksDB state store, which the new operator requires and
+    which is also the provider you'd run at 100 TB (state spills to
+    disk instead of capping at executor heap).
+
+    NOT driver-registered: the operator's state-server protocol needs
+    the ``google.protobuf`` Python package, absent from this sandbox
+    (same class of seam as the codec libraries,
+    sources/extraction.py:760-775) — a registered query would error
+    identically in the driver's environment. The opt-in test
+    (tests/test_streaming_boundary.py) runs it against
+    TRANSFORM_WITH_STATE_ORACLE wherever protobuf IS installed and
+    skips cleanly here.
+
+    State is O(|users| × |event types|); per-batch work is pandas
+    groupby over each user's Arrow batch. VALUE-checkable under the
+    same convention as the legacy twin: update mode emits each user's
+    full per-type map once per micro-batch it appears in, and the
+    single driver file is one micro-batch, so the sink holds exactly
+    the per-(user, type) totals the oracle computes."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class PerTypeStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.per_type = handle.getMapState(
+                "per_type", "event_type STRING", "n LONG, vmax DOUBLE"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            for pdf in rows:
+                for et, g in pdf.groupby("event_type"):
+                    if self.per_type.containsKey((et,)):
+                        n, vmax = self.per_type.getValue((et,))
+                    else:
+                        n, vmax = 0, float("-inf")
+                    self.per_type.updateValue(
+                        (et,), (n + len(g), max(vmax, float(g["value"].max())))
+                    )
+            out = [
+                (key[0], k[0], v[0], round(v[1], 2))
+                for k, v in self.per_type.iterator()
+            ]
+            yield pd.DataFrame(
+                out, columns=["user_id", "event_type", "n_events", "max_value"]
+            )
+
+        def close(self) -> None:
+            pass
+
+    ev = _read_event_stream(spark, sf_dir).select(
+        "user_id", "event_type", "value"
+    )
+    out = ev.groupBy("user_id").transformWithStateInPandas(
+        PerTypeStats(),
+        outputStructType=(
+            "user_id long, event_type string, n_events long, max_value double"
+        ),
+        outputMode="Update",
+        timeMode="None",
+    )
+    with _scoped_state_store_provider(
+        spark,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    ):
+        return _run_to_memory(out, spark, output_mode="update")

@@ -59,3 +59,27 @@ def test_session_ending_exactly_at_watermark_is_emitted(spark, tie_dir):
     # emits it (matching the oracle's <=); user 2's session is still
     # open at shutdown and must NOT appear.
     assert res == {(1, 1)}
+
+
+def test_transform_with_state_against_oracle(spark, duck):
+    """Opt-in: transformWithStateInPandas needs google.protobuf in the
+    Python env (absent in this sandbox). Where available, the modern
+    stateful operator must reproduce the same per-(user, type) totals
+    as the SQL oracle."""
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithStateInPandas state server needs protobuf",
+    )
+    from conftest import SF_DIR
+
+    from document_query_system_spark.streaming.event_windows import (
+        TRANSFORM_WITH_STATE_ORACLE,
+        stream_transform_with_state,
+    )
+
+    got = {
+        (r.user_id, r.event_type, r.n_events, r.max_value)
+        for r in stream_transform_with_state(spark, SF_DIR).collect()
+    }
+    want = set(map(tuple, duck.execute(TRANSFORM_WITH_STATE_ORACLE).fetchall()))
+    assert got == want
