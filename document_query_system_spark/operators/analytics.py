@@ -351,3 +351,55 @@ def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("s"), 2).alias("sum_qty"),
         F.sum("c").alias("n"),
     )
+
+
+@register(
+    "q_skew_salted_join",
+    oracle="""
+SELECT l.l_returnflag, d.label,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(l.l_quantity), 2) AS sum_qty
+FROM lineitem l
+JOIN (VALUES ('A', 'returned'), ('N', 'in_flight'), ('R', 'refused'))
+     d(flag, label)
+  ON l.l_returnflag = d.flag
+GROUP BY l.l_returnflag, d.label
+""",
+)
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted replicated join for skewed join keys — the join-side
+    companion of q_skew_salted_agg: l_returnflag has 3 values over
+    the whole fact table, so a shuffle join on it pins each value's
+    entire volume on ONE reducer. The salt spreads each key across
+    SALT reducers by replicating the dimension side SALT× (tiny side
+    pays the copy) and salting the fact side deterministically; the
+    join keys on (flag, salt) and the result is identical to the
+    plain join, which the oracle runs.
+
+    The join is pinned SHUFFLE_HASH to model the real case (dim too
+    big to broadcast — when it isn't, broadcasting IS the fix and no
+    salt is needed; AQE's skew-join split handles sort-merge spills
+    the same way, this is the explicit form for when neither
+    applies)."""
+    li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    dim = spark.createDataFrame(
+        [("A", "returned"), ("N", "in_flight"), ("R", "refused")],
+        "flag STRING, label STRING",
+    )
+    dim_salted = dim.select(
+        "flag",
+        "label",
+        F.explode(F.sequence(F.lit(0), F.lit(_SALT - 1))).alias("salt"),
+    )
+    fact_salted = li.withColumn(
+        "salt", (F.crc32(F.col("l_quantity").cast("string")) % _SALT).cast("int")
+    )
+    joined = fact_salted.join(
+        dim_salted.hint("SHUFFLE_HASH"),
+        (F.col("l_returnflag") == F.col("flag"))
+        & (fact_salted.salt == dim_salted.salt),
+    )
+    return joined.groupBy("l_returnflag", "label").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )

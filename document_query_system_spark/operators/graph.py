@@ -1,0 +1,130 @@
+"""Graph centrality over a derived link graph: bounded-iteration
+PageRank — the web-graph quality signal CommonCrawl-derived corpora
+use for URL-level filtering (harmonic/PageRank centrality), next to
+the connected-components pass in operators/dedup.py.
+
+Scale shape: each iteration is ONE equi-join of the edge list against
+the current rank vector plus one groupBy on the destination — shuffle
+∝ edges, rounds fixed at _PR_ITERS (unlike components, PageRank is
+run to a fixed iteration budget in practice, so there is no
+data-dependent loop to bound). The edge list and out-degrees are
+computed once and eagerly checkpointed; each round's rank vector is
+checkpointed too, so lineage never accumulates across rounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.tables import load
+
+_PR_ITERS = 3
+_PR_DAMP = 0.85
+_PR_TOPK = 20
+
+
+def _pagerank_sql() -> str:
+    """Unrolled-iteration oracle: r_{k+1}(v) = 0.15 + 0.85·Σ r_k(u)/deg(u)
+    in mean-1 normalization (ranks average ~1.0, so 6-decimal rounding
+    keeps real precision; contributions round to 9 before the sum per
+    registry float conventions). Dangling mass (supplier nodes have no
+    out-edges) is dropped, not redistributed — the 'leaky' variant,
+    identical in both engines."""
+    iters = []
+    prev = "r0"
+    for k in range(1, _PR_ITERS + 1):
+        iters.append(
+            f"""r{k} AS (
+  SELECT n.node,
+         round({1 - _PR_DAMP} + {_PR_DAMP} * coalesce(sum(round({prev}.r / d.outdeg, 9)), 0), 6) AS r
+  FROM nodes n
+  LEFT JOIN edges e ON e.dst = n.node
+  LEFT JOIN deg d ON d.src = e.src
+  LEFT JOIN {prev} ON {prev}.node = e.src
+  GROUP BY n.node
+)"""
+        )
+        prev = f"r{k}"
+    iters_sql = ",\n".join(iters)
+    return f"""
+WITH edges AS (
+  SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+                  's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+r0 AS (SELECT node, 1.0 AS r FROM nodes),
+{iters_sql}
+SELECT node, r AS rank
+FROM (SELECT *, row_number() OVER (ORDER BY r DESC, node) AS rn FROM {prev})
+WHERE rn <= {_PR_TOPK}
+"""
+
+
+@register("q_pagerank", oracle=_pagerank_sql())
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 fixed iterations, damping 0.85, mean-1
+    normalization, dangling mass dropped) over the customer→supplier
+    link graph derived from orders×lineitem — the centrality signal
+    web-corpus pipelines compute over the URL graph to score source
+    quality. Top-20 nodes by final rank.
+
+    Plan: edge list + out-degrees built once (eager localCheckpoint —
+    three iterations reuse them); each iteration is one equi-join of
+    edges against the previous rank vector and one dst-keyed groupBy
+    — shuffle ∝ edges per round, rounds fixed (an iteration budget,
+    not a data-dependent loop). At 100 TB the edge list is the big
+    relation; the rank vector is |nodes| and co-partitions with it."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    od = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # Eager checkpoints: iterative algorithms must truncate lineage
+    # per round (same discipline as dedup.connected_components) — a
+    # lazy plan accumulates every round's join+agg into one tree that
+    # blows the engine's shuffle budget and re-executes prior rounds.
+    contrib_base = edges.join(deg, "src").localCheckpoint(eager=True)
+
+    r = nodes.withColumn("r", F.lit(1.0))
+    for _ in range(_PR_ITERS):
+        contrib = contrib_base.join(
+            r.withColumnRenamed("node", "src"), "src"
+        ).select(
+            F.col("dst").alias("node"),
+            F.round(F.col("r") / F.col("outdeg"), 9).alias("c"),
+        )
+        r = (
+            nodes.join(contrib, "node", "left")
+            .groupBy("node")
+            .agg(
+                F.round(
+                    F.lit(1 - _PR_DAMP)
+                    + F.lit(_PR_DAMP) * F.coalesce(F.sum("c"), F.lit(0.0)),
+                    6,
+                ).alias("r")
+            )
+            .localCheckpoint(eager=True)
+        )
+    w = Window.orderBy(F.desc("r"), F.asc("node"))
+    return (
+        r.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _PR_TOPK)
+        .select("node", F.col("r").alias("rank"))
+    )
