@@ -639,3 +639,45 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     ):
         return _run_to_memory(out, spark, output_mode="update")
+
+
+@register(
+    "q_stream_static_join",
+    oracle="""
+SELECT c.c_nationkey AS nation_key,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(e.value), 2) AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_nationkey
+""",
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1+J4 composed: stream-STATIC join — the enrichment shape every
+    streaming pipeline runs first (events against a slowly-changing
+    dimension), joining the event stream to the static customer table
+    and aggregating per nation. The static side is broadcast: a
+    stream-static equi-join keeps NO join state (the dimension is
+    re-read per micro-batch, broadcast to every task), so unlike the
+    stream-stream interval join there is no watermark bookkeeping on
+    the dimension side — the canonical pattern for dimension tables
+    that fit executor memory; bigger dims shift to a bucketed
+    shuffle join with the same plan semantics.
+
+    VALUE-checkable: complete-mode groupBy over the single driver
+    micro-batch equals the batch join+aggregate the oracle runs."""
+    ev = _read_event_stream(spark, sf_dir).select("user_id", "value")
+    cust = F.broadcast(
+        load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    )
+    agg = (
+        ev.join(cust, ev.user_id == cust.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("c_nationkey").alias("nation_key"), "n_events", "sum_value"
+        )
+    )
+    return _run_to_memory(agg, spark)
