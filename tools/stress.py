@@ -39,6 +39,10 @@ HEAVY = [
     "q_sequence_pack",
     "q_token_budget_cap",
     "q_bm25_topk",
+    "q_ann_pq",
+    "q_lm_perplexity",
+    "q_dup_span_frac",
+    "q_quality_classifier",
 ]
 
 
