@@ -114,6 +114,7 @@ def _load_all() -> None:
     from .operators import corpus  # noqa: F401
     from .operators import scoring  # noqa: F401
     from .operators import graph  # noqa: F401
+    from .sources import layout  # noqa: F401
     from .operators import analytics  # noqa: F401
     # ---- ~50-query prefix boundary ----
     from .operators import setops  # noqa: F401

@@ -1,0 +1,72 @@
+"""Physical-layout claims behind sources/layout.py: the oracle test
+proves compaction and Z-ordering preserve CONTENT; these prove the
+layouts themselves — file count collapses to the size target, and the
+Z-ordered files hold tight per-file min/max ranges on BOTH cluster
+columns (what makes parquet row-group pruning work for either
+predicate, where a single-column sort helps one and ruins the
+other)."""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+
+from conftest import SF_DIR
+
+from document_query_system_spark.sources.layout import (
+    _COMPACT_TARGET_BYTES,
+    _FRAG_FILES,
+    _Z_FILES,
+    _ensure_fragmented_docs,
+    ensure_compacted_docs,
+    ensure_zordered_lineitem,
+)
+
+
+def _data_files(spark, path):
+    df = spark.read.parquet(path)
+    return [f.removeprefix("file:") for f in df.inputFiles()]
+
+
+def test_compaction_collapses_file_count(spark):
+    import math
+    import os
+
+    frag = _ensure_fragmented_docs(spark, SF_DIR)
+    out = ensure_compacted_docs(spark, SF_DIR)
+    frag_files = _data_files(spark, frag)
+    out_files = _data_files(spark, out)
+    assert len(frag_files) == _FRAG_FILES
+    total = sum(os.path.getsize(f) for f in frag_files)
+    assert len(out_files) == max(1, math.ceil(total / _COMPACT_TARGET_BYTES))
+    assert len(out_files) < len(frag_files)
+
+
+def _per_file_ranges(files, col):
+    spans = []
+    lo_g, hi_g = None, None
+    for f in files:
+        t = pq.read_table(f, columns=[col])[col]
+        lo, hi = min(t.to_pylist()), max(t.to_pylist())
+        spans.append(hi - lo)
+        lo_g = lo if lo_g is None else min(lo_g, lo)
+        hi_g = hi if hi_g is None else max(hi_g, hi)
+    return sum(spans) / len(spans), (hi_g - lo_g)
+
+
+def test_zorder_keeps_both_dimensions_tight(spark):
+    path = ensure_zordered_lineitem(spark, SF_DIR)
+    files = _data_files(spark, path)
+    assert len(files) == _Z_FILES
+    # Morton range partitioning: each file covers a contiguous slab of
+    # the interleaved key, so BOTH dimensions' per-file spans shrink
+    # well below the global span. (A single-column sort would give
+    # ~1/files on that column and ~1.0 on the other.)
+    for col in ("l_partkey", "l_suppkey"):
+        avg_span, global_span = _per_file_ranges(files, col)
+        assert avg_span < 0.7 * global_span, (col, avg_span, global_span)
+    # and at least one of the two must be strongly clustered
+    spans = {
+        col: _per_file_ranges(files, col)[0] / _per_file_ranges(files, col)[1]
+        for col in ("l_partkey", "l_suppkey")
+    }
+    assert min(spans.values()) < 0.45, spans

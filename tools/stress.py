@@ -28,6 +28,7 @@ HEAVY = [
     "q_dedup_ngram_jaccard",
     "q_dedup_simhash",
     "q_dedup_embedding_cosine",
+    "q_dedup_embedding_lsh",
     "q_dedup_clusters",
     "q_embed_hash",
     "q_golden_vector_search",
