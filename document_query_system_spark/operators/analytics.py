@@ -403,3 +403,102 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n"),
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
     )
+
+
+@register(
+    "q_funnel_conversion",
+    oracle="""
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts >= v.t1
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts >= c.t2
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS n_users,
+       0.0 AS avg_sec_from_prev
+FROM v
+UNION ALL
+SELECT '2_click' AS stage, CAST(count(*) AS BIGINT) AS n_users,
+       round(avg(epoch(c.t2 - v.t1)), 2) AS avg_sec_from_prev
+FROM c JOIN v USING (user_id)
+UNION ALL
+SELECT '3_purchase' AS stage, CAST(count(*) AS BIGINT) AS n_users,
+       round(avg(epoch(p.t3 - c.t2)), 2) AS avg_sec_from_prev
+FROM p JOIN c USING (user_id)
+""",
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel over the event stream: users whose
+    first 'view' is followed (at or after it) by a 'click', followed
+    by a 'purchase' — per stage, how many users arrive and the mean
+    seconds from the previous stage. Sequential-pattern analytics
+    without a UDF: each stage is a filtered min-aggregate constrained
+    by the previous stage's timestamp.
+
+    Scale shape: every aggregate and join keys on user_id — one
+    logical partitioning carried through the whole funnel (the
+    exchanges reuse it), no window over the full event table, and
+    stage N's input shrinks monotonically (only stage-N-1 converters
+    join back). Funnel depth adds joins linearly, never fan-out."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    s1 = v.agg(F.count("*").cast("long").alias("n_users")).select(
+        F.lit("1_view").alias("stage"),
+        "n_users",
+        F.lit(0.0).alias("avg_sec_from_prev"),
+    )
+    s2 = (
+        c.join(v, "user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.round(
+                F.avg(
+                    F.col("t2").cast("double") - F.col("t1").cast("double")
+                ),
+                2,
+            ).alias("avg_sec_from_prev"),
+        )
+        .select(F.lit("2_click").alias("stage"), "n_users", "avg_sec_from_prev")
+    )
+    s3 = (
+        p.join(c, "user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.round(
+                F.avg(
+                    F.col("t3").cast("double") - F.col("t2").cast("double")
+                ),
+                2,
+            ).alias("avg_sec_from_prev"),
+        )
+        .select(
+            F.lit("3_purchase").alias("stage"), "n_users", "avg_sec_from_prev"
+        )
+    )
+    return s1.unionByName(s2).unionByName(s3)

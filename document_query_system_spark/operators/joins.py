@@ -308,3 +308,93 @@ def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("t").alias("ts_us"),
         F.when(in_tol, F.col("m_key")).alias("next_orderkey"),
     )
+
+
+@register(
+    "q_join_asof_nearest",
+    oracle="""
+WITH od AS (
+  SELECT o_custkey, o_orderdate, min(o_orderkey) AS okey
+  FROM orders GROUP BY o_custkey, o_orderdate
+),
+cand AS (
+  SELECT e.event_id, od.o_orderdate, od.okey,
+         abs(epoch(e.ts - od.o_orderdate)) AS gap
+  FROM events e JOIN od ON e.user_id = od.o_custkey
+    AND od.o_orderdate BETWEEN e.ts - INTERVAL 3 DAY
+                           AND e.ts + INTERVAL 3 DAY
+)
+SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us, b.okey AS nearest_orderkey
+FROM events e
+LEFT JOIN (
+  SELECT event_id, okey FROM (
+    SELECT *, row_number() OVER (PARTITION BY event_id
+                                 ORDER BY gap, o_orderdate) AS rn
+    FROM cand)
+  WHERE rn = 1
+) b USING (event_id)
+""",
+)
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 variant: NEAREST as-of join — each event matched to the
+    same customer's order with the smallest |event − order| gap
+    within a ±3-day tolerance; an exact tie between the order before
+    and the order after resolves backward (earlier date), completing
+    the merge_asof direction family (backward / forward / nearest).
+
+    No-fan-out shape: ONE union + ONE shuffle on the key, then the
+    backward candidate (last at-or-before) and forward candidate
+    (first strictly-after) come from two frames over the SAME window
+    sort — Spark executes a single partition sort for both. The
+    nearest pick and the tolerance are per-row expressions after the
+    window; the oracle's range-join + row_number formulation fans out
+    |events × orders-in-window| instead, which is exactly what this
+    plan avoids."""
+    tol = F.expr("INTERVAL 3 DAYS")
+    ev = load(spark, sf_dir, "events")
+    od = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.min("o_orderkey").alias("okey"))
+    )
+    left = ev.select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("side"),
+        "event_id",
+        F.lit(None).cast("timestamp").alias("od_t"),
+        F.lit(None).cast("long").alias("okey"),
+    )
+    right = od.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("side"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("o_orderdate").alias("od_t"),
+        "okey",
+    )
+    order = Window.partitionBy("k").orderBy("t", "side")
+    wb = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wf = order.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    merged = left.unionByName(right).select(
+        "*",
+        F.last("od_t", ignorenulls=True).over(wb).alias("bk_t"),
+        F.last("okey", ignorenulls=True).over(wb).alias("bk_key"),
+        F.first("od_t", ignorenulls=True).over(wf).alias("fw_t"),
+        F.first("okey", ignorenulls=True).over(wf).alias("fw_key"),
+    )
+    gb = F.col("t").cast("double") - F.col("bk_t").cast("double")
+    gf = F.col("fw_t").cast("double") - F.col("t").cast("double")
+    bk_ok = F.col("bk_t").isNotNull() & (F.col("bk_t") >= F.col("t") - tol)
+    fw_ok = F.col("fw_t").isNotNull() & (F.col("fw_t") <= F.col("t") + tol)
+    nearest = (
+        F.when(bk_ok & fw_ok, F.when(gb <= gf, F.col("bk_key")).otherwise(F.col("fw_key")))
+        .when(bk_ok, F.col("bk_key"))
+        .when(fw_ok, F.col("fw_key"))
+    )
+    return merged.filter(F.col("side") == 1).select(
+        "event_id",
+        F.col("k").alias("user_id"),
+        F.unix_micros("t").alias("ts_us"),
+        nearest.alias("nearest_orderkey"),
+    )

@@ -126,3 +126,32 @@ def test_forward_asof_matches_brute_force(spark, asof_dir):
     assert want[102] == 12            # gap of exactly 7 days is IN tolerance
     assert want[103] is None          # next order 8 days out — past tolerance
     assert want[300] is None          # only order is in the past
+
+
+def _brute_nearest(event_ts, user):
+    # min |gap| within ±3 days; representative = min orderkey per
+    # (cust, date); exact before/after tie → earlier date
+    tol = 3 * DAY
+    by_date = {}
+    for o in ORDERS:
+        if o[1] == user and abs(o[2] - event_ts) <= tol:
+            by_date[o[2]] = min(by_date.get(o[2], o[0]), o[0])
+    if not by_date:
+        return None
+    best = min(by_date, key=lambda d: (abs(d - event_ts), d))
+    return by_date[best]
+
+
+def test_nearest_asof_matches_brute_force(spark, asof_dir):
+    from document_query_system_spark.operators.joins import q_join_asof_nearest
+
+    got = {
+        r.event_id: r.nearest_orderkey
+        for r in q_join_asof_nearest(spark, asof_dir).collect()
+    }
+    want = {e[0]: _brute_nearest(e[1], e[2]) for e in EVENTS}
+    assert got == want
+    assert want[100] == 10            # 1h before t0 → nearest is t0
+    assert want[102] == 11            # 1d back vs 7d fwd → backward
+    assert want[103] == 11            # gap 0: exactly on the dup date, min key
+    assert want[200] is None          # user with no orders
