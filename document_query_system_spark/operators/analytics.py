@@ -502,3 +502,125 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return s1.unionByName(s2).unionByName(s3)
+
+
+@register(
+    "q_zscore_outliers",
+    oracle="""
+WITH stats AS (
+  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       round(e.value, 2) AS value,
+       round((e.value - s.mu) / s.sigma, 4) AS zscore
+FROM events e JOIN stats s USING (event_type)
+WHERE abs((e.value - s.mu) / s.sigma) > 3.0
+""",
+)
+def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outlier detection — the monitoring cut every
+    ingest pipeline runs on numeric streams: events whose value is
+    more than 3 sample standard deviations from their type's mean.
+
+    Shape: one per-type aggregate (a handful of rows → broadcast back
+    over the scan), then a scan-local filter — two passes over the
+    table, no window, no per-row state. At 100 TB the stats side is
+    fixed-cardinality; production swaps the exact pass for streaming
+    moment sketches without changing the probe side."""
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    stats = F.broadcast(
+        ev.groupBy("event_type").agg(
+            F.avg("value").alias("mu"),
+            F.stddev_samp("value").alias("sigma"),
+        )
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        ev.join(stats, "event_type")
+        .filter(F.abs(z) > 3.0)
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 2).alias("value"),
+            F.round(z, 4).alias("zscore"),
+        )
+    )
+
+
+@register(
+    "q_data_quality_checks",
+    oracle="""
+SELECT 'lineitem_orderkey_not_null' AS check_name,
+       CAST(count(*) FILTER (WHERE l_orderkey IS NULL) AS BIGINT) AS n_violations
+FROM lineitem
+UNION ALL
+SELECT 'lineitem_quantity_positive' AS check_name,
+       CAST(count(*) FILTER (WHERE l_quantity <= 0) AS BIGINT) AS n_violations
+FROM lineitem
+UNION ALL
+SELECT 'orders_orderkey_unique' AS check_name,
+       CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS n_violations
+FROM orders
+UNION ALL
+SELECT 'lineitem_orderkey_in_orders' AS check_name,
+       CAST(count(*) AS BIGINT) AS n_violations
+FROM lineitem l ANTI JOIN orders o ON l.l_orderkey = o.o_orderkey
+UNION ALL
+SELECT 'events_value_in_range' AS check_name,
+       CAST(count(*) FILTER (WHERE value < 0 OR value > 10000) AS BIGINT)
+         AS n_violations
+FROM events
+""",
+)
+def q_data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality suite (the dbt-test / Deequ shape):
+    not-null, range, uniqueness, and referential-integrity checks
+    each reduced to a violation COUNT, unioned into one small report.
+
+    Shapes by check class: null/range checks are conditional
+    aggregates fused into the scan (one pass, no shuffle); uniqueness
+    is count−count(distinct) (one exchange); referential integrity is
+    a left-anti join against the parent keys — the same anti-join
+    S9/delete uses, so orphan detection scales exactly like the
+    engine's delete path. A 0-violation report over the driver tables
+    is the assertion; the checks themselves can fail loudly on real
+    ingest."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    od = load(spark, sf_dir, "orders").select("o_orderkey")
+    ev = load(spark, sf_dir, "events").select("value")
+
+    def report(name: str, col) -> DataFrame:
+        return (
+            F.lit(name).alias("check_name"),
+            col.cast("long").alias("n_violations"),
+        )
+
+    c1 = li.agg(
+        *report(
+            "lineitem_orderkey_not_null",
+            F.count(F.when(F.col("l_orderkey").isNull(), 1)),
+        )
+    )
+    c2 = li.agg(
+        *report(
+            "lineitem_quantity_positive",
+            F.count(F.when(F.col("l_quantity") <= 0, 1)),
+        )
+    )
+    c3 = od.agg(
+        *report(
+            "orders_orderkey_unique",
+            F.count("*") - F.countDistinct("o_orderkey"),
+        )
+    )
+    c4 = li.join(od, li.l_orderkey == od.o_orderkey, "left_anti").agg(
+        *report("lineitem_orderkey_in_orders", F.count("*"))
+    )
+    c5 = ev.agg(
+        *report(
+            "events_value_in_range",
+            F.count(F.when((F.col("value") < 0) | (F.col("value") > 10000), 1)),
+        )
+    )
+    return c1.unionByName(c2).unionByName(c3).unionByName(c4).unionByName(c5)

@@ -115,3 +115,70 @@ def q_scan_part_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("p_size") < 15) & F.col("p_type").like("%O%"))
         .select("p_partkey", "p_brand", "p_retailprice")
     )
+
+
+_evolved: set[tuple] = set()
+
+
+def _ensure_evolved_customer(spark: SparkSession, sf_dir: str) -> str:
+    """Two-generation parquet dataset: generation v1 writes customers
+    with the original columns; v2 adds a derived ``tier`` column —
+    the additive schema change every long-lived landing zone
+    accumulates. Materialized once per (session, sf_dir)."""
+    from .tmputil import session_key, tmp_path
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = tmp_path("evolved", tag, "customer")
+    key = session_key(spark, "evolved", sf_dir)
+    if key not in _evolved:
+        cust = load(spark, sf_dir, "customer").select(
+            "c_custkey", "c_nationkey", "c_acctbal"
+        )
+        v1 = cust.filter(F.col("c_custkey") % 2 == 0)
+        v2 = cust.filter(F.col("c_custkey") % 2 == 1).withColumn(
+            "tier", F.when(F.col("c_acctbal") >= 0, "standard").otherwise("debt")
+        )
+        v1.write.mode("overwrite").parquet(f"{path}/gen=1")
+        v2.write.mode("overwrite").parquet(f"{path}/gen=2")
+        _evolved.add(key)
+    return path
+
+
+@register(
+    "q_schema_evolution_read",
+    oracle="""
+WITH ev AS (
+  SELECT c_custkey, c_nationkey, c_acctbal,
+         CASE WHEN c_custkey % 2 = 1
+              THEN (CASE WHEN c_acctbal >= 0 THEN 'standard' ELSE 'debt' END)
+         END AS tier
+  FROM customer
+)
+SELECT coalesce(tier, 'pre_schema') AS tier,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       round(sum(c_acctbal), 2) AS sum_bal
+FROM ev GROUP BY coalesce(tier, 'pre_schema')
+""",
+)
+def q_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema evolution: generation 1 of the dataset lacks
+    the ``tier`` column, generation 2 has it; one mergeSchema read
+    unions both with nulls for the pre-schema rows (reported as
+    'pre_schema'). The oracle reconstructs the same two-generation
+    content relationally.
+
+    Scale note: mergeSchema is a FOOTER sweep across files (no data
+    pages), paid once per read — production pins the merged schema in
+    a catalog instead; the read itself stays one pass, and columns
+    missing in old files materialize as nulls at scan time, not via
+    rewrite."""
+    path = _ensure_evolved_customer(spark, sf_dir)
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    return (
+        df.select(F.coalesce(F.col("tier"), F.lit("pre_schema")).alias("tier"), "c_acctbal")
+        .groupBy("tier")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+        )
+    )
