@@ -447,26 +447,36 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     logical partitioning carried through the whole funnel (the
     exchanges reuse it), no window over the full event table, and
     stage N's input shrinks monotonically (only stage-N-1 converters
-    join back). Funnel depth adds joins linearly, never fan-out."""
+    join back). Funnel depth adds joins linearly, never fan-out.
+    Stage tables materialize eagerly (per-user, tiny): v feeds both c
+    and the report, c feeds both p and the report — without the
+    checkpoints Catalyst re-derives each stage per consumer and the
+    single static plan carries every re-derivation's shuffles."""
     ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
     v = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
+        .localCheckpoint(eager=True)
     )
+    # stages CARRY the prior stage's timestamp (t1 rides through c,
+    # t2 through p) so the report reads each stage table alone — no
+    # join back to the previous stage at report time.
     c = (
         ev.filter(F.col("event_type") == "click")
         .join(v, "user_id")
         .filter(F.col("ts") >= F.col("t1"))
-        .groupBy("user_id")
+        .groupBy("user_id", "t1")
         .agg(F.min("ts").alias("t2"))
+        .localCheckpoint(eager=True)
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
+        .join(c.select("user_id", "t2"), "user_id")
         .filter(F.col("ts") >= F.col("t2"))
-        .groupBy("user_id")
+        .groupBy("user_id", "t2")
         .agg(F.min("ts").alias("t3"))
+        .localCheckpoint(eager=True)
     )
     s1 = v.agg(F.count("*").cast("long").alias("n_users")).select(
         F.lit("1_view").alias("stage"),
@@ -474,8 +484,7 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0).alias("avg_sec_from_prev"),
     )
     s2 = (
-        c.join(v, "user_id")
-        .agg(
+        c.agg(
             F.count("*").cast("long").alias("n_users"),
             F.round(
                 F.avg(
@@ -487,8 +496,7 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("2_click").alias("stage"), "n_users", "avg_sec_from_prev")
     )
     s3 = (
-        p.join(c, "user_id")
-        .agg(
+        p.agg(
             F.count("*").cast("long").alias("n_users"),
             F.round(
                 F.avg(
@@ -585,7 +593,10 @@ def q_data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     S9/delete uses, so orphan detection scales exactly like the
     engine's delete path. A 0-violation report over the driver tables
     is the assertion; the checks themselves can fail loudly on real
-    ingest."""
+    ingest. Each check's 1-row result materializes eagerly (a check
+    suite RUNS its checks then assembles the report — the
+    alternative is one static plan carrying five independent
+    reductions, re-reading every table inside one oversized job)."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     od = load(spark, sf_dir, "orders").select("o_orderkey")
     ev = load(spark, sf_dir, "events").select("value")
@@ -623,4 +634,43 @@ def q_data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when((F.col("value") < 0) | (F.col("value") > 10000), 1)),
         )
     )
-    return c1.unionByName(c2).unionByName(c3).unionByName(c4).unionByName(c5)
+    checks = [df.localCheckpoint(eager=True) for df in (c1, c2, c3, c4, c5)]
+    out = checks[0]
+    for chk in checks[1:]:
+        out = out.unionByName(chk)
+    return out
+
+
+@register(
+    "q_user_trend",
+    oracle="""
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(regr_slope(value, epoch(ts)) * 86400, 4) AS slope_per_day,
+       round(corr(value, epoch(ts)), 4) AS ts_corr
+FROM events
+GROUP BY user_id
+HAVING count(*) >= 2
+""",
+)
+def q_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user value trend via the SQL regression aggregates: OLS
+    slope of value over event time (scaled to per-day) and the
+    time-value correlation — drift detection as ONE hash aggregate,
+    no window, no per-group UDF (the applyInPandas formulation this
+    replaces ships every group's rows through Python; regr_slope is
+    a streaming moment computation inside whole-stage codegen)."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("double").alias("tsec"), "value"
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.regr_slope("value", "tsec") * 86400, 4).alias(
+                "slope_per_day"
+            ),
+            F.round(F.corr("value", "tsec"), 4).alias("ts_corr"),
+        )
+        .filter(F.col("n_events") >= 2)
+    )
