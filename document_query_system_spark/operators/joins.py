@@ -398,3 +398,70 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("t").alias("ts_us"),
         nearest.alias("nearest_orderkey"),
     )
+
+
+@register(
+    "q_snapshot_diff",
+    oracle="""
+WITH snap_a AS (
+  SELECT o_orderkey AS k, round(o_totalprice, 2) AS val
+  FROM orders WHERE o_orderkey % 11 <> 0
+),
+snap_b AS (
+  SELECT o_orderkey AS k,
+         round(o_totalprice * (CASE WHEN o_orderkey % 5 = 0 THEN 1.1 ELSE 1.0 END), 2) AS val
+  FROM orders WHERE o_orderkey % 13 <> 0
+),
+d AS (
+  SELECT coalesce(a.k, b.k) AS k,
+         CASE WHEN a.k IS NULL THEN 'added'
+              WHEN b.k IS NULL THEN 'removed'
+              WHEN a.val <> b.val THEN 'changed'
+              ELSE 'same' END AS status
+  FROM snap_a a FULL OUTER JOIN snap_b b ON a.k = b.k
+)
+SELECT status, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(k) AS BIGINT) AS min_key
+FROM d GROUP BY status
+""",
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (the data-diff every migration and
+    backfill validation runs): FULL OUTER join of two table versions
+    on the primary key, classifying each key as added / removed /
+    changed / same, summarized per status. The two snapshots here
+    derive deterministically from orders (disjoint key drops simulate
+    deletes/inserts, a 10% price bump on keys divisible by 5
+    simulates updates).
+
+    Scale shape: one sort-merge full-outer on the key — the ONLY join
+    type that keeps both sides' unmatched rows, which is the whole
+    point of a diff; both snapshot scans prune to (key, value) and
+    the classification is a post-join expression. At 100 TB this is
+    the job you run bucketed on the key so the join is co-located."""
+    od = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    snap_a = od.filter(F.col("o_orderkey") % 11 != 0).select(
+        F.col("o_orderkey").alias("ka"),
+        F.round("o_totalprice", 2).alias("va"),
+    )
+    snap_b = od.filter(F.col("o_orderkey") % 13 != 0).select(
+        F.col("o_orderkey").alias("kb"),
+        F.round(
+            F.col("o_totalprice")
+            * F.when(F.col("o_orderkey") % 5 == 0, 1.1).otherwise(1.0),
+            2,
+        ).alias("vb"),
+    )
+    status = (
+        F.when(F.col("ka").isNull(), "added")
+        .when(F.col("kb").isNull(), "removed")
+        .when(F.col("va") != F.col("vb"), "changed")
+        .otherwise("same")
+    )
+    d = snap_a.join(snap_b, snap_a.ka == snap_b.kb, "full_outer").select(
+        F.coalesce("ka", "kb").alias("k"), status.alias("status")
+    )
+    return d.groupBy("status").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.min("k").cast("long").alias("min_key"),
+    )
