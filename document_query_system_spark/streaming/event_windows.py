@@ -681,3 +681,46 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(agg, spark)
+
+
+@register(
+    "q_stream_sliding",
+    oracle="""
+WITH slid AS (
+  SELECT e.*,
+         time_bucket(INTERVAL '15 minutes', e.ts)
+           - k.k * INTERVAL '15 minutes' AS window_start
+  FROM events e, (SELECT unnest(generate_series(0, 3)) AS k) k
+)
+SELECT epoch_us(window_start) AS window_start_us,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM slid
+GROUP BY window_start
+""",
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3/T5 streaming form: 1-hour window sliding every 15 minutes
+    over the event stream with a 10-minute watermark — completing the
+    batch/stream twin pairs (tumbling and session already ship both
+    ways). Each event fans into 4 windows of aggregation state; the
+    watermark bounds how long each window's state lives.
+
+    VALUE-checkable under the single-micro-batch + complete-mode
+    convention: the sink holds the final aggregation state, equal to
+    the batch twin's result, which is the oracle."""
+    ev = _read_event_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour", "15 minutes"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("window.start")).alias("window_start_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return _run_to_memory(agg, spark)
