@@ -183,8 +183,15 @@ def main() -> None:
         "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
         "baseline": baseline,
     }
+    # Subset probes (SPARK_GRAFT_BENCH_ONLY) divert their sidecar so a
+    # quick bisection never clobbers the committed full-suite timings.
+    default_name = (
+        "BENCH_SUBSET.json"
+        if os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+        else "BENCH_FULL.json"
+    )
     sidecar = os.environ.get("SPARK_GRAFT_BENCH_SIDECAR") or os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+        os.path.dirname(os.path.abspath(__file__)), default_name
     )
     try:
         with open(sidecar, "w") as f:

@@ -601,7 +601,8 @@ def q_data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     od = load(spark, sf_dir, "orders").select("o_orderkey")
     ev = load(spark, sf_dir, "events").select("value")
 
-    def report(name: str, col) -> DataFrame:
+    def report(name: str, col) -> tuple:
+        # (check_name, n_violations) Column pair, splatted into .agg()
         return (
             F.lit(name).alias("check_name"),
             col.cast("long").alias("n_violations"),

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from .tables import load
-from .tmputil import session_key, tmp_path
+from .tmputil import ensure_materialized
 
 # ------------------------------------------------------------- compaction
 
@@ -36,18 +36,13 @@ _FRAG_FILES = 48
 #: production uses 128 MB-1 GB.
 _COMPACT_TARGET_BYTES = 256 * 1024
 
-_materialized: set[tuple] = set()
-
 
 def _ensure_fragmented_docs(spark: SparkSession, sf_dir: str) -> str:
-    tag = sf_dir.strip("/").replace("/", "_")
-    path = tmp_path("fragmented", tag, "documents")
-    key = session_key(spark, "fragmented", sf_dir)
-    if key not in _materialized:
+    def build(path: str) -> None:
         docs = load(spark, sf_dir, "documents")
         docs.repartition(_FRAG_FILES).write.mode("overwrite").parquet(path)
-        _materialized.add(key)
-    return path
+
+    return ensure_materialized(spark, "fragmented", sf_dir, "documents", build)
 
 
 def compact_parquet(
@@ -57,15 +52,27 @@ def compact_parquet(
     returns (files_before, files_after). File sizes come from the
     files the reader actually scans (``inputFiles``) — on a cluster
     the listing is the FS API, locally os.stat; either way it is a
-    metadata pass, no data pages read. The rewrite itself is one
-    narrow coalesce (no shuffle): at 100 TB compaction jobs are
-    bandwidth-bound rewrites and the LAST thing they need is a
-    re-shuffle of the whole table."""
+    metadata pass, no data pages read. The rewrite is a narrow
+    coalesce (no shuffle) whenever the scan has at least n_out
+    partitions — at 100 TB compaction jobs are bandwidth-bound
+    rewrites and the LAST thing they need is a re-shuffle of the
+    whole table — with a repartition fallback for the rare
+    under-partitioned scan (see the inline comment)."""
     df = spark.read.parquet(in_path)
     files = [f.removeprefix("file:") for f in df.inputFiles()]
     total = sum(os.path.getsize(f) for f in files)
     n_out = max(1, math.ceil(total / target_bytes))
-    df.coalesce(n_out).write.mode("overwrite").parquet(out_path)
+    # coalesce can only REDUCE partition count: if the scan packed the
+    # fragments into fewer read partitions than the size target wants
+    # (small files + a low-core box push maxSplitBytes up), coalesce
+    # would silently emit too-few, too-big files — fall back to a
+    # repartition (one shuffle) only on that rare under-partitioned
+    # path, keeping the common path shuffle-free.
+    if df.rdd.getNumPartitions() >= n_out:
+        out = df.coalesce(n_out)
+    else:
+        out = df.repartition(n_out)
+    out.write.mode("overwrite").parquet(out_path)
     n_after = len(spark.read.parquet(out_path).inputFiles())
     return len(files), n_after
 
@@ -73,13 +80,11 @@ def compact_parquet(
 def ensure_compacted_docs(spark: SparkSession, sf_dir: str) -> str:
     """Fragmented copy → compacted copy, once per (session, sf_dir)."""
     frag = _ensure_fragmented_docs(spark, sf_dir)
-    tag = sf_dir.strip("/").replace("/", "_")
-    out = tmp_path("compacted", tag, "documents")
-    key = session_key(spark, "compacted", sf_dir)
-    if key not in _materialized:
-        compact_parquet(spark, frag, out, _COMPACT_TARGET_BYTES)
-        _materialized.add(key)
-    return out
+
+    def build(path: str) -> None:
+        compact_parquet(spark, frag, path, _COMPACT_TARGET_BYTES)
+
+    return ensure_materialized(spark, "compacted", sf_dir, "documents", build)
 
 
 @register(
@@ -137,10 +142,7 @@ def ensure_zordered_lineitem(spark: SparkSession, sf_dir: str) -> str:
     interleave, repartitionByRange + sortWithinPartitions on the key,
     write. This is the generic recipe Delta/Iceberg OPTIMIZE ZORDER
     implements; here it is plain Spark + plain parquet."""
-    tag = sf_dir.strip("/").replace("/", "_")
-    path = tmp_path("zorder", tag, "lineitem")
-    key = session_key(spark, "zorder", sf_dir)
-    if key not in _materialized:
+    def build(path: str) -> None:
         li = load(spark, sf_dir, "lineitem")
         # bounded collect: two scalars for value→bucket scaling
         pmax, smax = li.agg(
@@ -162,8 +164,8 @@ def ensure_zordered_lineitem(spark: SparkSession, sf_dir: str) -> str:
             .write.mode("overwrite")
             .parquet(path)
         )
-        _materialized.add(key)
-    return path
+
+    return ensure_materialized(spark, "zorder", sf_dir, "lineitem", build)
 
 
 @register(

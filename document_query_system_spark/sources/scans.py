@@ -117,20 +117,14 @@ def q_scan_part_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_evolved: set[tuple] = set()
-
-
 def _ensure_evolved_customer(spark: SparkSession, sf_dir: str) -> str:
     """Two-generation parquet dataset: generation v1 writes customers
     with the original columns; v2 adds a derived ``tier`` column —
     the additive schema change every long-lived landing zone
     accumulates. Materialized once per (session, sf_dir)."""
-    from .tmputil import session_key, tmp_path
+    from .tmputil import ensure_materialized
 
-    tag = sf_dir.strip("/").replace("/", "_")
-    path = tmp_path("evolved", tag, "customer")
-    key = session_key(spark, "evolved", sf_dir)
-    if key not in _evolved:
+    def build(path: str) -> None:
         cust = load(spark, sf_dir, "customer").select(
             "c_custkey", "c_nationkey", "c_acctbal"
         )
@@ -140,8 +134,8 @@ def _ensure_evolved_customer(spark: SparkSession, sf_dir: str) -> str:
         )
         v1.write.mode("overwrite").parquet(f"{path}/gen=1")
         v2.write.mode("overwrite").parquet(f"{path}/gen=2")
-        _evolved.add(key)
-    return path
+
+    return ensure_materialized(spark, "evolved", sf_dir, "customer", build)
 
 
 @register(

@@ -38,6 +38,25 @@ def session_key(spark, *extra: str) -> tuple:
     return (spark.sparkContext.applicationId, *extra)
 
 
+_MATERIALIZED: set[tuple] = set()
+
+
+def ensure_materialized(spark, kind: str, sf_dir: str, leaf: str, build) -> str:
+    """Materialize a derived dataset once per (session, kind, sf_dir):
+    ``build(path)`` writes it under this process's temp root; repeat
+    calls return the path without rebuilding. The shared form of the
+    write-once guard every side-effect query (bucketed tables,
+    fragmented/compacted/z-ordered copies, evolved generations)
+    otherwise re-implements."""
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = tmp_path(kind, tag, leaf)
+    key = session_key(spark, kind, sf_dir)
+    if key not in _MATERIALIZED:
+        build(path)
+        _MATERIALIZED.add(key)
+    return path
+
+
 @atexit.register
 def _sweep() -> None:  # pragma: no cover - exit hook
     shutil.rmtree(ROOT, ignore_errors=True)

@@ -612,9 +612,12 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
                     self.per_type.updateValue(
                         (et,), (n + len(g), max(vmax, float(g["value"].max())))
                     )
+            # raw max here; rounding happens in the DataFrame below
+            # with SQL round semantics (Python round() is half-even,
+            # SQL round is half-up — the repo convention is to round
+            # inside the query so both engines agree).
             out = [
-                (key[0], k[0], v[0], round(v[1], 2))
-                for k, v in self.per_type.iterator()
+                (key[0], k[0], v[0], v[1]) for k, v in self.per_type.iterator()
             ]
             yield pd.DataFrame(
                 out, columns=["user_id", "event_type", "n_events", "max_value"]
@@ -634,11 +637,12 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+    rounded = out.withColumn("max_value", F.round("max_value", 2))
     with _scoped_state_store_provider(
         spark,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     ):
-        return _run_to_memory(out, spark, output_mode="update")
+        return _run_to_memory(rounded, spark, output_mode="update")
 
 
 @register(

@@ -61,12 +61,11 @@ def test_zorder_keeps_both_dimensions_tight(spark):
     # the interleaved key, so BOTH dimensions' per-file spans shrink
     # well below the global span. (A single-column sort would give
     # ~1/files on that column and ~1.0 on the other.)
-    for col in ("l_partkey", "l_suppkey"):
-        avg_span, global_span = _per_file_ranges(files, col)
+    ranges = {
+        col: _per_file_ranges(files, col) for col in ("l_partkey", "l_suppkey")
+    }
+    for col, (avg_span, global_span) in ranges.items():
         assert avg_span < 0.7 * global_span, (col, avg_span, global_span)
     # and at least one of the two must be strongly clustered
-    spans = {
-        col: _per_file_ranges(files, col)[0] / _per_file_ranges(files, col)[1]
-        for col in ("l_partkey", "l_suppkey")
-    }
+    spans = {col: a / g for col, (a, g) in ranges.items()}
     assert min(spans.values()) < 0.45, spans
