@@ -95,22 +95,38 @@ def main() -> None:
     # comparisons possible against the r1-r4 cold numbers); disable
     # with SPARK_GRAFT_BENCH_WARMUP=0 to skip it, making the main
     # timings cold-start.
+    # Periodic full gc between queries (outside every per-query
+    # timer): eagerly-checkpointed RDDs from ~165 queries stay pinned
+    # until their Python DataFrame wrappers are collected and the
+    # JVM ContextCleaner's weak refs fire — left to chance, the
+    # session accretes blocks and late-suite queries pay multi-second
+    # GC/memory-pressure stalls that bisect clean in isolation
+    # (BENCH_NOTES.md round-6 scatter).
+    import gc
+
+    _GC_EVERY = 8
+
+    def _maybe_gc(i: int) -> None:
+        if i % _GC_EVERY == 0:
+            gc.collect()
+
     cold_timings: dict[str, float] = {}
     cold_total = None
     if os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0":
         t_cold0 = time.perf_counter()
-        for name in sorted(specs):
+        for i, name in enumerate(sorted(specs)):
             t0 = time.perf_counter()
             try:
                 _force(specs[name].fn(spark, sf_dir))
                 cold_timings[name] = round(time.perf_counter() - t0, 3)
             except Exception:
                 pass  # the timed loop below reports the failure
+            _maybe_gc(i)
         cold_total = round(time.perf_counter() - t_cold0, 3)
 
     timings: dict[str, float] = {}
     t_total0 = time.perf_counter()
-    for name in sorted(specs):
+    for i, name in enumerate(sorted(specs)):
         t0 = time.perf_counter()
         try:
             _force(specs[name].fn(spark, sf_dir))
@@ -118,6 +134,7 @@ def main() -> None:
         except Exception as exc:  # record failures, keep benching
             timings[name] = -1.0
             print(f"BENCH-ERROR {name}: {exc}", file=sys.stderr)
+        _maybe_gc(i)
     total = round(time.perf_counter() - t_total0, 3)
 
     # BASELINE.md headline benches. Reference envelopes (BASELINE.md):

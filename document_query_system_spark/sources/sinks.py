@@ -278,3 +278,91 @@ def upsert_parquet(
     # Materialize before overwrite (reading and overwriting the same
     # path in one job would race); localCheckpoint keeps it in memory.
     deduped.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)
+
+
+@register(
+    "q_merge_into",
+    oracle="""
+WITH target AS (
+  SELECT o_orderkey AS k, o_orderstatus AS status, round(o_totalprice, 2) AS price
+  FROM orders WHERE o_orderkey % 3 <> 0
+),
+source AS (
+  SELECT o_orderkey AS k,
+         CASE WHEN o_orderkey % 5 = 0 THEN 'X' ELSE o_orderstatus END AS status,
+         round(o_totalprice * 1.04, 2) AS price
+  FROM orders WHERE o_orderkey % 2 = 0
+),
+merged AS (
+  SELECT coalesce(t.k, s.k) AS k,
+         CASE WHEN s.k IS NULL THEN t.status ELSE s.status END AS status,
+         CASE WHEN s.k IS NULL THEN t.price ELSE s.price END AS price,
+         CASE WHEN t.k IS NULL THEN 'inserted'
+              WHEN s.k IS NULL THEN 'kept'
+              ELSE 'updated' END AS action,
+         CASE WHEN s.k IS NOT NULL AND s.status = 'X' THEN 1 ELSE 0 END AS del
+  FROM target t FULL OUTER JOIN source s ON t.k = s.k
+)
+SELECT action, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(round(price * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
+FROM merged WHERE del = 0
+GROUP BY action
+""",
+)
+def q_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (the Delta/Iceberg write primitive, a
+    superset of S8's last-writer upsert): target rows matched by a
+    source row are UPDATED, unmatched source rows are INSERTED,
+    matched rows meeting a condition (status 'X') are DELETED, and
+    unmatched target rows are kept. Implemented as ONE full-outer
+    join on the key plus per-row case expressions — no multi-pass
+    read-modify-write; summarized per action so the result is small
+    and value-checkable.
+
+    Target/source derive deterministically from orders (key drops
+    simulate a partial target; the source updates prices 4% — a multiplier chosen tie-free:
+    2-decimal cents times 1.04 can never land exactly on a half-cent,
+    where the engines' round() disagree — and flags
+    every 5th key for delete). At 100 TB this is the job you bucket
+    by the merge key so the full-outer is co-located; the classified
+    output then writes back partition-overwrite, exactly like the
+    upsert sink."""
+    od = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    target = od.filter(F.col("o_orderkey") % 3 != 0).select(
+        F.col("o_orderkey").alias("tk"),
+        F.col("o_orderstatus").alias("t_status"),
+        F.round("o_totalprice", 2).alias("t_price"),
+    )
+    source = od.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("sk"),
+        F.when(F.col("o_orderkey") % 5 == 0, "X")
+        .otherwise(F.col("o_orderstatus"))
+        .alias("s_status"),
+        F.round(F.col("o_totalprice") * 1.04, 2).alias("s_price"),
+    )
+    j = target.join(source, target.tk == source.sk, "full_outer")
+    action = (
+        F.when(F.col("tk").isNull(), "inserted")
+        .when(F.col("sk").isNull(), "kept")
+        .otherwise("updated")
+    )
+    status = F.when(F.col("sk").isNull(), F.col("t_status")).otherwise(
+        F.col("s_status")
+    )
+    price = F.when(F.col("sk").isNull(), F.col("t_price")).otherwise(
+        F.col("s_price")
+    )
+    delete = F.col("sk").isNotNull() & (F.col("s_status") == "X")
+    merged = j.select(
+        action.alias("action"), status.alias("status"), price.alias("price")
+    ).filter(~delete)
+    # integer-cents sum: a double sum over ~1e9-magnitude prices is
+    # order-sensitive past the 2nd decimal; cents are exact in BIGINT.
+    return merged.groupBy("action").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.round(F.col("price") * 100).cast("long"))
+        .cast("long")
+        .alias("sum_price_cents"),
+    )
