@@ -675,3 +675,55 @@ def q_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_events") >= 2)
     )
+
+
+@register(
+    "q_event_transitions",
+    oracle="""
+WITH t AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+),
+c AS (
+  SELECT prev, event_type AS next, count(*) AS n
+  FROM t WHERE prev IS NOT NULL GROUP BY prev, event_type
+),
+tot AS (SELECT prev, sum(n) AS n_from FROM c GROUP BY prev)
+SELECT c.prev, c.next, CAST(c.n AS BIGINT) AS n,
+       round(c.n / CAST(t.n_from AS DOUBLE), 6) AS p
+FROM c JOIN tot t USING (prev)
+""",
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-transition matrix: for each user's
+    time-ordered stream, count (previous type → next type) pairs and
+    normalize per source type — the Markov-chain view of user paths
+    (drop-off analysis, anomalous-sequence detection).
+
+    Shape: one window (lag over the per-user ordering — the only
+    full-table pass), then two fixed-cardinality aggregates (|types|²
+    rows at most); the normalizing totals join is broadcast-size. At
+    100 TB the window partitions by user and never crosses users, so
+    state per task is one row."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    c = (
+        t.groupBy("prev", F.col("event_type").alias("next"))
+        .agg(F.count("*").alias("n"))
+    )
+    tot = F.broadcast(c.groupBy("prev").agg(F.sum("n").alias("n_from")))
+    return c.join(tot, "prev").select(
+        "prev",
+        "next",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n") / F.col("n_from").cast("double"), 6).alias("p"),
+    )
