@@ -529,3 +529,53 @@ def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share",
         )
     )
+
+
+# ------------------------------------------------------------ Zipf slope
+#
+# Rank-frequency diagnostics: natural corpora follow Zipf (log-log
+# slope ≈ −1); synthetic, templated, or spam-heavy corpora flatten or
+# steepen visibly. One regression aggregate over the ranked term
+# counts — the whole diagnostic is two aggregates and a window over
+# |vocab| rows, nothing touches the corpus twice.
+
+
+@register(
+    "q_zipf_slope",
+    oracle=f"""
+WITH tok AS (SELECT {tokens_sql('lower(text)')} AS tk FROM documents),
+tf AS (
+  SELECT term, count(*) AS c
+  FROM (SELECT unnest(tk) AS term FROM tok) GROUP BY term
+),
+ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, term) AS rnk FROM tf
+)
+SELECT CAST(count(*) AS BIGINT) AS n_types,
+       round(regr_slope(ln(c), ln(rnk)), 4) AS zipf_slope,
+       round(corr(ln(c), ln(rnk)), 4) AS loglog_corr
+FROM ranked
+""",
+)
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency slope of the corpus vocabulary: regress
+    ln(count) on ln(rank) over the ranked term counts (natural text
+    ≈ −1; templated/spam corpora deviate — a one-row corpus health
+    diagnostic). Plan: term-count aggregate (shuffle ∝ tokens), a
+    rank window over |vocab| rows, then ONE regression aggregate —
+    regr_slope is a streaming moment computation, so the diagnostic
+    adds nothing beyond the vocabulary pass any index build already
+    pays."""
+    docs = spread(load(spark, sf_dir, "documents").select("text"))
+    tf = (
+        docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.orderBy(F.desc("c"), F.asc("term"))
+    ranked = tf.select("c", F.row_number().over(w).alias("rnk"))
+    return ranked.agg(
+        F.count("*").cast("long").alias("n_types"),
+        F.round(F.regr_slope(F.log("c"), F.log("rnk")), 4).alias("zipf_slope"),
+        F.round(F.corr(F.log("c"), F.log("rnk")), 4).alias("loglog_corr"),
+    )

@@ -102,7 +102,19 @@ def _load_all() -> None:
     #   (all green rows, lowest risk).
     # Modules with recent green rows (event_windows/joins/api/search/
     # extraction/sinks/filters/aggregates all r5; windows/text/scalar
-    # r4; setops/vector/textpipe/scans r2) register last. NOTE: shared
+    # r4; setops/vector/textpipe/scans r2) register last.
+    #
+    # ROUND-7 ROTATION TODO: these round-6 queries registered in LATE
+    # modules and therefore have no driver CORRECTNESS row yet — move
+    # their modules to the prefix next round: analytics
+    # (q_funnel_conversion, q_zscore_outliers, q_data_quality_checks,
+    # q_user_trend, q_event_transitions, q_skew_salted_join), joins
+    # (q_join_asof_forward, q_join_asof_nearest, q_snapshot_diff),
+    # sinks (q_merge_into), scans (q_schema_evolution_read),
+    # event_windows (q_stream_static_join, q_stream_sliding). The
+    # similarity/dedup prefix queries new this round (q_ann_pq,
+    # q_dedup_embedding_lsh) and the corpus/scoring/graph/layout
+    # modules are in the r6 prefix already. NOTE: shared
     # helpers live in registration-free modules (functions/hashing.py,
     # functions/embed.py, operators/questions.py) so a prefix module's
     # import never drags an already-verified module's registrations
