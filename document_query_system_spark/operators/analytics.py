@@ -716,9 +716,13 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = ev.select(
         "event_type", F.lag("event_type").over(w).alias("prev")
     ).filter(F.col("prev").isNotNull())
+    # lazily checkpointed: c feeds both the totals aggregate and the
+    # final join — without it Catalyst re-derives the window+count
+    # subtree per consumer and the static plan doubles its shuffles.
     c = (
         t.groupBy("prev", F.col("event_type").alias("next"))
         .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=False)
     )
     tot = F.broadcast(c.groupBy("prev").agg(F.sum("n").alias("n_from")))
     return c.join(tot, "prev").select(
