@@ -14,7 +14,9 @@ The tier ladder, trading recall for scan cost (SURVEY.md §4.1, the
 - q_ann_ivf: IVF-style coarse quantization — centroid per label
   partition, probe only the query's nprobe nearest partitions;
 - q_ann_pq: product quantization — 8-byte codes (32× index
-  compression), ADC shortlist, exact re-rank (Jégou et al. 2011).
+  compression), ADC shortlist, exact re-rank (Jégou et al. 2011);
+- q_ann_ivfpq: the composed billion-scale index (FAISS IVFPQ) —
+  coarse cells prune the scan, PQ codes rank within probed cells.
 
 Hyperplanes are fixed pseudorandom literals (seeded stdlib Mersenne,
 platform-stable) embedded in both the Spark plan and the DuckDB
@@ -687,6 +689,254 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------- IVF-PQ
+#
+# The composed billion-scale index (FAISS IVFPQ): the IVF coarse
+# quantizer prunes to nprobe cells, PQ's 8-byte codes + ADC rank
+# WITHIN the probed cells, and a small shortlist re-ranks exactly.
+# Storage = codes (32× compressed) partitioned by cell; a query
+# touches nprobe partitions of codes plus _PQ_RERANK full vectors —
+# the only tier here whose serving cost is sublinear in BOTH scan
+# bandwidth (codes) and scan fraction (cells). Both components are
+# deterministic, so even the composition stays value-checkable.
+
+_IVFPQ_SQL = f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+comp AS (
+  SELECT label,
+         unnest(list_transform(v, (x, i) -> struct_pack(pos := i, val := x)),
+                recursive := true)
+  FROM e
+),
+cent AS (
+  SELECT label, array_agg(cval ORDER BY pos) AS cv
+  FROM (SELECT label, pos, round(avg(val), 6) AS cval
+        FROM comp GROUP BY label, pos)
+  GROUP BY label
+),
+q AS (SELECT vec_id, v FROM e WHERE vec_id < 5),
+probe AS (
+  SELECT vec_id AS query_id, label FROM (
+    SELECT q.vec_id, cent.label,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY round(list_dot_product(q.v, cent.cv)
+                                / (sqrt(list_dot_product(q.v, q.v))
+                                   * sqrt(list_dot_product(cent.cv, cent.cv))), 6) DESC,
+                              cent.label) AS rn
+    FROM q CROSS JOIN cent)
+  WHERE rn <= {_N_PROBE}
+),
+subs AS (
+  SELECT vec_id, t.s AS s,
+         list_slice(v, t.s * {_PQ_SUBDIM} + 1, t.s * {_PQ_SUBDIM} + {_PQ_SUBDIM}) AS sub
+  FROM e CROSS JOIN generate_series(0, {_PQ_SUBS - 1}) t(s)
+),
+seeds AS (
+  SELECT vec_id - {_PQ_SEED_LO} AS cid, s, sub AS csub
+  FROM subs WHERE vec_id BETWEEN {_PQ_SEED_LO} AND {_PQ_SEED_LO + _PQ_K - 1}
+),
+enc AS (
+  SELECT vec_id, s, cid,
+         round(list_dot_product(sub, sub)
+               - 2 * list_dot_product(sub, csub)
+               + list_dot_product(csub, csub), 6) AS d2
+  FROM subs JOIN seeds USING (s)
+),
+codes AS (
+  SELECT vec_id, s,
+         min(CAST(round(d2 * 1000000) AS BIGINT) * {_PQ_K} + cid) % {_PQ_K} AS code
+  FROM enc GROUP BY vec_id, s
+),
+lut AS (
+  SELECT qq.vec_id AS query_id, qq.s, sd.cid,
+         round(list_dot_product(qq.sub, sd.csub), 6) AS part
+  FROM (SELECT * FROM subs WHERE vec_id < 5) qq JOIN seeds sd USING (s)
+),
+cand AS (
+  SELECT p.query_id, c.vec_id AS match_id
+  FROM e c JOIN probe p ON c.label = p.label AND c.vec_id <> p.query_id
+),
+adc AS (
+  SELECT ca.query_id, ca.match_id, round(sum(l.part), 6) AS adc
+  FROM cand ca
+  JOIN codes co ON co.vec_id = ca.match_id
+  JOIN lut l ON l.query_id = ca.query_id AND l.s = co.s AND l.cid = co.code
+  GROUP BY ca.query_id, ca.match_id
+),
+shortlist AS (
+  SELECT query_id, match_id, adc
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adc DESC, match_id) AS rn FROM adc)
+  WHERE rn <= {_PQ_RERANK}
+),
+rer AS (
+  SELECT sl.query_id, sl.match_id, sl.adc,
+         round(list_dot_product(qe.v, me.v)
+               / (sqrt(list_dot_product(qe.v, qe.v))
+                  * sqrt(list_dot_product(me.v, me.v))), 6) AS cos_sim
+  FROM shortlist sl
+  JOIN e qe ON qe.vec_id = sl.query_id
+  JOIN e me ON me.vec_id = sl.match_id
+)
+SELECT query_id, match_id, adc, cos_sim
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, match_id) AS rn
+      FROM rer)
+WHERE rn <= {_TOP_K}
+"""
+
+
+@register("q_ann_ivfpq", oracle=_IVFPQ_SQL)
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ, the composed billion-scale tier (FAISS IVFPQ): the
+    per-label coarse quantizer prunes the scan to nprobe=2 cells,
+    PQ's 8-byte codes rank the probed cells by ADC against the
+    query's broadcast LUT, and exact cosine re-ranks the shortlist.
+    Serving cost is sublinear in BOTH dimensions — scan fraction
+    (cells probed) and scan bandwidth (codes, not vectors); only
+    _PQ_RERANK full vectors are ever read per query. Identical
+    codebook and centroids to q_ann_pq / q_ann_ivf, so the
+    composition stays oracle-checkable."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    # --- coarse quantizer + probe selection (q_ann_ivf's plan)
+    comp = e.select("label", F.posexplode("v").alias("pos", "val"))
+    cent = (
+        comp.groupBy("label", "pos")
+        .agg(F.round(F.avg("val"), 6).alias("cval"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+                lambda st: st.cval,
+            ).alias("cv")
+        )
+    )
+    qv = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    cent_cos = F.round(
+        dot(F.col("qv"), F.col("cv"))
+        / (l2_norm(F.col("qv")) * l2_norm(F.col("cv"))),
+        6,
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("cent_cos"), F.asc("label")
+    )
+    # The coarse index (cent→probe) and the code table are ONE-TIME
+    # index builds in a real deployment — lazily checkpointed so the
+    # serving plan reads them as stored relations instead of fusing
+    # the whole build into one 7-shuffle query tree.
+    probe = (
+        qv.crossJoin(F.broadcast(cent))
+        .withColumn("cent_cos", cent_cos)
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= _N_PROBE)
+        .select("query_id", F.col("label").alias("probed_label"))
+        .localCheckpoint(eager=False)
+    )
+    # --- PQ encode + LUT (q_ann_pq's plan)
+    subs = e.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_PQ_SUBS - 1))).alias("s"),
+        "v",
+    ).select(
+        "vec_id",
+        "s",
+        F.slice("v", F.col("s") * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias("sub"),
+    )
+    seeds = F.broadcast(
+        subs.filter(
+            (F.col("vec_id") >= _PQ_SEED_LO)
+            & (F.col("vec_id") < _PQ_SEED_LO + _PQ_K)
+        ).select(
+            (F.col("vec_id") - _PQ_SEED_LO).alias("cid"),
+            "s",
+            F.col("sub").alias("csub"),
+        )
+    )
+    d2 = F.round(
+        dot(F.col("sub"), F.col("sub"))
+        - 2 * dot(F.col("sub"), F.col("csub"))
+        + dot(F.col("csub"), F.col("csub")),
+        6,
+    )
+    packed = F.round(d2 * 1e6).cast("long") * _PQ_K + F.col("cid")
+    codes = (
+        subs.join(seeds, "s")
+        .groupBy("vec_id", "s")
+        .agg((F.min(packed) % _PQ_K).alias("code"))
+        .localCheckpoint(eager=False)
+    )
+    lut = F.broadcast(
+        subs.filter(F.col("vec_id") < 5)
+        .withColumnRenamed("vec_id", "query_id")
+        .join(seeds, "s")
+        .select(
+            "query_id",
+            "s",
+            "cid",
+            F.round(dot(F.col("sub"), F.col("csub")), 6).alias("part"),
+        )
+    )
+    # --- probed-cell candidates → ADC within the cells only
+    cand = e.select("vec_id", "label").join(
+        F.broadcast(probe),
+        (F.col("label") == F.col("probed_label"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select("query_id", F.col("vec_id").alias("match_id"))
+    adc = (
+        codes.join(
+            F.broadcast(cand), codes.vec_id == F.col("match_id")
+        )
+        .join(
+            lut,
+            (codes.s == lut.s)
+            & (codes.code == lut.cid)
+            & (F.col("match_id").isNotNull())
+            & (lut.query_id == cand.query_id),
+        )
+        .groupBy(cand.query_id.alias("query_id"), "match_id")
+        .agg(F.round(F.sum("part"), 6).alias("adc"))
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.desc("adc"), F.asc("match_id")
+    )
+    shortlist = (
+        adc.withColumn("rn", F.row_number().over(w_adc))
+        .filter(F.col("rn") <= _PQ_RERANK)
+        .drop("rn")
+    )
+    qfull = F.broadcast(
+        e.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        )
+    )
+    cosx = dot(F.col("qv"), F.col("mv")) / (
+        l2_norm(F.col("qv")) * l2_norm(F.col("mv"))
+    )
+    rer = (
+        e.select(F.col("vec_id").alias("match_id"), F.col("v").alias("mv"))
+        .join(F.broadcast(shortlist), "match_id")
+        .join(qfull, "query_id")
+        .select(
+            "query_id", "match_id", "adc", F.round(cosx, 6).alias("cos_sim")
+        )
+    )
+    w_cos = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("match_id")
+    )
+    return (
+        rer.withColumn("rn", F.row_number().over(w_cos))
+        .filter(F.col("rn") <= _TOP_K)
+        .drop("rn")
+    )
+
+
+
 def _ann_recall_sql() -> str:
     from ..functions.vector import _VECTOR_TOPK_SQL
 
@@ -696,6 +946,7 @@ lsh AS (SELECT query_id, match_id FROM ({_ANN_LSH_SQL})),
 mp AS (SELECT query_id, match_id FROM ({_ANN_MULTIPROBE_SQL})),
 ivf AS (SELECT query_id, match_id FROM ({_IVF_SQL})),
 pq AS (SELECT query_id, match_id FROM ({_PQ_SQL})),
+ivfpq AS (SELECT query_id, match_id FROM ({_IVFPQ_SQL})),
 qs AS (SELECT DISTINCT query_id FROM exact),
 lsh_hits AS (
   SELECT e.query_id, count(*) AS n FROM exact e
@@ -716,6 +967,11 @@ pq_hits AS (
   SELECT e.query_id, count(*) AS n FROM exact e
   JOIN pq ON e.query_id = pq.query_id AND e.match_id = pq.match_id
   GROUP BY e.query_id
+),
+ivfpq_hits AS (
+  SELECT e.query_id, count(*) AS n FROM exact e
+  JOIN ivfpq ON e.query_id = ivfpq.query_id AND e.match_id = ivfpq.match_id
+  GROUP BY e.query_id
 )
 SELECT query_id, 'lsh' AS tier,
        round(coalesce(n, 0) / {_TOP_K}.0, 6) AS recall_at_5
@@ -732,6 +988,10 @@ UNION ALL
 SELECT query_id, 'pq' AS tier,
        round(coalesce(n, 0) / {_TOP_K}.0, 6) AS recall_at_5
 FROM qs LEFT JOIN pq_hits USING (query_id)
+UNION ALL
+SELECT query_id, 'ivfpq' AS tier,
+       round(coalesce(n, 0) / {_TOP_K}.0, 6) AS recall_at_5
+FROM qs LEFT JOIN ivfpq_hits USING (query_id)
 """
 
 
@@ -764,6 +1024,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("multiprobe", q_ann_multiprobe),
         ("ivf", q_ann_ivf),
         ("pq", q_ann_pq),
+        ("ivfpq", q_ann_ivfpq),
     ]
     # Each tier materializes via localCheckpoint before the union:
     # the report then consumes five tiny (|queries|·k row) tables,
