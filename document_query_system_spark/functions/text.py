@@ -194,3 +194,112 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, h: (acc * 31 + h) % P,
     )
     return s1.select("doc_id", "ths", fp.alias("fingerprint")).drop("ths")
+
+
+# ---------------------------------------------------------- real BPE encode
+#
+# The regex split above (_BPE_ISH) approximates subword counts; this
+# is the REAL algorithm: greedy byte-pair encoding with a fixed,
+# ordered merge table (exactly how a trained GPT-2/tiktoken-style
+# vocabulary applies — the merges file IS the model, the encoder is
+# deterministic given it). The merge list here is hand-derived from
+# the synthetic corpus vocabulary; a production tokenizer swaps in
+# its trained merges and nothing else changes. Not SQL-expressible
+# (iterative in-word merging), so the query is rows-only with an
+# EXACT pure-Python reference check in tests/test_oracle.py — every
+# row recomputed and matched, a stronger bound than any tolerance.
+
+#: Ordered merge rules: earlier = higher priority (rank order, as in
+#: a trained merges.txt). Derived from frequent pairs in the fixed
+#: synthetic vocabulary.
+BPE_MERGES: tuple[tuple[str, str], ...] = (
+    ("t", "h"),      # th(e)
+    ("th", "e"),     # the
+    ("e", "r"),      # ord(er), filt(er), custom(er), m(er)ge
+    ("a", "n"),      # sc(an)
+    ("o", "w"),      # r(ow), sl(ow), wind(ow)
+    ("i", "n"),      # jo(in), l(in)e
+    ("a", "t"),      # b(at)ch, d(at)a
+    ("o", "r"),      # s(or)t, vect(or)
+    ("s", "c"),      # sc(an)
+    ("sc", "an"),    # scan
+    ("h", "a"),      # ha(sh)
+    ("ha", "s"),     # has(h)
+    ("has", "h"),    # hash
+    ("j", "o"),      # jo(in)
+    ("jo", "in"),    # join
+    ("c", "o"),      # co(lumn)
+    ("u", "m"),      # col(um)n
+    ("q", "u"),      # qu(ery)
+    ("v", "a"),      # va(lue)
+    ("l", "u"),      # value
+    ("s", "m"),      # sm(all)
+    ("l", "l"),      # sma(ll)
+    ("k", "e"),      # ke(y)
+    ("ke", "y"),     # key
+)
+
+
+def bpe_encode(word: str, merges: tuple[tuple[str, str], ...] = BPE_MERGES) -> list[str]:
+    """Greedy BPE: start from characters, repeatedly apply the
+    highest-priority (lowest-rank) applicable merge until none apply.
+    Pure function — the executor kernel AND the test reference."""
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    parts = list(word)
+    while len(parts) > 1:
+        best_rank, best_i = None, None
+        for i in range(len(parts) - 1):
+            r = ranks.get((parts[i], parts[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_i is None:
+            break
+        parts[best_i : best_i + 2] = [parts[best_i] + parts[best_i + 1]]
+    return parts
+
+
+@register("q_bpe_tokens", oracle=None)  # iterative merging — not SQL
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real BPE subword encoding over every document: greedy ordered
+    merges (the trained-tokenizer algorithm, BPE_MERGES standing in
+    for a merges.txt) via an Arrow-batched mapInPandas kernel with a
+    per-word memo — the corpus vocabulary is Zipfian, so nearly every
+    word encode is a dict hit and the kernel runs at memo-lookup
+    speed regardless of document length. Per doc: word count, BPE
+    token count, bytes-per-token, and the first 8 subwords as a
+    preview. Rows-only by necessity (iterative merging is not SQL);
+    the local check recomputes EVERY row with the pure-Python
+    reference — exact, not a tolerance."""
+    import pandas as pd
+
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+
+    def encode_batch(batches):
+        memo: dict[str, list[str]] = {}
+        for pdf in batches:
+            n_words, n_bpe, preview = [], [], []
+            for text in pdf["text"]:
+                words = text.split()
+                toks: list[str] = []
+                for wd in words:
+                    enc = memo.get(wd)
+                    if enc is None:
+                        enc = bpe_encode(wd.lower())
+                        memo[wd] = enc
+                    toks.extend(enc)
+                n_words.append(len(words))
+                n_bpe.append(len(toks))
+                preview.append("|".join(toks[:8]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_words": pd.array(n_words, dtype="int64"),
+                    "n_bpe_tokens": pd.array(n_bpe, dtype="int64"),
+                    "bpe_preview": preview,
+                }
+            )
+
+    return docs.mapInPandas(
+        encode_batch,
+        "doc_id long, n_words long, n_bpe_tokens long, bpe_preview string",
+    )

@@ -119,10 +119,32 @@ def _chk_mllib_lsh(duck, cols, rows):
     assert seen_queries == set(range(5)), seen_queries
 
 
+def _chk_bpe_tokens(duck, cols, rows):
+    # Exact reference check, not a tolerance: recompute every row's
+    # BPE encode with the same pure-Python function over the oracle
+    # engine's copy of the text.
+    from document_query_system_spark.functions.text import bpe_encode
+
+    got = {r[cols.index("doc_id")]: r for r in rows}
+    for doc_id, text in duck.execute(
+        "SELECT doc_id, text FROM documents"
+    ).fetchall():
+        words = text.split()
+        toks = []
+        for wd in words:
+            toks.extend(bpe_encode(wd.lower()))
+        row = dict(zip(cols, got[doc_id]))
+        assert row["n_words"] == len(words), doc_id
+        assert row["n_bpe_tokens"] == len(toks), doc_id
+        assert row["bpe_preview"] == "|".join(toks[:8]), doc_id
+    assert len(rows) == len(got)
+
+
 _BOUND_CHECKS = {
     "q_agg_approx_distinct": _chk_approx_distinct,
     "q_agg_percentiles_approx": _chk_percentiles_approx,
     "q_ann_mllib_lsh": _chk_mllib_lsh,
+    "q_bpe_tokens": _chk_bpe_tokens,
 }
 
 
