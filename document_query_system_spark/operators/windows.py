@@ -141,3 +141,67 @@ def q_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("o_orderkey", "o_totalprice", "o_orderpriority")
     )
+
+
+@register(
+    "q_user_drawdown",
+    oracle="""
+WITH series AS (
+  SELECT user_id, ts, event_id,
+         sum(value - 50.0) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS cum
+  FROM events
+),
+dd AS (
+  SELECT user_id,
+         max(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) - cum AS drawdown
+  FROM series
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       round(max(drawdown), 4) AS max_drawdown
+FROM dd GROUP BY user_id
+""",
+)
+def q_user_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user maximum drawdown of the centered cumulative value
+    series (peak-to-trough of Σ(value−50) in event-time order) — the
+    grouped-map Pandas UDF form (applyInPandas): each user's whole
+    series arrives as ONE Arrow batch and a sequential pandas kernel
+    (cumsum → cummax → max gap) computes the metric. The windowed SQL
+    rewrite exists (it is the oracle), so this query is the measured
+    demonstration that a grouped kernel and the relational form agree
+    bit-for-bit — the pattern to reach for when the per-group
+    algorithm ISN'T window-expressible.
+
+    Scale shape: one shuffle on user_id; group = one user's events
+    (bounded by the watermark horizon in streaming ingest, by user
+    activity here) — the kernel's memory is the group, never the
+    partition. Rounding happens in the DataFrame (SQL round), not in
+    Python (half-even), per the registry convention."""
+    import pandas as pd
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+
+    def drawdown(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["ts", "event_id"])
+        cum = (pdf["value"] - 50.0).cumsum()
+        peak = cum.cummax()
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_events": [len(pdf)],
+                "max_drawdown": [float((peak - cum).max())],
+            }
+        )
+
+    out = ev.groupBy("user_id").applyInPandas(
+        drawdown, "user_id long, n_events long, max_drawdown double"
+    )
+    return out.select(
+        "user_id", "n_events", F.round("max_drawdown", 4).alias("max_drawdown")
+    )
