@@ -41,6 +41,7 @@ HEAVY = [
     "q_token_budget_cap",
     "q_bm25_topk",
     "q_ann_pq",
+    "q_ann_ivfpq",
     "q_lm_perplexity",
     "q_dup_span_frac",
     "q_quality_classifier",
