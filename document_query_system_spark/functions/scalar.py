@@ -325,3 +325,35 @@ def q_json_corrupt_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(bad, 1)).alias("n_corrupt"),
         F.sum(F.when(~bad, F.col("j.k"))).alias("sum_k"),
     )
+
+
+@register(
+    "q_bitwise_funcs",
+    oracle="""
+SELECT n_nationkey,
+       CAST(n_nationkey & 12 AS BIGINT)  AS band,
+       CAST(n_nationkey | 3 AS BIGINT)   AS bor,
+       CAST(xor(n_nationkey, 21) AS BIGINT) AS bxor,
+       CAST(n_nationkey << 2 AS BIGINT)  AS shl,
+       CAST(n_nationkey >> 1 AS BIGINT)  AS shr,
+       CAST(bit_count(n_nationkey) AS BIGINT) AS popcount
+FROM nation
+""",
+)
+def q_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise function battery (and/or/xor, shifts, popcount) — the
+    primitives the engine's Morton interleave (sources/layout.py),
+    SimHash bands, and LSH bucket arithmetic build on, each checked
+    against the oracle's operators on the same keys. Scan-local
+    expressions only."""
+    n = load(spark, sf_dir, "nation").select("n_nationkey")
+    k = F.col("n_nationkey")
+    return n.select(
+        "n_nationkey",
+        k.bitwiseAND(12).cast("long").alias("band"),
+        k.bitwiseOR(3).cast("long").alias("bor"),
+        k.bitwiseXOR(21).cast("long").alias("bxor"),
+        F.shiftleft(k, 2).cast("long").alias("shl"),
+        F.shiftright(k, 1).cast("long").alias("shr"),
+        F.bit_count(k).cast("long").alias("popcount"),
+    )

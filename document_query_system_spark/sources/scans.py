@@ -176,3 +176,80 @@ def q_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
         )
     )
+
+
+@register(
+    "q_csv_malformed",
+    oracle="""
+WITH raw AS (
+  SELECT n_nationkey,
+         CASE WHEN n_nationkey % 5 = 0 THEN 'not-a-number' 
+              ELSE CAST(n_nationkey AS VARCHAR) END AS key_field,
+         n_name
+  FROM nation
+)
+SELECT CAST(count(*) FILTER (WHERE key_field ~ '^[0-9]+$') AS BIGINT) AS n_good,
+       CAST(count(*) FILTER (WHERE NOT key_field ~ '^[0-9]+$') AS BIGINT) AS n_bad,
+       CAST(sum(CASE WHEN key_field ~ '^[0-9]+$'
+                     THEN CAST(key_field AS BIGINT) END) AS BIGINT) AS sum_good_keys
+FROM raw
+""",
+)
+def q_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record handling on the CSV source: a landing file
+    where every 5th row carries a non-numeric key is read PERMISSIVE
+    with a ``_corrupt_record`` capture column — bad rows surface as
+    data (null typed fields + the raw line) instead of killing the
+    job or silently vanishing (DROPMALFORMED). The report counts
+    good/bad rows and checksums the good keys; the oracle derives
+    the same split relationally.
+
+    The real-world contract this pins: ingest NEVER throws on dirty
+    rows and NEVER drops them silently — they land in a quarantine
+    column for reprocessing, the shape a 100 TB landing zone
+    requires."""
+    from pyspark.sql import types as T
+
+    from .tmputil import ensure_materialized
+
+    def build(path: str) -> None:
+        raw = load(spark, sf_dir, "nation").select(
+            F.when(F.col("n_nationkey") % 5 == 0, F.lit("not-a-number"))
+            .otherwise(F.col("n_nationkey").cast("string"))
+            .alias("key_field"),
+            "n_name",
+        )
+        raw.coalesce(1).write.mode("overwrite").option("header", "true").csv(
+            path
+        )
+
+    path = ensure_materialized(spark, "malformed_csv", sf_dir, "nation", build)
+    schema = T.StructType(
+        [
+            T.StructField("key_field", T.LongType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+    # PERMISSIVE corrupt-record semantics need the raw column
+    # materialized before filtering on it (Spark requires referencing
+    # the cached parsed batch; a cache() scopes it).
+    df = df.cache()
+    return df.agg(
+        F.count(F.when(F.col("_corrupt_record").isNull(), 1))
+        .cast("long")
+        .alias("n_good"),
+        F.count(F.when(F.col("_corrupt_record").isNotNull(), 1))
+        .cast("long")
+        .alias("n_bad"),
+        F.sum(F.when(F.col("_corrupt_record").isNull(), F.col("key_field")))
+        .cast("long")
+        .alias("sum_good_keys"),
+    )
