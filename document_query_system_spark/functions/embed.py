@@ -238,3 +238,28 @@ def embed_sentence_transformers(
 
     schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
     return df.mapInPandas(gen, schema=schema + ", embedding array<double>")
+
+
+# Exact-top-k oracle SQL lives here (registration-free) so prefix
+# modules can cite it without importing functions/vector.py — whose
+# REGISTRATIONS would otherwise ride into the driver-coverage prefix
+# (registry._load_all order note).
+_TOPK_K = 5  # ref: src/main.py:97 — top_k=5 vector search
+
+_VECTOR_TOPK_SQL = f"""
+WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+         round(list_dot_product(q.v, c.v)
+               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))),
+               6) AS cos_sim
+  FROM q CROSS JOIN c
+  WHERE q.vec_id <> c.vec_id
+)
+SELECT query_id, match_id, cos_sim
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, match_id) AS rn
+      FROM scored)
+WHERE rn <= {_TOPK_K}
+"""

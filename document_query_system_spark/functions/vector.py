@@ -19,6 +19,8 @@ from ..sources.tables import load, spread
 from .hashing import P, MULT, token_hashes, token_hashes_sql  # noqa: F401
 from .embed import (  # noqa: F401  (re-exported public surface)
     DIM,
+    _TOPK_K,
+    _VECTOR_TOPK_SQL,
     _hash_embed_py,
     cosine,
     dot,
@@ -54,27 +56,6 @@ def q_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(n, 6).alias("norm"),
         F.round(F.element_at(v, 1) / n, 6).alias("e1_normalized"),
     )
-
-
-_TOPK_K = 5  # ref: src/main.py:97 — top_k=5 vector search
-
-_VECTOR_TOPK_SQL = f"""
-WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 5),
-c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-scored AS (
-  SELECT q.vec_id AS query_id, c.vec_id AS match_id,
-         round(list_dot_product(q.v, c.v)
-               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))),
-               6) AS cos_sim
-  FROM q CROSS JOIN c
-  WHERE q.vec_id <> c.vec_id
-)
-SELECT query_id, match_id, cos_sim
-FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                                   ORDER BY cos_sim DESC, match_id) AS rn
-      FROM scored)
-WHERE rn <= {_TOPK_K}
-"""
 
 
 @register("q_vector_topk", oracle=_VECTOR_TOPK_SQL)

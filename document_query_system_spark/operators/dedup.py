@@ -743,7 +743,7 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
       alone cannot parallelize a broadcast join, which partitions by
       the probe side's layout, not by join key).
     """
-    from ..functions.vector import dot, l2_norm
+    from ..functions.embed import dot, l2_norm
 
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
@@ -915,7 +915,7 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = bk.alias("a")
     b = bk.alias("b")
-    from ..functions.vector import dot, l2_norm
+    from ..functions.embed import dot, l2_norm
 
     cos = dot(F.col("a.v"), F.col("b.v")) / (
         l2_norm(F.col("a.v")) * l2_norm(F.col("b.v"))

@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..sources.tables import load
-from ..functions.vector import DIM, dot, l2_norm
+from ..functions.embed import DIM, dot, l2_norm
 
 N_PLANES = 4  # sign bits per hash table
 N_TABLES = 3  # OR-amplification: candidate if buckets match in ANY table
@@ -938,7 +938,10 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ann_recall_sql() -> str:
-    from ..functions.vector import _VECTOR_TOPK_SQL
+    # embed.py, NOT vector.py: this runs at registration time, and
+    # importing vector here would drag its 7 already-verified
+    # registrations into the driver-coverage prefix.
+    from ..functions.embed import _VECTOR_TOPK_SQL
 
     return f"""
 WITH exact AS (SELECT query_id, match_id FROM ({_VECTOR_TOPK_SQL})),

@@ -118,7 +118,11 @@ def _load_all() -> None:
     # helpers live in registration-free modules (functions/hashing.py,
     # functions/embed.py, operators/questions.py) so a prefix module's
     # import never drags an already-verified module's registrations
-    # into the prefix.
+    # into the prefix. (Round-6 fix of exactly that trap: similarity
+    # used to import DIM/dot/l2_norm and the exact-topk oracle via
+    # functions/vector — whose 7 registrations then occupied prefix
+    # slots 1-7 and pushed scoring/graph/layout to the ~50 boundary;
+    # those helpers now come from registration-free functions/embed.)
     from .operators import similarity  # noqa: F401
     from .operators import dedup  # noqa: F401
     from .operators import pipeline  # noqa: F401
