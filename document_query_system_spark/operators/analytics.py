@@ -18,6 +18,88 @@ from ..sources.tables import load
 
 
 @register(
+    "q_scd2_intervals",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+), isl AS (
+  SELECT user_id, event_type, ts,
+         sum(CASE WHEN prev IS NULL OR prev <> event_type
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS island
+  FROM seq
+), runs AS (
+  SELECT user_id, event_type, island,
+         min(ts) AS valid_from,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM isl GROUP BY user_id, event_type, island
+)
+SELECT user_id, event_type, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id
+                              ORDER BY valid_from) AS valid_to,
+       n_events
+FROM runs
+""",
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 interval build from a change log (gaps-and-islands):
+    collapse each user's consecutive same-event-type run into one
+    validity row [valid_from, valid_to), valid_to = next run's start
+    (NULL = current). The dimension-table maintenance shape every
+    warehouse ingest needs and no single built-in provides.
+
+    Shape: two windows + one aggregate, ALL partitioned by user_id —
+    one shuffle total (the agg and second window reuse the first
+    window's hash partitioning; AQE coalesces). Per-task window state
+    is one row (lag) / one counter (running sum), so it streams at
+    any scale; the second window runs over compressed runs, not raw
+    events."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            1,
+        )
+        .otherwise(0)
+        .alias("chg"),
+    )
+    isl = chg.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.sum("chg")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("island"),
+    )
+    runs = isl.groupBy("user_id", "event_type", "island").agg(
+        F.min("ts").alias("valid_from"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    return runs.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        "n_events",
+    )
+
+
+@register(
     "q_agg_stats",
     oracle="""
 SELECT l_returnflag,

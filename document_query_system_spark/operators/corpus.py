@@ -579,3 +579,106 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_slope(F.log("c"), F.log("rnk")), 4).alias("zipf_slope"),
         F.round(F.corr(F.log("c"), F.log("rnk")), 4).alias("loglog_corr"),
     )
+
+
+# ------------------------------------------------- PMI collocations
+#
+# Pointwise mutual information over adjacent token bigrams — the
+# classic collocation detector (Church & Hanks 1990): PMI(a,b) =
+# ln( p(a,b) / (p(a)·p(b)) ), with p(a,b) from bigram counts and
+# p(·) from unigram counts. High-PMI pairs are multi-word units
+# ("new york"); a corpus whose top PMI list is template boilerplate
+# has a duplication problem — complements q_token_entropy (per-doc)
+# and q_zipf_slope (corpus-global) as a pair-level health metric.
+
+_PMI_MIN_COUNT = 5
+
+
+@register(
+    "q_collocation_pmi",
+    oracle=f"""
+WITH toks AS (
+  SELECT list_filter(string_split(text, ' '), t -> t <> '') AS l
+  FROM documents
+), big AS (
+  SELECT u.a AS a, u.b AS b
+  FROM toks, unnest(list_transform(generate_series(1, len(l) - 1),
+         i -> {{'a': l[i], 'b': l[i + 1]}})) AS t(u)
+), bc AS (
+  SELECT a, b, CAST(count(*) AS DOUBLE) AS nab FROM big GROUP BY a, b
+), uni AS (
+  SELECT u AS tok, CAST(count(*) AS DOUBLE) AS n
+  FROM toks, unnest(l) AS t(u) GROUP BY u
+), tot AS (SELECT sum(n) AS nn FROM uni),
+totb AS (SELECT sum(nab) AS m FROM bc)
+SELECT bc.a, bc.b, CAST(nab AS BIGINT) AS n_pair,
+       round(ln((nab / m) / ((ua.n / nn) * (ub.n / nn))), 6) AS pmi
+FROM bc
+JOIN uni ua ON bc.a = ua.tok
+JOIN uni ub ON bc.b = ub.tok
+CROSS JOIN tot CROSS JOIN totb
+WHERE nab >= {_PMI_MIN_COUNT}
+""",
+)
+def q_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-bigram PMI table (count >= _PMI_MIN_COUNT).
+
+    Plan shape: bigrams come from an expression-only zip of each
+    doc's own token array (struct(l[i], l[i+1]) over sequence — no
+    window, no per-doc shuffle), so the whole job is two token-bound
+    aggregates (bigram counts, unigram counts) plus two broadcast
+    joins of the |vocab|-sized unigram table onto the |vocab|²-bounded
+    bigram table and two one-row totals. At 100 TB the only wide
+    shuffles are the two counts, both partial-aggregated map-side;
+    everything after operates on vocabulary-sized data."""
+    docs = spread(load(spark, sf_dir, "documents").select("text"))
+    toks = docs.select(tokens(F.col("text")).alias("l"))
+    big = toks.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(l) < 2 THEN "
+                "  CAST(array() AS array<struct<a:string,b:string>>) "
+                "ELSE transform(sequence(0, size(l) - 2), "
+                "       i -> struct(l[i] AS a, l[i + 1] AS b)) END"
+            )
+        ).alias("bg")
+    ).select("bg.a", "bg.b")
+    # Both count tables feed multiple consumers (bc → totals + the
+    # PMI join; uni → total + both broadcast sides); lazily
+    # checkpointed so Catalyst shares one aggregate each instead of
+    # re-deriving the token-explode shuffle per consumer (same trick
+    # as q_event_transitions).
+    bc = (
+        big.groupBy("a", "b")
+        .agg(F.count("*").cast("double").alias("nab"))
+        .localCheckpoint(eager=False)
+    )
+    uni = (
+        toks.select(F.explode("l").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("double").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    tot = uni.agg(F.sum("n").alias("nn"))
+    totb = bc.agg(F.sum("nab").alias("m"))
+    ua = F.broadcast(uni.select(F.col("tok").alias("a"), F.col("n").alias("na")))
+    ub = F.broadcast(uni.select(F.col("tok").alias("b"), F.col("n").alias("nb")))
+    return (
+        bc.filter(F.col("nab") >= _PMI_MIN_COUNT)
+        .join(ua, "a")
+        .join(ub, "b")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(totb))
+        .select(
+            "a",
+            "b",
+            F.col("nab").cast("long").alias("n_pair"),
+            F.round(
+                F.log(
+                    (F.col("nab") / F.col("m"))
+                    / ((F.col("na") / F.col("nn")) * (F.col("nb") / F.col("nn")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

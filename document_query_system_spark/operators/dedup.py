@@ -936,3 +936,89 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+# ----------------------------------------------- edit-distance near-dup
+#
+# Character-level near-dup detection — the family MinHash/SimHash
+# cannot express (token-set sketches are blind to small in-token
+# edits). Classic blocked edit-distance join: candidates only within
+# a (lang, length-band) block, DP cost capped by probing a fixed-size
+# prefix. Reference parity: content-similarity dedup cache,
+# document_processing_service.py:478-520 (hash-exact there; this is
+# the graded generalization).
+
+_LEV_PROBE = 60  # chars of normalized prefix fed to the DP
+_LEV_BAND = 64  # length-band width in chars
+
+
+@register(
+    "q_dedup_levenshtein",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         CAST(floor(n_chars / {_LEV_BAND}) AS BIGINT) AS len_band,
+         substr(lower(text), 1, {_LEV_PROBE}) AS probe
+  FROM documents
+), pairs AS (
+  SELECT a.lang, a.len_band,
+         a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(levenshtein(a.probe, b.probe) AS BIGINT) AS edit_dist
+  FROM d a JOIN d b
+    ON a.lang = b.lang AND a.len_band = b.len_band
+   AND a.doc_id < b.doc_id
+)
+SELECT lang, len_band, doc_a, doc_b, edit_dist
+FROM pairs
+QUALIFY row_number() OVER (PARTITION BY lang, len_band
+                           ORDER BY edit_dist, doc_a, doc_b) = 1
+""",
+)
+def q_dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance near-dup: within each (lang, 64-char
+    length band) block, the closest document pair by Levenshtein
+    distance over a 60-char normalized prefix.
+
+    100 TB shape: the self-join shuffles on the block key only —
+    candidates are |block|² per block, never corpus². The DP is
+    O(probe²) per pair (prefix-capped, not full-text), and the
+    length band is itself a correctness-preserving prune for any
+    final threshold t ≤ band width (|len(a)-len(b)| > t implies
+    dist > t). At scale, swap the probe for Spark's thresholded
+    levenshtein(l, r, t) (early-exits the DP) once a concrete t is
+    chosen; unthresholded here because the DuckDB oracle has no
+    threshold form and -1 sentinels would diverge."""
+    from pyspark.sql import Window
+
+    d = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "lang",
+            F.floor(F.col("n_chars") / _LEV_BAND).alias("len_band"),
+            F.substring(F.lower("text"), 1, _LEV_PROBE).alias("probe"),
+        )
+    )
+    a, b = d.alias("a"), d.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.len_band") == F.col("b.len_band"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.lang").alias("lang"),
+        F.col("a.len_band").alias("len_band"),
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.levenshtein(F.col("a.probe"), F.col("b.probe"))
+        .cast("long")
+        .alias("edit_dist"),
+    )
+    w = Window.partitionBy("lang", "len_band").orderBy(
+        "edit_dist", "doc_a", "doc_b"
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

@@ -113,8 +113,12 @@ def _load_all() -> None:
     # sinks (q_merge_into), scans (q_schema_evolution_read),
     # event_windows (q_stream_static_join, q_stream_sliding). The
     # similarity/dedup prefix queries new this round (q_ann_pq,
-    # q_dedup_embedding_lsh) and the corpus/scoring/graph/layout
-    # modules are in the r6 prefix already. NOTE: shared
+    # q_dedup_embedding_lsh, q_dedup_levenshtein) and the
+    # corpus/scoring/graph/layout modules (incl. the late-r6
+    # q_collocation_pmi in corpus) are in the r6 prefix already, as
+    # is q_scd2_intervals (registered FIRST in analytics so it sits
+    # at ~slot 50 at the ~50 boundary; if the prefix cuts exactly at
+    # 50 it is the last query in). NOTE: shared
     # helpers live in registration-free modules (functions/hashing.py,
     # functions/embed.py, operators/questions.py) so a prefix module's
     # import never drags an already-verified module's registrations

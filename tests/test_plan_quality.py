@@ -198,3 +198,15 @@ def test_keyword_score_staging_survives_optimizer(spark):
     assert len(doc_lowers) == 1, plan
     # ...and it sits BELOW the join (later in the printed tree = child).
     assert doc_lowers[0] > join_pos, plan
+
+
+def test_scd2_single_shuffle(spark):
+    """q_scd2_intervals claims ONE data-moving shuffle: the lag
+    window, the island cumsum, the run aggregate, and the lead window
+    all cluster by user_id, so HashPartitioning(user_id) from the
+    first window satisfies every downstream distribution (groupBy on
+    a superset of the partitioning keys co-locates for free). A
+    second exchange here means a stage stopped reusing the window's
+    partitioning."""
+    rep = _plan(spark, "q_scd2_intervals")
+    assert rep.n_shuffles == 1, rep
