@@ -949,7 +949,7 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the graded generalization).
 
 _LEV_PROBE = 60  # chars of normalized prefix fed to the DP
-_LEV_BAND = 64  # length-band width in chars
+_LEV_BAND = 32  # length-band width in chars (finer band = fewer pairs/block)
 
 
 @register(
@@ -999,7 +999,13 @@ def q_dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring(F.lower("text"), 1, _LEV_PROBE).alias("probe"),
         )
     )
-    a, b = d.alias("a"), d.alias("b")
+    # The DP evaluates in the join's output projection, which keeps
+    # the PROBE side's partitioning — a small parquet file scans as
+    # ONE partition, which would serialize every pair's DP on one
+    # core (measured 13.2 s → ~1 s at sf0.1). Round-robin spread the
+    # probe side so the pair DP parallelizes; the build side is
+    # broadcast either way.
+    a, b = spread(d).alias("a"), d.alias("b")
     pairs = a.join(
         b,
         (F.col("a.lang") == F.col("b.lang"))

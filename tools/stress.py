@@ -45,6 +45,8 @@ HEAVY = [
     "q_lm_perplexity",
     "q_dup_span_frac",
     "q_quality_classifier",
+    "q_dedup_levenshtein",
+    "q_collocation_pmi",
 ]
 
 
