@@ -205,3 +205,62 @@ def q_user_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "n_events", F.round("max_drawdown", 4).alias("max_drawdown")
     )
+
+
+# ------------------------------------------------ weighted sampling
+#
+# Efraimidis–Spirakis (2006) weighted sampling without replacement as
+# a pure top-k: key_i = ln(u_i) / w_i with u_i uniform in (0,1),
+# take the k LARGEST keys (monotone-equivalent to the paper's
+# u_i^(1/w_i) form, numerically tamer). u_i comes from the same
+# md5-bucket hash as q_sample_hash, so the sample is deterministic —
+# stable under repartition, retry, and re-run — while still being
+# exactly weighted: P(i in sample) rises with w_i precisely as E-S
+# guarantees. Weight here is document length; any positive per-row
+# quality score drops in unchanged.
+
+_WS_K = 50
+_WS_M = 16777216  # 2^24 — md5 6-hex-digit bucket space
+
+
+@register(
+    "q_sample_weighted",
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id, lang, n_chars,
+         ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+              AS BIGINT) + 1) / {_WS_M + 1}.0) / n_chars AS k
+  FROM documents
+)
+SELECT doc_id, lang, n_chars, round(k, 6) AS sample_key
+FROM keyed
+ORDER BY k DESC, doc_id
+LIMIT {_WS_K}
+""",
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic E-S weighted sample (k=50, weight = n_chars).
+
+    Plan: scan-local key expression + TakeOrdered(k) — per-partition
+    top-k then a k-row merge on the driver, never a full sort or
+    shuffle of the corpus. At 100 TB this is the cheapest possible
+    shape for a weighted draw: one pass, O(k) state per task. Lives
+    in the top-k family (not operators/sampling.py) so the already-
+    verified driver-coverage prefix keeps its exact registration
+    slots this round; rotate with the other post-prefix r6 queries."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10
+        ).cast("long")
+        + 1
+    ) / F.lit(float(_WS_M + 1))
+    k = F.log(u) / F.col("n_chars")
+    return (
+        d.withColumn("k", k)
+        .orderBy(F.desc("k"), "doc_id")
+        .limit(_WS_K)
+        .select(
+            "doc_id", "lang", "n_chars", F.round("k", 6).alias("sample_key")
+        )
+    )
