@@ -465,3 +465,123 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_rows"),
         F.min("k").cast("long").alias("min_key"),
     )
+
+
+# ------------------------------------------- bucketed interval join
+#
+# Large-large INTERVAL OVERLAP join — the shape Spark has no native
+# operator for (q_join_range broadcasts a 3-row dimension; here BOTH
+# sides carry intervals). The scalable rewrite is time
+# discretization: explode each interval to the fixed-grain buckets
+# it touches, equi-join on the bucket id, then apply the exact
+# overlap predicate and de-duplicate pairs that met in more than one
+# bucket. Fan-out per row = span/grain, so the grain is the knob
+# trading explode factor against per-bucket candidate count — the
+# same technique Flink/Trino interval joins and spatial grid joins
+# use, and at 100 TB the bucket id doubles as the co-partitioning
+# key for both sides.
+
+_IVL_GRAIN_US = 21_600_000_000  # 6-hour buckets, in microseconds
+
+
+@register(
+    "q_join_interval_bucketed",
+    oracle=f"""
+WITH spans AS (
+  SELECT user_id,
+         epoch_us(min(ts)) AS s_us, epoch_us(max(ts)) AS e_us
+  FROM events GROUP BY user_id, date_trunc('day', ts)
+), sb AS (
+  SELECT user_id, s_us, e_us,
+         unnest(generate_series(s_us // {_IVL_GRAIN_US},
+                                e_us // {_IVL_GRAIN_US})) AS bkt
+  FROM spans
+), wins AS (
+  SELECT epoch_us(d + INTERVAL 5 HOUR) AS w_s,
+         epoch_us(d + INTERVAL 7 HOUR) AS w_e
+  FROM (SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+                                      TIMESTAMP '2024-01-31',
+                                      INTERVAL 1 DAY)) AS d)
+), wb AS (
+  SELECT w_s, w_e,
+         unnest(generate_series(w_s // {_IVL_GRAIN_US},
+                                (w_e - 1) // {_IVL_GRAIN_US})) AS bkt
+  FROM wins
+)
+SELECT DISTINCT user_id, w_s AS window_start_us,
+       least(e_us, w_e) - greatest(s_us, w_s) AS overlap_us
+FROM sb JOIN wb USING (bkt)
+WHERE least(e_us, w_e) - greatest(s_us, w_s) > 0
+""",
+)
+def q_join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which daily 05:00–07:00 maintenance windows does each user's
+    per-day activity span [min ts, max ts] overlap, and by how many
+    microseconds. All arithmetic is integer epoch-microseconds (`div`
+    here, `//` in DuckDB — identical on non-negative values), so the
+    result is exact with no float rounding anywhere.
+
+    The 05–07h window deliberately straddles a 6-hour bucket
+    boundary: a window explodes to two buckets, a span covering both
+    meets it twice, and the trailing dropDuplicates is load-bearing
+    (remove it and the oracle catches the dup). Plan: two shuffles —
+    the span aggregate on (user, day) and the dedup on the output
+    key (the bucket join itself moves nothing: the exploded window
+    side is tiny and broadcast). At scale with both sides large the
+    bucket id becomes the shuffle key for an SMJ and the dedup
+    piggybacks on that same partitioning."""
+    ev = load(spark, sf_dir, "events")
+    spans = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("d")
+    ).agg(
+        F.unix_micros(F.min("ts")).alias("s_us"),
+        F.unix_micros(F.max("ts")).alias("e_us"),
+    )
+    sb = spans.select(
+        "user_id",
+        "s_us",
+        "e_us",
+        F.explode(
+            F.sequence(
+                F.expr(f"s_us div {_IVL_GRAIN_US}"),
+                F.expr(f"e_us div {_IVL_GRAIN_US}"),
+            )
+        ).alias("bkt"),
+    )
+    wins = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.sequence(
+                    F.lit("2024-01-01 00:00:00").cast("timestamp"),
+                    F.lit("2024-01-31 00:00:00").cast("timestamp"),
+                    F.expr("interval 1 day"),
+                )
+            ).alias("d")
+        )
+        .select(
+            F.unix_micros(F.col("d") + F.expr("interval 5 hours")).alias("w_s"),
+            F.unix_micros(F.col("d") + F.expr("interval 7 hours")).alias("w_e"),
+        )
+    )
+    wb = wins.select(
+        "w_s",
+        "w_e",
+        F.explode(
+            F.sequence(
+                F.expr(f"w_s div {_IVL_GRAIN_US}"),
+                F.expr(f"(w_e - 1) div {_IVL_GRAIN_US}"),
+            )
+        ).alias("bkt"),
+    )
+    ov = F.least("e_us", "w_e") - F.greatest("s_us", "w_s")
+    return (
+        sb.join(F.broadcast(wb), "bkt")
+        .filter(ov > 0)
+        .select(
+            "user_id",
+            F.col("w_s").alias("window_start_us"),
+            ov.alias("overlap_us"),
+        )
+        .dropDuplicates()
+    )

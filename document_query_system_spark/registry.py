@@ -109,7 +109,8 @@ def _load_all() -> None:
     # their modules to the prefix next round: analytics
     # (q_funnel_conversion, q_zscore_outliers, q_data_quality_checks,
     # q_user_trend, q_event_transitions, q_skew_salted_join), joins
-    # (q_join_asof_forward, q_join_asof_nearest, q_snapshot_diff),
+    # (q_join_asof_forward, q_join_asof_nearest, q_snapshot_diff,
+    # q_join_interval_bucketed),
     # sinks (q_merge_into), scans (q_schema_evolution_read),
     # event_windows (q_stream_static_join, q_stream_sliding), windows
     # (q_sample_weighted — lives there, not in sampling.py, exactly
