@@ -212,3 +212,77 @@ def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_customers"),
         F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
     )
+
+
+# ------------------------------------------- growth accounting
+#
+# Daily active users, new users, and cumulative distinct users per
+# day. The naive cumulative-distinct (count(DISTINCT user) over an
+# expanding window) re-scans all history per day and cannot
+# partial-aggregate; the scalable rewrite is the first-seen
+# decomposition: cumulative distinct users at day d == users whose
+# FIRST event day <= d, so one min-aggregate per user + a running
+# sum over the |days|-sized daily table replaces the expanding
+# distinct entirely.
+
+
+@register(
+    "q_user_growth",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, min(date_trunc('day', ts)) AS first_day
+  FROM events GROUP BY user_id
+), daily AS (
+  SELECT date_trunc('day', ts) AS day,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+  FROM events GROUP BY date_trunc('day', ts)
+), news AS (
+  SELECT first_day AS day, CAST(count(*) AS BIGINT) AS new_users
+  FROM firsts GROUP BY first_day
+)
+SELECT CAST(d.day AS TIMESTAMP) AS day, d.dau,
+       coalesce(n.new_users, 0) AS new_users,
+       sum(coalesce(n.new_users, 0))
+         OVER (ORDER BY d.day ROWS UNBOUNDED PRECEDING) AS cum_users
+FROM daily d LEFT JOIN news n ON d.day = n.day
+""",
+)
+def q_user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting per day: DAU, newly-seen users, cumulative
+    distinct users — via the first-seen decomposition above. Plan:
+    one user-hash exchange feeds the dedup, the per-user min, AND
+    turns countDistinct into a plain count; every remaining op
+    (daily count, broadcast join, running sum) produces or consumes
+    a |days|-sized table, so the single-partition window is over ~30
+    rows, not the corpus — the only safe place for a global window."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    )
+    # One explicit user-hash exchange, then dedup to (user, day) and
+    # the per-user min both run shuffle-free on that partitioning
+    # (HashPartitioning(user) satisfies clustering on any superset).
+    # This also replaces countDistinct's two-phase expansion: over
+    # deduped rows, DAU is a plain count. Lazily checkpointed because
+    # two aggregates consume it.
+    ud = (
+        ev.repartition("user_id")
+        .dropDuplicates(["user_id", "day"])
+        .localCheckpoint(eager=False)
+    )
+    firsts = ud.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    daily = ud.groupBy("day").agg(F.count("*").cast("long").alias("dau"))
+    news = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count("*").cast("long").alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        daily.join(F.broadcast(news), "day", "left")
+        .select(
+            "day",
+            "dau",
+            F.coalesce("new_users", F.lit(0)).alias("new_users"),
+        )
+        .withColumn("cum_users", F.sum("new_users").over(w))
+    )

@@ -114,7 +114,8 @@ def _load_all() -> None:
     # sinks (q_merge_into), scans (q_schema_evolution_read),
     # event_windows (q_stream_static_join, q_stream_sliding), windows
     # (q_sample_weighted — lives there, not in sampling.py, exactly
-    # so the r6 prefix slots stayed fixed). The
+    # so the r6 prefix slots stayed fixed), aggregates
+    # (q_user_growth). The
     # similarity/dedup prefix queries new this round (q_ann_pq,
     # q_dedup_embedding_lsh, q_dedup_levenshtein) and the
     # corpus/scoring/graph/layout modules (incl. the late-r6
