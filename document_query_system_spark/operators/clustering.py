@@ -1,0 +1,251 @@
+"""Semantic clustering + SemDeDup-style semantic dedup over the
+embedding table (SURVEY §2 J9-adjacent; the `SemDeDup` pass LLM
+pipelines run between exact/MinHash dedup and quality filtering:
+k-means the embedding space, then prune near-duplicate pairs inside
+each cluster — Abbas et al. 2023, "SemDeDup: Data-efficient learning
+at web-scale through semantic deduplication").
+
+Determinism contract (what makes this oracle-checkable):
+- seeds are the K vectors with the smallest md5(vec_id) — same
+  expression both engines, no RNG;
+- Lloyd rounds are UNROLLED (2 assignment rounds, 1 centroid
+  update), not run to convergence — a fixed iteration budget like
+  q_pagerank, so there is no data-dependent loop;
+- every cross-engine float is rounded inside the query: squared
+  distances and cosines to 6 (ranking/thresholding happens on the
+  rounded value), per-dimension centroid means to 6, inertia to 2.
+
+Scale shape (the part that matters at 100 TB):
+- assignment is a PURE MAP: the K centroids (K×DIM doubles, ~4 KB
+  here) are collected to the driver and constant-folded into an
+  array-of-structs literal, and each vector argmins over it with
+  array_min(transform(...)) — no join, no shuffle, no UDF. This is
+  the same bounded-collect pattern as the bloom build
+  (pipeline.py:476): the collect is O(K·DIM), never O(data).
+- the centroid update shuffles only (cluster, dim) partial
+  aggregates — K·DIM cells regardless of corpus size (map-side
+  combine collapses each partition to ≤ K·DIM rows before the
+  exchange).
+- the semantic-dedup pairwise stage joins WITHIN clusters only,
+  with the same salt fan-out as q_dedup_embedding_cosine
+  (dedup.py:710) so one hot cluster cannot pin a single task. In
+  production K grows with the corpus (K ≈ N / target_cluster_size,
+  SemDeDup uses ~100k clusters) keeping per-cluster pair counts
+  bounded; the fixed K=8 here is sized to the test corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.embed import DIM, dot
+from ..registry import register
+from ..sources.tables import load
+
+K_CLUSTERS = 8
+_SEM_TAU = 0.35  # within-cluster cosine prune threshold (corpus-calibrated:
+# p99.9 of within-cluster cosine ≈ 0.37 on the synthetic embeddings)
+_SEM_SALT = 8
+
+
+def _vx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectors as array<double> with their squared norms precomputed."""
+    emb = load(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("x")
+    ).withColumn("xx", dot(F.col("x"), F.col("x")))
+
+
+def _cents_literal(rows) -> Column:
+    """Constant-fold collected centroids into an array<struct> literal
+    (bounded: K rows of DIM doubles)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(int(cid)).alias("cid"),
+                F.array(*[F.lit(float(v)) for v in cv]).alias("cv"),
+                F.lit(float(cc)).alias("cc"),
+            )
+            for cid, cv, cc in rows
+        ]
+    )
+
+
+def _assign(vx: DataFrame, cents: Column) -> DataFrame:
+    """Nearest-centroid assignment as a pure map: argmin over the
+    centroid literal via array_min on (rounded d2, cid) structs —
+    struct ordering gives the d2-then-cid tiebreak for free."""
+    best = F.array_min(
+        F.transform(
+            cents,
+            lambda c: F.struct(
+                F.round(
+                    F.col("xx") - 2 * dot(F.col("x"), c["cv"]) + c["cc"], 6
+                ).alias("d2"),
+                c["cid"].alias("cid"),
+            ),
+        )
+    )
+    return vx.select("vec_id", "x", "xx", best["d2"].alias("d2"), best["cid"].alias("cid"))
+
+
+def _kmeans_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared 2-round Lloyd pass: seed → assign → update → assign."""
+    vx = _vx(spark, sf_dir)
+    seeds = [
+        (r["cid"], r["cv"], r["cc"])
+        for r in vx.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(K_CLUSTERS)
+        .select(
+            F.col("vec_id").alias("cid"), F.col("x").alias("cv"), F.col("xx").alias("cc")
+        )
+        .collect()
+    ]
+    a1 = _assign(vx, _cents_literal(seeds))
+    upd = (
+        a1.select("cid", F.posexplode("x").alias("dim", "val"))
+        .groupBy("cid", "dim")
+        .agg(F.round(F.avg("val"), 6).alias("cv"))
+        .groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "cv"))), lambda s: s["cv"]
+            ).alias("cv")
+        )
+        .withColumn("cc", dot(F.col("cv"), F.col("cv")))
+    )
+    cents = [(r["cid"], r["cv"], r["cc"]) for r in upd.collect()]
+    return _assign(vx, _cents_literal(cents))
+
+
+def _sql_rounds() -> str:
+    """Shared oracle CTE chain mirroring _kmeans_assigned. DuckDB
+    arrays are 1-indexed; dims only need to agree within the oracle
+    (centroids are rebuilt ordered by dim), so 1..DIM vs posexplode's
+    0..DIM-1 is immaterial."""
+
+    def assign(prev: str, rnd: int) -> str:
+        d2 = f"round(v.xx - 2*list_dot_product(v.x, c.cv) + c.cc, 6)"
+        return f"""a{rnd} AS (
+  SELECT vec_id, cid, d2, x, xx FROM (
+    SELECT v.vec_id, c.cid, v.x, v.xx, {d2} AS d2,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY {d2}, c.cid) AS rn
+    FROM vx v CROSS JOIN {prev} c)
+  WHERE rn = 1
+)"""
+
+    return f"""
+WITH vx AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x,
+         list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS xx
+  FROM embeddings
+),
+seeds AS (
+  SELECT vec_id AS cid, x AS cv, xx AS cc
+  FROM vx ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {K_CLUSTERS}
+),
+{assign('seeds', 1)},
+c1 AS (
+  SELECT cid, list(cv ORDER BY dim) AS cv,
+         list_dot_product(list(cv ORDER BY dim), list(cv ORDER BY dim)) AS cc
+  FROM (
+    SELECT a.cid, d.i AS dim, round(avg(a.x[d.i]), 6) AS cv
+    FROM a1 a CROSS JOIN (SELECT unnest(generate_series(1, {DIM})) AS i) d
+    GROUP BY a.cid, d.i)
+  GROUP BY cid
+),
+{assign('c1', 2)}
+"""
+
+
+_KMEANS_SQL = (
+    _sql_rounds()
+    + """
+, fin AS (SELECT cid, vec_id, d2,
+          row_number() OVER (PARTITION BY cid ORDER BY d2, vec_id) AS rn FROM a2)
+SELECT cid AS cluster_id, count(*) AS size, round(sum(d2), 2) AS inertia,
+       max(CASE WHEN rn = 1 THEN vec_id END) AS rep_id
+FROM fin GROUP BY cid
+"""
+)
+
+
+@register("q_cluster_kmeans", oracle=_KMEANS_SQL)
+def q_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic seeded k-means (K=8, 2 unrolled Lloyd rounds)
+    over the embedding table — the clustering pass under SemDeDup /
+    semantic sharding. Per cluster: size, inertia (sum of squared
+    distances), and the representative (nearest vector, d2-then-id
+    tiebreak).
+
+    Plan: two passes over the vectors. Assignment is a shuffle-free
+    map over a constant-folded centroid literal (bounded driver
+    collect, K·DIM doubles — the bloom pattern); the one real
+    exchange per round carries ≤ K·DIM partial-average cells. The
+    final per-cluster rollup is a K-group hash aggregate."""
+    a2 = _kmeans_assigned(spark, sf_dir)
+    w = Window.partitionBy("cid").orderBy("d2", "vec_id")
+    return (
+        a2.withColumn("rn", F.row_number().over(w))
+        .groupBy(F.col("cid").alias("cluster_id"))
+        .agg(
+            F.count("*").alias("size"),
+            F.round(F.sum("d2"), 2).alias("inertia"),
+            F.max(F.when(F.col("rn") == 1, F.col("vec_id"))).alias("rep_id"),
+        )
+    )
+
+
+_SEM_SQL = (
+    _sql_rounds()
+    + f"""
+SELECT b.vec_id AS dropped_id, b.cid AS cluster_id,
+       max(round(list_dot_product(a.x, b.x) / (sqrt(a.xx)*sqrt(b.xx)), 6)) AS best_cos
+FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.x, b.x) / (sqrt(a.xx)*sqrt(b.xx)), 6) >= {_SEM_TAU}
+GROUP BY b.vec_id, b.cid
+"""
+)
+
+
+@register("q_dedup_semantic", oracle=_SEM_SQL)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: within each k-means cluster, a vector is dropped when
+    a LOWER-id vector in the same cluster has cosine ≥ τ (keep-lowest
+    canonical, matching q_dedup_keep_canonical's convention). Emits
+    (dropped_id, cluster_id, best_cos). Thresholding happens on the
+    ROUNDED cosine so the boundary decision is identical across
+    engines.
+
+    Plan: pairwise ONLY within clusters, salted like
+    q_dedup_embedding_cosine (dedup.py:710) — the b side carries
+    vec_id % {_SEM_SALT}, the a side explodes all salts, the join key
+    is (cid, salt), so a hot cluster spreads over {_SEM_SALT} tasks.
+    At scale K grows with the corpus to keep per-cluster pair counts
+    bounded (SemDeDup runs ~100k clusters); the quadratic term never
+    leaves the cluster."""
+    a2 = _kmeans_assigned(spark, sf_dir).select("vec_id", "cid", "x", "xx")
+    a = a2.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("cid"),
+        F.col("x").alias("ax"),
+        F.col("xx").alias("axx"),
+    ).withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(_SEM_SALT - 1))))
+    b = a2.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("cid"),
+        F.col("x").alias("bx"),
+        F.col("xx").alias("bxx"),
+    ).withColumn("salt", (F.col("b_id") % _SEM_SALT).cast("int"))
+    cos = F.round(
+        dot(F.col("ax"), F.col("bx")) / (F.sqrt("axx") * F.sqrt("bxx")), 6
+    )
+    return (
+        a.join(b, ["cid", "salt"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= _SEM_TAU)
+        .groupBy(F.col("b_id").alias("dropped_id"), F.col("cid").alias("cluster_id"))
+        .agg(F.max("cos").alias("best_cos"))
+    )

@@ -1,0 +1,132 @@
+"""Triangle counting over the co-purchase part graph — the second
+graph primitive next to PageRank (operators/graph.py) and connected
+components (operators/dedup.py). Triangle participation is the
+standard cohesion/spam signal on web and citation graphs (clustering
+coefficient numerator), and the canonical "quadratic unless you
+orient it" distributed-graph workload.
+
+Scale shape (Suri & Vassilvitskii 2011, "Counting triangles and the
+curse of the last reducer"): every edge is ORIENTED from its lower
+(degree, id) endpoint to the higher before the wedge join, so a
+node's out-degree is bounded by ~√m regardless of its raw degree —
+the hub that would otherwise produce deg² wedges in one task
+produces at most O(√m) per neighbor. Both wedge-closing joins are
+plain equi-joins on node ids; no node ever sees the full adjacency
+of a hub.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.tables import load
+
+_TRI_TOPK = 20
+_TRI_PRIORITY = "1-URGENT"  # graph = parts co-ordered in urgent orders
+
+
+_TRIANGLE_SQL = f"""
+WITH li AS (
+  SELECT l.l_orderkey AS ok, l.l_partkey AS pk
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderpriority = '{_TRI_PRIORITY}'
+),
+edges AS (
+  SELECT DISTINCT a.pk AS u, b.pk AS v
+  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+),
+deg AS (
+  SELECT node, count(*) AS d FROM (
+    SELECT u AS node FROM edges UNION ALL SELECT v FROM edges) GROUP BY node
+),
+oe AS (
+  SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS s,
+         CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS t
+  FROM edges e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+),
+tri AS (
+  SELECT e1.s AS a, e1.t AS b, e2.t AS c
+  FROM oe e1
+  JOIN oe e2 ON e1.t = e2.s
+  JOIN oe e3 ON e3.s = e1.s AND e3.t = e2.t
+),
+pernode AS (
+  SELECT node, count(*) AS tri_cnt FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri) GROUP BY node
+)
+SELECT node, tri_cnt FROM (
+  SELECT node, tri_cnt,
+         row_number() OVER (ORDER BY tri_cnt DESC, node) AS rn
+  FROM pernode)
+WHERE rn <= {_TRI_TOPK}
+"""
+
+
+@register("q_triangle_count", oracle=_TRIANGLE_SQL)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle participation (top-20 by count, id
+    tiebreak) on the graph whose edges connect parts co-ordered in
+    the same urgent order — degree-oriented wedge join, the
+    MapReduce-classic triangle algorithm.
+
+    Plan: edge build is one self-join of the (order, part) pairs on
+    the order key + a distinct; orientation joins the ~|V| degree
+    table twice (broadcast-size here, co-partitioned at scale); the
+    wedge closure is two node-keyed equi-joins whose fan-out the
+    (degree, id) orientation caps at O(√m) per node. Counting
+    explodes each triangle to its 3 corners and hash-aggregates —
+    partial agg collapses per partition before the exchange."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .join(
+            load(spark, sf_dir, "orders")
+            .filter(F.col("o_orderpriority") == _TRI_PRIORITY)
+            .select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+    )
+    a = li.select(F.col("ok"), F.col("pk").alias("u"))
+    b = li.select(F.col("ok"), F.col("pk").alias("v"))
+    edges = (
+        a.join(b, "ok").filter(F.col("u") < F.col("v")).select("u", "v").distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    lower = F.struct(F.col("du"), F.col("u")) < F.struct(F.col("dv"), F.col("v"))
+    oe = (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lower, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(lower, F.col("v")).otherwise(F.col("u")).alias("t"),
+        )
+    )
+    e1 = oe.select(F.col("s").alias("a"), F.col("t").alias("b"))
+    e2 = oe.select(F.col("s").alias("b"), F.col("t").alias("c"))
+    e3 = oe.select(F.col("s").alias("a"), F.col("t").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    pernode = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("tri_cnt"))
+    )
+    w = Window.orderBy(F.desc("tri_cnt"), F.asc("node"))
+    return (
+        pernode.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TRI_TOPK)
+        .select("node", "tri_cnt")
+    )

@@ -112,6 +112,8 @@ def _load_all() -> None:
     # (q_join_asof_forward, q_join_asof_nearest, q_snapshot_diff,
     # q_join_interval_bucketed),
     # sinks (q_merge_into), scans (q_schema_evolution_read),
+    # clustering (q_cluster_kmeans, q_dedup_semantic),
+    # sketches (q_heavy_hitters_cms),
     # event_windows (q_stream_static_join, q_stream_sliding), windows
     # (q_sample_weighted — lives there, not in sampling.py, exactly
     # so the r6 prefix slots stayed fixed), aggregates
@@ -142,6 +144,9 @@ def _load_all() -> None:
     from .operators import analytics  # noqa: F401
     # ---- ~50-query prefix boundary ----
     from .operators import setops  # noqa: F401
+    from .operators import clustering  # noqa: F401
+    from .operators import sketches  # noqa: F401
+    from .operators import graph_metrics  # noqa: F401
     from .functions import vector  # noqa: F401
     from .operators import textpipe  # noqa: F401
     from .sources import scans  # noqa: F401
