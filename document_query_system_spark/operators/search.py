@@ -181,3 +181,123 @@ def q_answer_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The driver's ``entry()`` query: keyword QA top-3 at sf0.001."""
     return keyword_topk(spark, sf_dir)
+
+
+# ------------------------------------------------------------------
+# Positional-index search: exact phrase and proximity queries — the
+# two IR primitives a bag-of-words scorer (above) and BM25
+# (pipeline.py) cannot express, because both need token POSITIONS.
+
+_PHRASE = ["slow", "hash", "batch"]
+_NEAR_A, _NEAR_B, _NEAR_W = "customer", "query", 5
+
+_POSTINGS_CTE = """
+WITH tk AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ts
+            FROM documents),
+post AS (SELECT doc_id, ts[d.pos] AS term, d.pos AS pos
+         FROM tk, LATERAL (SELECT unnest(generate_series(1, len(tk.ts))) AS pos) d)
+"""
+
+
+def _postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional posting list (doc_id, term, pos), 1-based to match
+    DuckDB list indexing."""
+    from ..functions.hashing import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("p0", "term")
+    ).select("doc_id", "term", (F.col("p0") + 1).alias("pos"))
+
+
+_PHRASE_SQL = (
+    _POSTINGS_CTE
+    + f""",
+p0 AS (SELECT doc_id, pos FROM post WHERE term = '{_PHRASE[0]}'),
+p1 AS (SELECT doc_id, pos FROM post WHERE term = '{_PHRASE[1]}'),
+p2 AS (SELECT doc_id, pos FROM post WHERE term = '{_PHRASE[2]}')
+SELECT p0.doc_id AS doc_id, count(*) AS n_matches, min(p0.pos) AS first_pos
+FROM p0 JOIN p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
+        JOIN p2 ON p2.doc_id = p0.doc_id AND p2.pos = p0.pos + 2
+GROUP BY p0.doc_id
+"""
+)
+
+
+@register("q_phrase_search", oracle=_PHRASE_SQL)
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search via positional posting intersection: docs
+    containing the 3-token phrase, with match count and first match
+    position — the inverted-index primitive behind quoted queries.
+
+    Plan: the posting build is a generate + project (no shuffle);
+    each phrase term filters the postings BEFORE the joins — on a
+    stored posting table this is a pushed-down `term IN (...)`
+    predicate reading only 3 posting lists, never the corpus. The
+    intersections are (doc_id, pos±k) equi-joins whose inputs are
+    already term-pruned, so join size tracks the phrase terms'
+    document frequency, not corpus size."""
+    post = _postings(spark, sf_dir)
+    p0 = post.filter(F.col("term") == _PHRASE[0]).select("doc_id", "pos")
+    p1 = post.filter(F.col("term") == _PHRASE[1]).select(
+        "doc_id", (F.col("pos") - 1).alias("pos")
+    )
+    p2 = post.filter(F.col("term") == _PHRASE[2]).select(
+        "doc_id", (F.col("pos") - 2).alias("pos")
+    )
+    return (
+        p0.join(p1, ["doc_id", "pos"])
+        .join(p2, ["doc_id", "pos"])
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_matches"), F.min("pos").alias("first_pos"))
+    )
+
+
+_NEAR_SQL = (
+    _POSTINGS_CTE
+    + f""",
+a AS (SELECT doc_id, pos FROM post WHERE term = '{_NEAR_A}'),
+b AS (SELECT doc_id, pos FROM post WHERE term = '{_NEAR_B}')
+SELECT doc_id, n_pairs, min_gap FROM (
+  SELECT doc_id, n_pairs, min_gap,
+         row_number() OVER (ORDER BY n_pairs DESC, doc_id) AS rn
+  FROM (
+    SELECT doc_id, count(*) AS n_pairs, min(abs(a.pos - b.pos)) AS min_gap
+    FROM a JOIN b USING (doc_id)
+    WHERE abs(a.pos - b.pos) <= {_NEAR_W}
+    GROUP BY doc_id))
+WHERE rn <= 20
+"""
+)
+
+
+@register("q_proximity_search", oracle=_NEAR_SQL)
+def q_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity (NEAR/5) search: top-20 docs where the two query
+    terms co-occur within 5 tokens, scored by qualifying pair count
+    with the minimum gap reported.
+
+    Plan: both sides are term-pruned posting lists (document-
+    frequency-sized), joined on doc_id with the band predicate
+    |pa−pb| ≤ 5 applied in the join. Per-doc posting lists are short,
+    so the within-doc pair fan-out is bounded; at scale the band
+    would bucket on pos/5 exactly like q_join_interval_bucketed to
+    keep the candidate set linear in postings."""
+    post = _postings(spark, sf_dir)
+    a = post.filter(F.col("term") == _NEAR_A).select("doc_id", F.col("pos").alias("pa"))
+    b = post.filter(F.col("term") == _NEAR_B).select("doc_id", F.col("pos").alias("pb"))
+    scored = (
+        a.join(b, "doc_id")
+        .filter(F.abs(F.col("pa") - F.col("pb")) <= _NEAR_W)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.min(F.abs(F.col("pa") - F.col("pb"))).alias("min_gap"),
+        )
+    )
+    w = Window.orderBy(F.desc("n_pairs"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "n_pairs", "min_gap")
+    )
