@@ -813,3 +813,75 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         F.round(F.col("n") / F.col("n_from").cast("double"), 6).alias("p"),
     )
+
+
+_MAD_K = 1.4826  # consistency constant: MAD × 1.4826 ≈ σ for normal data
+
+
+@register(
+    "q_mad_outliers",
+    oracle=f"""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type AS event_type, any_value(m.med) AS med,
+         quantile_cont(abs(e.value - m.med), 0.5) AS mad
+  FROM events e JOIN med m ON e.event_type = m.event_type
+  GROUP BY e.event_type
+)
+SELECT d.event_type AS event_type,
+       round(d.med, 6) AS med,
+       round(d.mad, 6) AS mad,
+       count(CASE WHEN round(abs(e.value - d.med), 6)
+                       > round(3 * {_MAD_K} * d.mad, 6) THEN 1 END) AS n_outliers
+FROM events e JOIN dev d ON e.event_type = d.event_type
+GROUP BY d.event_type, d.med, d.mad
+""",
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median absolute deviation — the
+    monitoring cut q_zscore_outliers' mean/stddev version breaks on:
+    one extreme value inflates σ and hides the rest, while the
+    median/MAD pair is 50%-breakdown robust. Flags events where
+    |value − median| > 3·1.4826·MAD per event type.
+
+    Shape: two exact-median passes over the table (medians buffer
+    per-group values — the 100 TB swap is percentile_approx, same
+    note as q_agg_percentiles), then a broadcast of the
+    fixed-cardinality stats back over the scan for a one-pass
+    conditional count. Both boundary comparands are rounded to 6
+    inside BOTH engines, so the outlier decision at the threshold is
+    identical."""
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    med = F.broadcast(
+        ev.groupBy("event_type").agg(F.expr("percentile(value, 0.5)").alias("med"))
+    )
+    dev = F.broadcast(
+        ev.join(med, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.any_value("med").alias("med"),
+            F.expr("percentile(abs(value - med), 0.5)").alias("mad"),
+        )
+    )
+    return (
+        ev.join(dev, "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count(
+                F.when(
+                    F.round(F.abs(F.col("value") - F.col("med")), 6)
+                    > F.round(3 * _MAD_K * F.col("mad"), 6),
+                    1,
+                )
+            ).alias("n_outliers")
+        )
+        .select(
+            "event_type",
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+            "n_outliers",
+        )
+    )

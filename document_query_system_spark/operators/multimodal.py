@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -316,3 +316,87 @@ def q_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return m.mapInPandas(gen, "media_id long, win_idx int, rms double")
+
+
+_SCENE_TAU = 4.0  # mean-luminance jump that counts as a cut (~p90
+# of consecutive-frame jumps on the synthetic payloads — the repeated
+# 16-byte md5 cycle makes frames near-identical, so jumps are small)
+
+
+@register(
+    "q_scene_changes",
+    oracle=f"""
+WITH g AS (
+  SELECT doc_id AS media_id, {_W_SQL} AS w, {_H_SQL} AS h, {_NF_SQL} AS nf
+  FROM documents
+),
+fr AS (
+  SELECT media_id, w, h, unnest(generate_series(0, nf - 1)) AS frame_idx
+  FROM g
+),
+fm AS (
+  SELECT media_id, frame_idx,
+         round(list_sum(list_transform(generate_series(frame_idx * w * h + 1,
+                                                       (frame_idx + 1) * w * h),
+                                       i -> {{BYTE}}))
+               / CAST(w * h AS DOUBLE), 6) AS m
+  FROM fr JOIN documents ON doc_id = media_id
+),
+j AS (
+  SELECT media_id,
+         round(abs(m - lag(m) OVER (PARTITION BY media_id ORDER BY frame_idx)), 6)
+           AS jump
+  FROM fm
+)
+SELECT media_id,
+       count(CASE WHEN jump > {_SCENE_TAU} THEN 1 END) AS n_cuts,
+       max(jump) AS max_jump
+FROM j WHERE jump IS NOT NULL
+GROUP BY media_id
+""".replace("{BYTE}", _byte_sql("i")),
+)
+def q_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video scene-change detection: per-frame mean luminance from
+    the decode UDF, consecutive-frame jumps via a lag window, cuts
+    where the jump exceeds a threshold — the shot-segmentation pass
+    video training pipelines run before frame dedup/captioning. A
+    real decoder swaps in at _decode_real without touching the
+    window/aggregate half.
+
+    Shape: the UDF emits |frames| small rows (never the payload);
+    the lag window and the per-media rollup both partition on
+    media_id, so everything after decode moves one exchange of
+    frame-feature rows. Jumps are computed from round-6 frame means
+    and re-rounded, so the cut decision at the threshold is
+    identical across engines."""
+    import numpy as np
+    import pandas as pd
+
+    m = media_table(spark, sf_dir, "video").select(
+        "media_id", "width", "height", "n_frames", "payload"
+    )
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "m": []}
+            for mid, w, h, nf, b in zip(
+                pdf["media_id"], pdf["width"], pdf["height"],
+                pdf["n_frames"], pdf["payload"],
+            ):
+                vid = np.frombuffer(b, dtype=np.uint8).reshape(nf, h * w)
+                for fi in range(nf):
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(fi)
+                    out["m"].append(round(float(vid[fi].mean()), 6))
+            yield pd.DataFrame(out)
+
+    fm = m.mapInPandas(gen, "media_id long, frame_idx int, m double")
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    j = fm.select(
+        "media_id",
+        F.round(F.abs(F.col("m") - F.lag("m").over(w)), 6).alias("jump"),
+    ).filter(F.col("jump").isNotNull())
+    return j.groupBy("media_id").agg(
+        F.count(F.when(F.col("jump") > _SCENE_TAU, 1)).alias("n_cuts"),
+        F.max("jump").alias("max_jump"),
+    )

@@ -264,3 +264,55 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "lang", "n_chars", F.round("k", 6).alias("sample_key")
         )
     )
+
+
+_EWMA_ALPHA = 0.8  # decay per step back
+_EWMA_N = 10  # trailing events per user
+
+
+@register(
+    "q_ewma_latest",
+    oracle=f"""
+WITH r AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+m AS (SELECT user_id, max(rn) AS mrn FROM r GROUP BY user_id)
+SELECT r.user_id AS user_id,
+       count(*) AS n_tail,
+       round(sum(r.value * pow({_EWMA_ALPHA}, m.mrn - r.rn))
+             / sum(pow({_EWMA_ALPHA}, m.mrn - r.rn)), 6) AS ewma
+FROM r JOIN m ON r.user_id = m.user_id
+WHERE r.rn > m.mrn - {_EWMA_N}
+GROUP BY r.user_id
+""",
+)
+def q_ewma_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of each user's trailing
+    10 event values (α=0.8 decay per step back from the latest
+    event) — the smoothed "current state" feature stores compute per
+    entity. The EWMA recursion is inherently sequential; truncating
+    to a trailing window turns it into a weighted sum any engine can
+    parallelize, with the dropped tail bounded by α^10 ≈ 0.107 of
+    the total weight.
+
+    Shape: one user-keyed window for row numbers, a user-keyed max,
+    and a weighted aggregate — all three hash-partition on user_id,
+    so AQE fuses them into a single exchange's worth of movement; no
+    self-join, no per-row state. Weights come from pow() on both
+    engines and every quotient is rounded inside the query."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    r = ev.withColumn("rn", F.row_number().over(w))
+    m = r.groupBy("user_id").agg(F.max("rn").alias("mrn"))
+    wt = F.pow(F.lit(_EWMA_ALPHA), F.col("mrn") - F.col("rn"))
+    return (
+        r.join(m, "user_id")
+        .filter(F.col("rn") > F.col("mrn") - _EWMA_N)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_tail"),
+            F.round(F.sum(F.col("value") * wt) / F.sum(wt), 6).alias("ewma"),
+        )
+    )
