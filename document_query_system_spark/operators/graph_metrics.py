@@ -93,8 +93,17 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = li.select(F.col("ok"), F.col("pk").alias("u"))
     b = li.select(F.col("ok"), F.col("pk").alias("v"))
+    # Lazy checkpoints truncate lineage at each reused subtree —
+    # edges feeds deg + the orientation join, oe feeds all three
+    # wedge roles; without them Catalyst re-derives the whole
+    # build per consumer and the static plan explodes to ~180
+    # exchanges (same discipline as graph.py's PageRank rounds).
     edges = (
-        a.join(b, "ok").filter(F.col("u") < F.col("v")).select("u", "v").distinct()
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint(eager=False)
     )
     deg = (
         edges.select(F.col("u").alias("node"))
@@ -112,11 +121,14 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(lower, F.col("u")).otherwise(F.col("v")).alias("s"),
             F.when(lower, F.col("v")).otherwise(F.col("u")).alias("t"),
         )
+        .localCheckpoint(eager=False)
     )
     e1 = oe.select(F.col("s").alias("a"), F.col("t").alias("b"))
     e2 = oe.select(F.col("s").alias("b"), F.col("t").alias("c"))
     e3 = oe.select(F.col("s").alias("a"), F.col("t").alias("c"))
-    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    # tri feeds three union branches (one per triangle corner);
+    # checkpoint so the two wedge joins run once, not three times.
+    tri = e1.join(e2, "b").join(e3, ["a", "c"]).localCheckpoint(eager=False)
     pernode = (
         tri.select(F.col("a").alias("node"))
         .unionAll(tri.select(F.col("b").alias("node")))

@@ -78,7 +78,14 @@ def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus shards merge by cell-wise addition."""
     docs = load(spark, sf_dir, "documents")
     toks = docs.select(F.explode(tokens(F.col("text"))).alias("term"))
-    tc = toks.groupBy("term").agg(F.count("*").alias("cnt"))
+    # Lazily checkpointed: tc feeds the sketch build, the probe
+    # top-k, AND the estimate join — without truncation Catalyst
+    # re-derives the corpus-sized token aggregate per consumer.
+    tc = (
+        toks.groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
     th = tc.withColumn("h", token_hash(F.col("term")))
     hashed = th.select(
         "term",
