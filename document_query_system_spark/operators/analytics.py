@@ -885,3 +885,125 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_outliers",
         )
     )
+
+
+@register(
+    "q_chi2_independence",
+    oracle="""
+WITH obs AS (SELECT lang, source, count(*) AS o FROM documents GROUP BY lang, source),
+rm AS (SELECT lang, sum(o) AS r FROM obs GROUP BY lang),
+cm AS (SELECT source, sum(o) AS c FROM obs GROUP BY source),
+n AS (SELECT sum(o) AS n FROM obs),
+cells AS (
+  SELECT rm.lang, cm.source, rm.r * cm.c / n.n AS e, coalesce(obs.o, 0) AS o
+  FROM rm CROSS JOIN cm CROSS JOIN n
+  LEFT JOIN obs ON obs.lang = rm.lang AND obs.source = cm.source
+)
+SELECT round(sum((o - e) * (o - e) / e), 4) AS chi2,
+       CAST((count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1) AS BIGINT) AS dof,
+       CAST(sum(o) AS BIGINT) AS n
+FROM cells
+""",
+)
+def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence test on the lang × source
+    contingency table — the corpus-balance diagnostic that tells you
+    whether language mix drifts by ingestion source (a skewed crawl
+    shard shows up here before it shows up in model evals). Emits the
+    statistic, degrees of freedom, and N; the caller compares against
+    the chi-square critical value.
+
+    Shape: ONE corpus-sized aggregate (the contingency cells); the
+    margins, expected counts, and statistic all run on R×C rows.
+    Zero-observed cells are materialized from the margin cross join
+    (they still contribute their expected mass), so the statistic is
+    exact, not observed-cells-only."""
+    docs = load(spark, sf_dir, "documents").select("lang", "source")
+    obs = docs.groupBy("lang", "source").agg(F.count("*").alias("o"))
+    obs = obs.localCheckpoint(eager=False)  # feeds margins + cells
+    # Margins are R- and C-row tables derived from the cached cells;
+    # checkpointing them keeps their (tiny) aggregate exchanges out
+    # of the final statistic's plan — the q_data_quality_checks
+    # discipline of materializing sub-results a report assembles.
+    rm = obs.groupBy("lang").agg(F.sum("o").alias("r")).localCheckpoint(eager=False)
+    cm = obs.groupBy("source").agg(F.sum("o").alias("c")).localCheckpoint(eager=False)
+    n = obs.agg(F.sum("o").alias("n")).localCheckpoint(eager=False)
+    cells = (
+        rm.crossJoin(F.broadcast(cm))
+        .crossJoin(F.broadcast(n))
+        .join(F.broadcast(obs), ["lang", "source"], "left")
+        .select(
+            "lang",
+            "source",
+            (F.col("r") * F.col("c") / F.col("n")).alias("e"),
+            F.coalesce(F.col("o"), F.lit(0)).alias("o"),
+        )
+    )
+    # cells is R×C rows — single-partition it so the final aggregate
+    # (including the countDistinct expand) needs no exchange.
+    return cells.coalesce(1).agg(
+        F.round(F.sum((F.col("o") - F.col("e")) ** 2 / F.col("e")), 4).alias("chi2"),
+        (
+            (F.countDistinct("lang") - 1) * (F.countDistinct("source") - 1)
+        ).cast("long").alias("dof"),
+        F.sum("o").cast("long").alias("n"),
+    )
+
+
+_BIN_PS = [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]
+
+
+@register(
+    "q_quantile_bins",
+    oracle="""
+WITH b AS (
+  SELECT list_transform(
+           quantile_cont(l_extendedprice, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+           x -> round(x, 4)) AS bs
+  FROM lineitem
+),
+binned AS (
+  SELECT 1 + len(list_filter(b.bs, x -> l_extendedprice > x)) AS bin,
+         l_extendedprice AS v
+  FROM lineitem CROSS JOIN b
+)
+SELECT CAST(bin AS INT) AS bin, count(*) AS n,
+       round(min(v), 2) AS lo, round(max(v), 2) AS hi,
+       round(avg(v), 4) AS avg_v
+FROM binned GROUP BY bin
+""",
+)
+def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth decile binning of a numeric feature (the quantile
+    bucketing step of feature engineering / monotone binning): 9
+    interpolated decile boundaries, then each row assigned scan-locally.
+    Boundaries are rounded to 4 in BOTH engines before comparison so
+    bin membership at a boundary is engine-identical.
+
+    Shape: one exact-percentile aggregate produces a 1-row,
+    9-element boundary array that broadcast-cross-joins back over
+    the scan — binning is then a pure column expression (count of
+    boundaries below the value), and the per-bin rollup is a 10-group
+    hash aggregate. The 100 TB swap is percentile_approx for the
+    boundary pass; nothing else changes."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("v")
+    )
+    ps = ", ".join(str(p) for p in _BIN_PS)
+    b = li.agg(
+        F.transform(
+            F.expr(f"percentile(v, array({ps}))"), lambda x: F.round(x, 4)
+        ).alias("bs")
+    )
+    binned = li.crossJoin(F.broadcast(b)).select(
+        (
+            1 + F.size(F.filter(F.col("bs"), lambda x: F.col("v") > x))
+        ).cast("int").alias("bin"),
+        "v",
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.round(F.min("v"), 2).alias("lo"),
+        F.round(F.max("v"), 2).alias("hi"),
+        F.round(F.avg("v"), 4).alias("avg_v"),
+    )

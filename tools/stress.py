@@ -47,6 +47,12 @@ HEAVY = [
     "q_quality_classifier",
     "q_dedup_levenshtein",
     "q_collocation_pmi",
+    "q_cluster_kmeans",
+    "q_dedup_semantic",
+    "q_heavy_hitters_cms",
+    "q_phrase_search",
+    "q_proximity_search",
+    "q_scene_changes",
 ]
 
 
