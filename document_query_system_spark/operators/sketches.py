@@ -124,3 +124,96 @@ def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("est_count") - F.col("true_count")).alias("overcount"),
         )
     )
+
+
+_HLL_P = 8  # 2^8 = 256 buckets
+_HLL_M = 1 << _HLL_P
+# h is a uniform 32-bit integer (md5 prefix), so w = h // m + 1
+# ranges over [1, 2^24] and the rank is 25 − bitlen(w) ∈ [1, 24].
+# The polynomial token_hash is NOT usable here: on short numeric
+# keys it never wraps P, so its high bits carry no entropy and the
+# rank distribution collapses (measured 8× overestimate).
+_HLL_WBITS = 24
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)  # Flajolet et al. 2007
+
+
+def _hll_sql() -> str:
+    key = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(string_split(substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8), ''), "
+        "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))), "
+        "(a, c) -> a * 16 + c)"
+    )
+    return f"""
+WITH h AS (SELECT {key} AS h FROM lineitem),
+b AS (SELECT h % {_HLL_M} AS bucket, h // {_HLL_M} + 1 AS w FROM h),
+m AS (SELECT bucket, CAST(max({_HLL_WBITS + 1} - length(bin(w))) AS BIGINT) AS mj
+      FROM b GROUP BY bucket),
+s AS (SELECT sum(pow(2.0, -mj)) AS sp, count(*) AS n_present FROM m),
+e AS (SELECT round(CAST({_HLL_ALPHA} AS DOUBLE) * {_HLL_M} * {_HLL_M}
+                   / (sp + ({_HLL_M} - n_present)), 4) AS hll_estimate
+      FROM s)
+SELECT (SELECT count(DISTINCT l_partkey) FROM lineitem) AS exact_distinct,
+       hll_estimate,
+       round(abs(hll_estimate - (SELECT count(DISTINCT l_partkey) FROM lineitem))
+             / (SELECT count(DISTINCT l_partkey) FROM lineitem), 4) AS rel_err
+FROM e
+"""
+
+
+@register("q_hll_portable", oracle=_hll_sql())
+def q_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog built from the engine-portable hash family — the
+    value-checkable twin of A7's rows-only approx_count_distinct
+    (whose Spark-internal HLL++ sketch cannot be reproduced
+    elsewhere). Hashes keys to a uniform 32-bit integer via an md5
+    prefix (both engines produce identical hex), buckets on the low
+    8 bits, ranks the remaining 24 via bin()-string length
+    (integer-exact in both engines), and
+    applies the raw HLL estimator; 2^-M sums are dyadic rationals, so
+    they are bit-identical regardless of aggregation order. Emits the
+    exact distinct count, the sketch estimate, and the relative error
+    (expected ~1.04/√256 ≈ 6.5%). Raw estimator only — production
+    adds the small-range linear-counting correction.
+
+    Scale shape: one partial-aggregable groupBy producing ≤ 256
+    (bucket, max-rank) cells per partition — like the CMS above, two
+    HLL sketches merge by cell-wise max, which is why this is the
+    distributed/streaming distinct-count structure."""
+    li = load(spark, sf_dir, "lineitem").select("l_partkey")
+    h = li.select(
+        F.conv(F.substring(F.md5(F.col("l_partkey").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h")
+    )
+    b = h.select(
+        (F.col("h") % _HLL_M).alias("bucket"),
+        (F.floor(F.col("h") / _HLL_M) + 1).alias("w"),
+    )
+    m = b.groupBy("bucket").agg(
+        F.max(F.lit(_HLL_WBITS + 1) - F.length(F.bin(F.col("w")))).alias("mj")
+    )
+    s = m.coalesce(1).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("mj"))).alias("sp"),
+        F.count("*").alias("n_present"),
+    )
+    est = s.select(
+        F.round(
+            F.lit(_HLL_ALPHA * _HLL_M * _HLL_M)
+            / (F.col("sp") + (F.lit(_HLL_M) - F.col("n_present"))),
+            4,
+        ).alias("hll_estimate")
+    )
+    exact = li.agg(F.countDistinct("l_partkey").alias("exact_distinct"))
+    return (
+        exact.crossJoin(F.broadcast(est))
+        .select(
+            "exact_distinct",
+            "hll_estimate",
+            F.round(
+                F.abs(F.col("hll_estimate") - F.col("exact_distinct"))
+                / F.col("exact_distinct"),
+                4,
+            ).alias("rel_err"),
+        )
+    )
