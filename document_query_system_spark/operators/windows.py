@@ -316,3 +316,50 @@ def q_ewma_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.col("value") * wt) / F.sum(wt), 6).alias("ewma"),
         )
     )
+
+
+@register(
+    "q_forward_fill",
+    oracle="""
+WITH g AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN event_id % 7 < 2 THEN NULL ELSE round(value, 6) END AS v
+  FROM events
+)
+SELECT event_id, user_id,
+       round(last_value(v IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING), 6) AS filled_value,
+       CAST(v IS NULL AS BOOLEAN) AS was_filled
+FROM g
+""",
+)
+def q_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill / last-observation-carried-forward: null readings
+    (a deterministic ~29% mask here, standing in for sensor dropout)
+    take the user's most recent non-null value in event-time order —
+    the standard time-series imputation pass. Rows before a user's
+    first reading legitimately stay null.
+
+    Shape: one user-keyed ordered window with `last(..., ignorenulls)`
+    over an unbounded-preceding frame — running-state semantics the
+    engine evaluates in a single pass per partition after one
+    user-keyed exchange; at scale this is the same shuffle the
+    surrounding per-user analytics already pay, and range-partitioned
+    event logs evaluate it scan-locally."""
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    v = F.when(F.col("event_id") % 7 < 2, F.lit(None)).otherwise(
+        F.round(F.col("value"), 6)
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    g = ev.withColumn("v", v)
+    return g.select(
+        "event_id",
+        "user_id",
+        F.round(F.last("v", ignorenulls=True).over(w), 6).alias("filled_value"),
+        F.col("v").isNull().alias("was_filled"),
+    )
