@@ -1007,3 +1007,130 @@ def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("v"), 2).alias("hi"),
         F.round(F.avg("v"), 4).alias("avg_v"),
     )
+
+
+@register(
+    "q_psi_drift",
+    oracle="""
+WITH ref AS (SELECT n_chars AS v FROM documents WHERE lang = 'en'),
+cand AS (SELECT n_chars AS v FROM documents WHERE lang <> 'en'),
+b AS (
+  SELECT list_transform(quantile_cont(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+                        x -> round(x, 4)) AS bs
+  FROM ref
+),
+rb AS (SELECT 1 + len(list_filter(b.bs, x -> v > x)) AS bin FROM ref CROSS JOIN b),
+cb AS (SELECT 1 + len(list_filter(b.bs, x -> v > x)) AS bin FROM cand CROSS JOIN b),
+bins AS (SELECT unnest(generate_series(1, 10)) AS bin),
+p AS (SELECT bins.bin AS bin,
+             (coalesce(r.n, 0) + 0.5) / ((SELECT count(*) FROM ref) + 5.0) AS p,
+             (coalesce(c.n, 0) + 0.5) / ((SELECT count(*) FROM cand) + 5.0) AS q
+      FROM bins
+      LEFT JOIN (SELECT bin, count(*) AS n FROM rb GROUP BY bin) r ON r.bin = bins.bin
+      LEFT JOIN (SELECT bin, count(*) AS n FROM cb GROUP BY bin) c ON c.bin = bins.bin)
+SELECT round(sum((q - p) * ln(q / p)), 6) AS psi FROM p
+""",
+)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index between the English and
+    non-English document-length distributions — the drift metric
+    feature stores alarm on (<0.1 stable, >0.25 drifted). Bins are
+    the REFERENCE deciles (standard practice); counts get +0.5
+    smoothing in both engines so empty bins cannot blow up the log.
+
+    Shape: one exact-percentile pass over the reference builds a
+    9-element boundary array (the q_quantile_bins pattern) broadcast
+    back over both scans; bin counting is scan-local and the PSI sum
+    runs on 10 rows. The 100 TB swap is percentile_approx for the
+    boundary pass."""
+    docs = load(spark, sf_dir, "documents").select("lang", "n_chars")
+    ref = docs.filter(F.col("lang") == "en").select(F.col("n_chars").alias("v"))
+    cand = docs.filter(F.col("lang") != "en").select(F.col("n_chars").alias("v"))
+    ps = ", ".join(str(p) for p in _BIN_PS)
+    b = ref.agg(
+        F.transform(
+            F.expr(f"percentile(v, array({ps}))"), lambda x: F.round(x, 4)
+        ).alias("bs")
+    ).localCheckpoint(eager=False)
+
+    def binned(df):
+        return df.crossJoin(F.broadcast(b)).select(
+            (1 + F.size(F.filter(F.col("bs"), lambda x: F.col("v") > x)))
+            .cast("int")
+            .alias("bin")
+        )
+
+    # Tiny intermediates (bin histograms, sample sizes) are
+    # checkpointed so the final 10-row statistic carries no
+    # corpus-sized subtrees (q_chi2_independence discipline).
+    rb = binned(ref).groupBy("bin").agg(F.count("*").alias("rn")).localCheckpoint(eager=False)
+    cb = binned(cand).groupBy("bin").agg(F.count("*").alias("cn")).localCheckpoint(eager=False)
+    nr = ref.count()
+    nc = cand.count()
+    bins = spark.range(1, 11).select(F.col("id").cast("int").alias("bin"))
+    p = (
+        bins.join(F.broadcast(rb), "bin", "left")
+        .join(F.broadcast(cb), "bin", "left")
+        .select(
+            ((F.coalesce(F.col("rn"), F.lit(0)) + 0.5) / F.lit(nr + 5.0)).alias("p"),
+            ((F.coalesce(F.col("cn"), F.lit(0)) + 0.5) / F.lit(nc + 5.0)).alias("q"),
+        )
+    )
+    return p.coalesce(1).agg(
+        F.round(F.sum((F.col("q") - F.col("p")) * F.log(F.col("q") / F.col("p"))), 6).alias("psi")
+    )
+
+
+@register(
+    "q_ks_drift",
+    oracle="""
+WITH a AS (SELECT n_chars AS v FROM documents WHERE lang = 'en'),
+bq AS (SELECT n_chars AS v FROM documents WHERE lang <> 'en'),
+u AS (SELECT v, 1 AS ia, 0 AS ib FROM a UNION ALL SELECT v, 0, 1 FROM bq),
+g AS (SELECT v, sum(ia) AS na, sum(ib) AS nb FROM u GROUP BY v),
+c AS (SELECT v,
+             sum(na) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+               / (SELECT count(*) FROM a)::DOUBLE AS fa,
+             sum(nb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+               / (SELECT count(*) FROM bq)::DOUBLE AS fb
+      FROM g)
+SELECT round(max(round(abs(fa - fb), 9)), 6) AS ks_d,
+       (SELECT count(*) FROM a) AS n_ref,
+       (SELECT count(*) FROM bq) AS n_cand
+FROM c
+""",
+)
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic (max CDF gap) between
+    the English and non-English document-length distributions — the
+    binning-free companion to q_psi_drift. CDFs cumulate over
+    DISTINCT values (per-value counts first), so ties cannot make the
+    running sums order-dependent across engines; the max runs over
+    round-9 gaps and rounds to 6.
+
+    Shape: one per-value count aggregate, then an ordered prefix-sum
+    window over the ~|distinct values| table and a scalar max. The
+    global window sorts values, not raw rows — at 100 TB the
+    distinct-value table is the small one (and a binned ECDF on the
+    q_quantile_bins boundaries is the sketch swap-in)."""
+    docs = load(spark, sf_dir, "documents").select("lang", "n_chars")
+    a = docs.filter(F.col("lang") == "en").select(F.col("n_chars").alias("v"))
+    b = docs.filter(F.col("lang") != "en").select(F.col("n_chars").alias("v"))
+    na = a.count()
+    nb = b.count()
+    u = a.select("v", F.lit(1).alias("ia"), F.lit(0).alias("ib")).unionAll(
+        b.select("v", F.lit(0).alias("ia"), F.lit(1).alias("ib"))
+    )
+    g = u.groupBy("v").agg(F.sum("ia").alias("cna"), F.sum("ib").alias("cnb"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    c = g.select(
+        (F.sum("cna").over(w) / F.lit(float(na))).alias("fa"),
+        (F.sum("cnb").over(w) / F.lit(float(nb))).alias("fb"),
+    )
+    return c.agg(
+        F.round(F.max(F.round(F.abs(F.col("fa") - F.col("fb")), 9)), 6).alias("ks_d"),
+        F.lit(na).cast("long").alias("n_ref"),
+        F.lit(nb).cast("long").alias("n_cand"),
+    )
