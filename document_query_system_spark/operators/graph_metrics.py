@@ -58,17 +58,19 @@ pernode AS (
     UNION ALL SELECT b FROM tri
     UNION ALL SELECT c FROM tri) GROUP BY node
 )
-SELECT node, tri_cnt FROM (
-  SELECT node, tri_cnt,
-         row_number() OVER (ORDER BY tri_cnt DESC, node) AS rn
-  FROM pernode)
+SELECT node, tri_cnt, clustering_coeff FROM (
+  SELECT p.node AS node, p.tri_cnt AS tri_cnt,
+         round(2.0 * p.tri_cnt / (deg.d * (deg.d - 1)), 6) AS clustering_coeff,
+         row_number() OVER (ORDER BY p.tri_cnt DESC, p.node) AS rn
+  FROM pernode p JOIN deg ON deg.node = p.node)
 WHERE rn <= {_TRI_TOPK}
 """
 
 
 @register("q_triangle_count", oracle=_TRIANGLE_SQL)
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-node triangle participation (top-20 by count, id
+    """Per-node triangle participation and local clustering
+    coefficient (2·tri / d·(d−1); top-20 by triangle count, id
     tiebreak) on the graph whose edges connect parts co-ordered in
     the same urgent order — degree-oriented wedge join, the
     MapReduce-classic triangle algorithm.
@@ -110,6 +112,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(edges.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count("*").alias("d"))
+        .localCheckpoint(eager=False)  # feeds orientation (×2) + coeff
     )
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
@@ -138,7 +141,12 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy(F.desc("tri_cnt"), F.asc("node"))
     return (
-        pernode.withColumn("rn", F.row_number().over(w))
+        pernode.join(deg, "node")
+        .withColumn(
+            "clustering_coeff",
+            F.round(2.0 * F.col("tri_cnt") / (F.col("d") * (F.col("d") - 1)), 6),
+        )
+        .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _TRI_TOPK)
-        .select("node", "tri_cnt")
+        .select("node", "tri_cnt", "clustering_coeff")
     )

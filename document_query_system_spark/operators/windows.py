@@ -363,3 +363,72 @@ def q_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.last("v", ignorenulls=True).over(w), 6).alias("filled_value"),
         F.col("v").isNull().alias("was_filled"),
     )
+
+
+_NEYMAN_BUDGET = 100
+
+
+@register(
+    "q_sample_neyman",
+    oracle=f"""
+WITH st AS (
+  SELECT lang, count(*) AS nh, round(stddev_samp(n_chars), 6) AS sh
+  FROM documents GROUP BY lang
+),
+tot AS (SELECT sum(nh * sh) AS t FROM st),
+alloc AS (
+  SELECT lang, nh, sh,
+         CAST(floor(round({_NEYMAN_BUDGET} * nh * sh / tot.t, 9)) AS BIGINT) AS n_take
+  FROM st CROSS JOIN tot
+),
+rk AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r
+  FROM documents
+)
+SELECT rk.doc_id AS doc_id, rk.lang AS lang, a.n_take AS n_take
+FROM rk JOIN alloc a ON a.lang = rk.lang
+WHERE rk.r <= a.n_take
+""",
+)
+def q_sample_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-allocation stratified sampling: a 100-row budget is
+    split across language strata ∝ N_h·σ_h (stratum size × stddev of
+    the target variable), the allocation that minimizes estimator
+    variance for a fixed budget — the statistically-correct upgrade
+    of proportional stratified sampling (q_sample_stratified). Rows
+    within a stratum are taken in md5 order (deterministic, like
+    q_sample_hash); floor allocation leaves ≤ |strata| unspent slots
+    by design. σ is rounded to 6 and the allocation ratio to 9
+    BEFORE flooring, so the per-stratum quota is engine-identical.
+
+    Shape: one per-stratum moment aggregate (tiny), the scalar total
+    cross-joined back, and one per-stratum ranking window over the
+    corpus — the same single user-keyed exchange every per-stratum
+    top-k here pays. Lives in this module, not sampling.py, so the
+    verified prefix slots stay fixed (q_sample_weighted precedent).
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    st = docs.groupBy("lang").agg(
+        F.count("*").alias("nh"),
+        F.round(F.stddev_samp("n_chars"), 6).alias("sh"),
+    ).localCheckpoint(eager=False)
+    tot = st.agg(F.sum(F.col("nh") * F.col("sh")).alias("t"))
+    alloc = st.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.floor(
+            F.round(F.lit(_NEYMAN_BUDGET) * F.col("nh") * F.col("sh") / F.col("t"), 9)
+        )
+        .cast("long")
+        .alias("n_take"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    rk = docs.select("doc_id", "lang", F.row_number().over(w).alias("r"))
+    return (
+        rk.join(F.broadcast(alloc), "lang")
+        .filter(F.col("r") <= F.col("n_take"))
+        .select("doc_id", "lang", "n_take")
+    )
