@@ -113,7 +113,15 @@ def _load_all() -> None:
     # q_join_interval_bucketed),
     # sinks (q_merge_into), scans (q_schema_evolution_read),
     # clustering (q_cluster_kmeans, q_dedup_semantic),
-    # sketches (q_heavy_hitters_cms),
+    # sketches (q_heavy_hitters_cms, q_hll_portable),
+    # graph_metrics (q_triangle_count),
+    # search (q_phrase_search, q_proximity_search),
+    # multimodal (q_scene_changes),
+    # analytics TAIL (q_mad_outliers, q_chi2_independence,
+    # q_quantile_bins, q_psi_drift, q_ks_drift — analytics is a
+    # prefix module but these registered at its tail, past the ~50
+    # boundary),
+    # windows (q_ewma_latest, q_forward_fill, q_sample_neyman),
     # event_windows (q_stream_static_join, q_stream_sliding), windows
     # (q_sample_weighted — lives there, not in sampling.py, exactly
     # so the r6 prefix slots stayed fixed), aggregates
