@@ -1134,3 +1134,46 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(na).cast("long").alias("n_ref"),
         F.lit(nb).cast("long").alias("n_cand"),
     )
+
+
+@register(
+    "q_benford_digits",
+    oracle="""
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT) AS VARCHAR), 1, 1)
+              AS INT) AS digit
+  FROM lineitem WHERE l_extendedprice >= 1
+),
+n AS (SELECT count(*) AS n FROM d)
+SELECT digit, count(*) AS observed,
+       round(count(*) / any_value(n.n)::DOUBLE, 6) AS obs_frac,
+       round(log10(1 + 1.0 / digit), 6) AS benford_frac
+FROM d CROSS JOIN n
+GROUP BY digit
+""",
+)
+def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit profile of the price column — the
+    fabricated-data forensic: natural multi-scale quantities follow
+    P(d) = log10(1+1/d); synthetic or tampered columns don't (TPC-H
+    prices are uniform-ish, so they visibly DON'T — which is the
+    point of printing observed next to expected). First digits come
+    from integer string formatting, not float log10, so there is no
+    power-of-ten boundary case to diverge on.
+
+    Shape: scan-local digit extraction, one 9-group hash aggregate,
+    and a broadcast scalar count — one pass, one tiny exchange."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_extendedprice") >= 1)
+    d = li.select(
+        F.substring(
+            F.floor(F.col("l_extendedprice")).cast("long").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    n = d.count()
+    return d.groupBy("digit").agg(
+        F.count("*").alias("observed"),
+        F.round(F.count("*") / F.lit(float(n)), 6).alias("obs_frac"),
+        F.round(F.log10(1 + 1.0 / F.col("digit")), 6).alias("benford_frac"),
+    )
