@@ -210,3 +210,37 @@ def test_scd2_single_shuffle(spark):
     partitioning."""
     rep = _plan(spark, "q_scd2_intervals")
     assert rep.n_shuffles == 1, rep
+
+
+def test_kmeans_assignment_is_shuffle_free(spark):
+    """q_cluster_kmeans constant-folds the collected centroids into
+    the plan, so the returned assignment+rollup moves ONE exchange
+    (the K-group aggregate) — the property that makes assignment a
+    pure map at 100 TB."""
+    rep = _plan(spark, "q_cluster_kmeans")
+    assert rep.n_shuffles <= 1, rep.n_shuffles
+
+
+def test_triangle_wedge_plan_is_truncated(spark):
+    """The reused edge/oriented-edge/triangle subtrees are
+    checkpointed: without truncation this plan measured ~184
+    exchanges; the executed tail is the corner rollup plus the
+    clustering-coefficient join against the (checkpointed, |V|-sized,
+    co-partitionable) degree table — two exchanges."""
+    rep = _plan(spark, "q_triangle_count")
+    assert rep.n_shuffles <= 2, rep.n_shuffles
+
+
+def test_sketch_builds_are_bounded(spark):
+    """CMS and portable-HLL sketch queries keep their post-checkpoint
+    plans within the vocabulary/cell-sized exchanges they advertise."""
+    assert _plan(spark, "q_heavy_hitters_cms").n_shuffles <= 2
+    assert _plan(spark, "q_hll_portable").n_shuffles <= 3
+
+
+def test_phrase_search_prunes_terms_before_joins(spark):
+    """Both posting intersections happen on term-pruned inputs; the
+    plan needs at most one exchange and no broadcast of the corpus
+    side (the per-term posting lists are the broadcast candidates)."""
+    rep = _plan(spark, "q_phrase_search")
+    assert rep.n_shuffles <= 1, rep.n_shuffles
