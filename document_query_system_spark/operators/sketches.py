@@ -32,6 +32,30 @@ _CMS_AB = [(1, 0), (31, 17), (131, 101), (1009, 907)]  # d=4 pairwise hashes
 _CMS_TOPK = 20
 
 
+def cms_cell_structs(h):
+    """Array of (row_i, cell) structs for one hash column — the d
+    CMS coordinates of a key. Shared with the streaming CMS
+    (streaming/event_windows.py), which appends per-batch partial
+    cells and merges by cell-wise sum."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row_i"),
+                (((h * a + b) % P) % _CMS_W).alias("cell"),
+            )
+            for i, (a, b) in enumerate(_CMS_AB)
+        ]
+    )
+
+
+def cms_cells_sql(h_expr: str, src: str) -> str:
+    """UNION ALL form of the same d coordinates for the DuckDB twin."""
+    return " UNION ALL ".join(
+        f"SELECT {i} AS row_i, (({h_expr}*{a}+{b}) % {P}) % {_CMS_W} AS cell FROM {src}"
+        for i, (a, b) in enumerate(_CMS_AB)
+    )
+
+
 def _cms_sql() -> str:
     cells = " UNION ALL ".join(
         f"SELECT {i} AS row_i, ((h*{a}+{b}) % {P}) % {_CMS_W} AS cell, cnt, term FROM th"

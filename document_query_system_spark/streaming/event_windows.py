@@ -728,3 +728,66 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(agg, spark)
+
+
+def _stream_cms_sql() -> str:
+    from ..functions.hashing import token_hash_sql
+    from ..operators.sketches import cms_cells_sql
+
+    h = token_hash_sql("CAST(user_id AS VARCHAR)")
+    return f"""
+WITH hh AS (SELECT {h} AS h FROM events),
+cells AS ({cms_cells_sql('h', 'hh')})
+SELECT row_i, cell, CAST(count(*) AS BIGINT) AS total
+FROM cells GROUP BY row_i, cell
+"""
+
+
+@register("q_stream_cms", oracle=_stream_cms_sql())
+def q_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 + sketches: a STREAMING count-min sketch of user-activity
+    frequencies. Each micro-batch computes its own d×w partial sketch
+    (≤64 cells) and foreachBatch-appends it; the final table state is
+    the cell-wise SUM of all partials. Because CMS merge is
+    associative addition, the result is value-identical to the batch
+    sketch over the same events however availableNow splits the
+    stream — which is exactly what the DuckDB oracle checks.
+
+    Scale shape: per batch only d·w cell rows are written, whatever
+    the batch size; the merge-on-read groupBy touches
+    n_batches · d·w rows. This is the streaming form of
+    q_heavy_hitters_cms's mergeability claim, demonstrated rather
+    than asserted."""
+    import uuid as _uuid
+
+    from ..functions.hashing import token_hash
+    from ..operators.sketches import cms_cell_structs
+    from ..sources.tmputil import tmp_path
+
+    path = tmp_path(f"stream_cms_{_uuid.uuid4().hex[:8]}")
+    ev = _read_event_stream(spark, sf_dir).select(
+        token_hash(F.col("user_id").cast("string")).alias("h")
+    )
+    cells = ev.select(F.explode(cms_cell_structs(F.col("h"))).alias("rc")).select(
+        F.col("rc.row_i").alias("row_i"), F.col("rc.cell").alias("cell")
+    )
+
+    def append_partial(batch_df: DataFrame, batch_id: int) -> None:
+        partial = batch_df.groupBy("row_i", "cell").agg(
+            F.count("*").alias("total")
+        )
+        partial.write.mode("append").parquet(path)
+
+    with _scoped_shuffle_partitions(spark, _STREAM_SHUFFLE_PARTITIONS):
+        q = (
+            cells.writeStream.foreachBatch(append_partial)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{path}_ckpt")
+            .start()
+        )
+        _drain(q)
+    return (
+        spark.read.parquet(path)
+        .groupBy("row_i", "cell")
+        .agg(F.sum("total").cast("long").alias("total"))
+    )
