@@ -1177,3 +1177,60 @@ def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.count("*") / F.lit(float(n)), 6).alias("obs_frac"),
         F.round(F.log10(1 + 1.0 / F.col("digit")), 6).alias("benford_frac"),
     )
+
+
+@register(
+    "q_rfm_segments",
+    oracle="""
+WITH rfm AS (
+  SELECT user_id, max(ts) AS last_ts, count(*) AS freq,
+         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY user_id
+),
+scored AS (
+  SELECT user_id, cents,
+         ntile(5) OVER (ORDER BY last_ts DESC, user_id) AS r,
+         ntile(5) OVER (ORDER BY freq DESC, user_id) AS f,
+         ntile(5) OVER (ORDER BY cents DESC, user_id) AS m
+  FROM rfm
+)
+SELECT r, f, m, count(*) AS n_users,
+       round(CAST(sum(cents) AS BIGINT) / count(*) / 100.0, 2) AS avg_monetary
+FROM scored GROUP BY r, f, m
+""",
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic entity-scoring rollup: per user
+    recency (last event), frequency (event count), monetary (value
+    sum), each quintiled with a user_id tiebreak so ntile is
+    deterministic, then users counted per (R,F,M) cell.
+
+    Shape: ONE corpus-sized aggregate (per-user triple, partial-
+    aggregable); the three ntiles run over the |users| table — the
+    small side — in a single-partition window acceptable precisely
+    because it is users, not events (at larger |users|, swap ntile
+    for the percentile-boundary binning of q_quantile_bins, which
+    needs no global sort). Monetary is summed in integer CENTS — an
+    order-independent exact sum — so both the quintile sort key and
+    the per-cell average are derived from identical integer operands
+    in both engines (a float sum hit a half-cent rounding boundary at
+    sf0.1)."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "value")
+    rfm = ev.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count("*").alias("freq"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"),
+    )
+    scored = rfm.select(
+        "user_id",
+        "cents",
+        F.ntile(5).over(Window.orderBy(F.desc("last_ts"), "user_id")).alias("r"),
+        F.ntile(5).over(Window.orderBy(F.desc("freq"), "user_id")).alias("f"),
+        F.ntile(5).over(Window.orderBy(F.desc("cents"), "user_id")).alias("m"),
+    )
+    return scored.groupBy("r", "f", "m").agg(
+        F.count("*").alias("n_users"),
+        F.round(F.sum("cents") / F.count("*") / 100.0, 2).alias("avg_monetary"),
+    )

@@ -585,3 +585,52 @@ def q_join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .dropDuplicates()
     )
+
+
+@register(
+    "q_join_null_safe",
+    oracle="""
+WITH a AS (
+  SELECT event_id,
+         CASE WHEN event_id % 97 = 0 THEN NULL ELSE event_type END AS key
+  FROM events WHERE user_id % 2 = 0
+),
+b AS (
+  SELECT event_id,
+         CASE WHEN event_id % 97 = 0 THEN NULL ELSE event_type END AS key
+  FROM events WHERE user_id % 2 = 1
+)
+SELECT (SELECT count(*) FROM a JOIN b ON a.key = b.key) AS n_eq,
+       (SELECT count(*) FROM a JOIN b ON a.key IS NOT DISTINCT FROM b.key)
+         AS n_null_safe
+""",
+)
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe join semantics (Spark `<=>` / SQL IS NOT DISTINCT
+    FROM) pinned against plain equality on a ~1%-null key: equality
+    silently drops null keys, the null-safe form pairs them — the
+    semantic corner that corrupts fact-dimension joins with optional
+    keys when chosen wrong. Emits both match counts so the delta is
+    visible.
+
+    Shape: two hash joins on the same derived sides; the null-safe
+    condition still hash-partitions (null hashes to a single key —
+    which is WHY production caps or salts the null bucket, the same
+    hot-key discipline as q_skew_salted_join)."""
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    key = F.when(F.col("event_id") % 97 == 0, F.lit(None)).otherwise(
+        F.col("event_type")
+    )
+    a = ev.filter(F.col("user_id") % 2 == 0).select(
+        F.col("event_id").alias("a_id"), key.alias("ka")
+    )
+    b = ev.filter(F.col("user_id") % 2 == 1).select(
+        F.col("event_id").alias("b_id"), key.alias("kb")
+    )
+    n_eq = a.join(b, F.col("ka") == F.col("kb")).agg(
+        F.count("*").alias("n_eq")
+    )
+    n_ns = a.join(b, F.col("ka").eqNullSafe(F.col("kb"))).agg(
+        F.count("*").alias("n_null_safe")
+    )
+    return n_eq.crossJoin(F.broadcast(n_ns))
