@@ -53,6 +53,7 @@ HEAVY = [
     "q_phrase_search",
     "q_proximity_search",
     "q_scene_changes",
+    "q_corpus_refresh",
 ]
 
 
