@@ -222,7 +222,10 @@ w AS (
   FROM tf t JOIN dfq d USING (term) CROSS JOIN stats s
 ),
 norm AS (
-  SELECT doc_id, round(sqrt(sum(round(w * w, 6))), 6) AS dnorm
+  -- exact integer micro-unit sum: order-independent across engines
+  SELECT doc_id,
+         round(sqrt(sum(CAST(round(w * w * 1000000, 0) AS BIGINT)) / 1000000.0), 6)
+           AS dnorm
   FROM w GROUP BY doc_id
 ),
 qt AS (
@@ -237,12 +240,15 @@ qw AS (
   FROM qt q JOIN dfq d USING (term) CROSS JOIN stats s
 ),
 qnorm AS (
-  SELECT question_id, round(sqrt(sum(round(wq * wq, 6))), 6) AS qn
+  SELECT question_id,
+         round(sqrt(sum(CAST(round(wq * wq * 1000000, 0) AS BIGINT)) / 1000000.0), 6)
+           AS qn
   FROM qw GROUP BY question_id
 ),
 scored AS (
   SELECT qw.question_id, w.doc_id,
-         round(sum(round(w.w * qw.wq, 6)), 4) AS num
+         round(sum(CAST(round(w.w * qw.wq * 1000000, 0) AS BIGINT)) / 1000000.0, 4)
+           AS num
   FROM w JOIN qw USING (term)
   GROUP BY qw.question_id, w.doc_id
 ),
@@ -299,10 +305,18 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
         ).alias("w"),
     )
+    # Exact integer micro-unit sums: a float sum of round-6 terms is
+    # partition-order-dependent, and a sum landing within an ulp of a
+    # rounding boundary flipped the round-4 cosine between runs (the
+    # q_rfm_segments half-cent class; seen as a suite-order flake).
     norm = w.groupBy("doc_id").agg(
-        F.round(F.sqrt(F.sum(F.round(F.col("w") * F.col("w"), 6))), 6).alias(
-            "dnorm"
-        )
+        F.round(
+            F.sqrt(
+                F.sum(F.round(F.col("w") * F.col("w") * 1e6, 0).cast("long"))
+                / F.lit(1e6)
+            ),
+            6,
+        ).alias("dnorm")
     )
     # The stored index row: (doc, term, w, dnorm) — dnorm rides as a
     # column (NOT pre-divided into w) so the probe's rounding
@@ -327,9 +341,13 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qnorm = F.broadcast(
         qw.groupBy("question_id").agg(
-            F.round(F.sqrt(F.sum(F.round(F.col("wq") * F.col("wq"), 6))), 6).alias(
-                "qn"
-            )
+            F.round(
+                F.sqrt(
+                    F.sum(F.round(F.col("wq") * F.col("wq") * 1e6, 0).cast("long"))
+                    / F.lit(1e6)
+                ),
+                6,
+            ).alias("qn")
         )
     )
     scored = (
@@ -337,7 +355,11 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition("question_id")
         .groupBy("question_id", "doc_id")
         .agg(
-            F.round(F.sum(F.round(F.col("w") * F.col("wq"), 6)), 4).alias("num"),
+            F.round(
+                F.sum(F.round(F.col("w") * F.col("wq") * 1e6, 0).cast("long"))
+                / F.lit(1e6),
+                4,
+            ).alias("num"),
             F.first("dnorm").alias("dnorm"),
         )
     )
