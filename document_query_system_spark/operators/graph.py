@@ -28,17 +28,24 @@ _PR_TOPK = 20
 def _pagerank_sql() -> str:
     """Unrolled-iteration oracle: r_{k+1}(v) = 0.15 + 0.85·Σ r_k(u)/deg(u)
     in mean-1 normalization (ranks average ~1.0, so 6-decimal rounding
-    keeps real precision; contributions round to 9 before the sum per
-    registry float conventions). Dangling mass (supplier nodes have no
-    out-edges) is dropped, not redistributed — the 'leaky' variant,
-    identical in both engines."""
+    keeps real precision). Contributions are summed as integer
+    NANO-units (round(r/deg·1e9) as BIGINT) — a float sum of rounded
+    terms is partition-order-dependent at the rounding boundary (the
+    q_tfidf_topk flake class); the integer sum is exact and
+    order-free in both engines (≈1e10 per contribution, exact in
+    BIGINT/double up to ~1e5 in-edges per node at this rank scale;
+    swap to 1e6 micro-units past that). Dangling mass (supplier
+    nodes have no out-edges) is dropped, not redistributed — the
+    'leaky' variant, identical in both engines."""
     iters = []
     prev = "r0"
     for k in range(1, _PR_ITERS + 1):
         iters.append(
             f"""r{k} AS (
   SELECT n.node,
-         round({1 - _PR_DAMP} + {_PR_DAMP} * coalesce(sum(round({prev}.r / d.outdeg, 9)), 0), 6) AS r
+         round({1 - _PR_DAMP} + {_PR_DAMP}
+               * (coalesce(sum(CAST(round({prev}.r / d.outdeg * 1000000000, 0) AS BIGINT)), 0)
+                  / 1000000000.0), 6) AS r
   FROM nodes n
   LEFT JOIN edges e ON e.dst = n.node
   LEFT JOIN deg d ON d.src = e.src
@@ -108,7 +115,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             r.withColumnRenamed("node", "src"), "src"
         ).select(
             F.col("dst").alias("node"),
-            F.round(F.col("r") / F.col("outdeg"), 9).alias("c"),
+            F.round(F.col("r") / F.col("outdeg") * 1e9, 0).cast("long").alias("c"),
         )
         r = (
             nodes.join(contrib, "node", "left")
@@ -116,7 +123,8 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(
                 F.round(
                     F.lit(1 - _PR_DAMP)
-                    + F.lit(_PR_DAMP) * F.coalesce(F.sum("c"), F.lit(0.0)),
+                    + F.lit(_PR_DAMP)
+                    * (F.coalesce(F.sum("c"), F.lit(0)) / F.lit(1e9)),
                     6,
                 ).alias("r")
             )
