@@ -1,0 +1,137 @@
+"""Behavioral analytics: marketing attribution and cohort retention —
+the two event-log rollups every product-analytics stack ships
+(Amplitude/Mixpanel shapes), expressed as single-window plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.tables import load
+
+_ATTR_WINDOW_US = 7 * 24 * 3600 * 1_000_000  # 7-day lookback
+
+
+@register(
+    "q_attribution_last_touch",
+    oracle=f"""
+WITH ce AS (
+  SELECT user_id, ts, event_id, event_type FROM events
+  WHERE event_type IN ('click', 'purchase')
+),
+carried AS (
+  SELECT user_id, ts, event_id, event_type,
+         last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+           OVER w AS last_click_id,
+         last_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END IGNORE NULLS)
+           OVER w AS last_click_us
+  FROM ce
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id AS purchase_id, user_id,
+       CASE WHEN last_click_us IS NOT NULL
+                 AND epoch_us(ts) - last_click_us <= {_ATTR_WINDOW_US}
+            THEN last_click_id END AS attributed_click_id,
+       CASE WHEN last_click_us IS NOT NULL
+                 AND epoch_us(ts) - last_click_us <= {_ATTR_WINDOW_US}
+            THEN epoch_us(ts) - last_click_us END AS gap_us
+FROM carried WHERE event_type = 'purchase'
+""",
+)
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the user's most
+    recent click within a 7-day lookback (NULL if none) — the
+    conversion-credit join ad analytics runs constantly. Expressed
+    with the forward-fill machinery (q_forward_fill): one user-keyed
+    ordered window carries the last click id/timestamp forward with a
+    1-PRECEDING frame end (a click at the same instant as the
+    purchase does not credit itself), so there is NO as-of join —
+    clicks and purchases ride the same partition.
+
+    Shape: one filter (two event types), one user-keyed window, one
+    final filter. Single exchange; per-task window state is one
+    (id, ts) pair."""
+    ce = (
+        load(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .filter(F.col("event_type").isin("click", "purchase"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    click_id = F.when(F.col("event_type") == "click", F.col("event_id"))
+    click_us = F.when(F.col("event_type") == "click", F.unix_micros("ts"))
+    carried = ce.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.last(click_id, ignorenulls=True).over(w).alias("last_click_id"),
+        F.last(click_us, ignorenulls=True).over(w).alias("last_click_us"),
+    )
+    in_window = F.col("last_click_us").isNotNull() & (
+        F.unix_micros("ts") - F.col("last_click_us") <= _ATTR_WINDOW_US
+    )
+    return carried.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.when(in_window, F.col("last_click_id")).alias("attributed_click_id"),
+        F.when(in_window, F.unix_micros("ts") - F.col("last_click_us")).alias(
+            "gap_us"
+        ),
+    )
+
+
+@register(
+    "q_cohort_retention",
+    oracle="""
+WITH firstday AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_date FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_date,
+         CAST((CAST(e.ts AS DATE) - f.cohort_date) // 7 AS BIGINT) AS week_offset
+  FROM events e JOIN firstday f ON f.user_id = e.user_id
+)
+SELECT cohort_date, week_offset, count(*) AS n_users
+FROM activity GROUP BY cohort_date, week_offset
+""",
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen date,
+    counted once per 7-day offset bucket they return in — the
+    retention triangle every growth dashboard renders. Offsets are
+    integer day-arithmetic buckets from each user's own cohort start
+    (NOT calendar-week truncation, whose week-start convention
+    varies across engines).
+
+    Shape: a per-user min (partial-aggregable), a user-keyed join
+    that rides the same partitioning, a distinct on (user, offset)
+    — user-keyed again — and the final small rollup. At 100 TB
+    everything keys on user_id until the last |cohorts|×|offsets|
+    aggregate."""
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    firstday = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("cohort_date")
+    )
+    activity = (
+        ev.join(firstday, "user_id")
+        .select(
+            "user_id",
+            "cohort_date",
+            F.floor(
+                F.datediff(F.col("ts").cast("date"), F.col("cohort_date")) / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_date", "week_offset").agg(
+        F.count("*").alias("n_users")
+    )

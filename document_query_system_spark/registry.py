@@ -156,6 +156,7 @@ def _load_all() -> None:
     from .operators import sketches  # noqa: F401
     from .operators import graph_metrics  # noqa: F401
     from .operators import recipes  # noqa: F401
+    from .operators import behavior  # noqa: F401
     from .functions import vector  # noqa: F401
     from .operators import textpipe  # noqa: F401
     from .sources import scans  # noqa: F401
