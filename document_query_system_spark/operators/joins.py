@@ -592,12 +592,12 @@ def q_join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH a AS (
   SELECT event_id,
-         CASE WHEN event_id % 97 = 0 THEN NULL ELSE event_type END AS key
+         CASE WHEN event_id % 97 = 0 THEN NULL ELSE user_id // 2 END AS key
   FROM events WHERE user_id % 2 = 0
 ),
 b AS (
   SELECT event_id,
-         CASE WHEN event_id % 97 = 0 THEN NULL ELSE event_type END AS key
+         CASE WHEN event_id % 97 = 0 THEN NULL ELSE user_id // 2 END AS key
   FROM events WHERE user_id % 2 = 1
 )
 SELECT (SELECT count(*) FROM a JOIN b ON a.key = b.key) AS n_eq,
@@ -617,9 +617,14 @@ def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     condition still hash-partitions (null hashes to a single key —
     which is WHY production caps or salts the null bucket, the same
     hot-key discipline as q_skew_salted_join)."""
-    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id")
+    # Key = paired user ids (even user 2k ↔ odd user 2k+1), ~1% nulled:
+    # high-cardinality on purpose — a low-cardinality key (first cut
+    # used event_type, 5 values) makes the equality join itself
+    # quadratic (~500M pairs at sf0.1, 29 s) before null semantics
+    # even matter.
     key = F.when(F.col("event_id") % 97 == 0, F.lit(None)).otherwise(
-        F.col("event_type")
+        F.floor(F.col("user_id") / 2).cast("long")
     )
     a = ev.filter(F.col("user_id") % 2 == 0).select(
         F.col("event_id").alias("a_id"), key.alias("ka")
