@@ -122,6 +122,10 @@ def _load_all() -> None:
     # prefix module but these registered at its tail, past the ~50
     # boundary),
     # windows (q_ewma_latest, q_forward_fill, q_sample_neyman),
+    # recipes (q_corpus_refresh), behavior (q_attribution_last_touch,
+    # q_cohort_retention), event_windows TAIL (q_stream_cms),
+    # analytics TAIL also q_benford_digits + q_rfm_segments, joins
+    # TAIL (q_join_null_safe),
     # event_windows (q_stream_static_join, q_stream_sliding), windows
     # (q_sample_weighted — lives there, not in sampling.py, exactly
     # so the r6 prefix slots stayed fixed), aggregates
