@@ -98,7 +98,8 @@ def q_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT l_suppkey, l_orderkey, l_linenumber,
        round(sum(l_quantity) OVER (PARTITION BY l_suppkey
-                                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                                   ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                                            l_quantity, l_extendedprice
                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
              2) AS running_qty
 FROM lineitem
@@ -107,10 +108,21 @@ FROM lineitem
 def q_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W5: running sum with an explicit ROWS frame — the frame-spec
     analog of the reference's overlapping windows
-    (ref: document_processing_service.py:676-678)."""
+    (ref: document_processing_service.py:676-678). The ORDER BY ends
+    in the value columns: the sf0.1 generator emits a duplicate
+    (suppkey, shipdate, orderkey, linenumber) pair, and a ROWS frame
+    over a tied order is engine-ambiguous — extending the key to
+    (quantity, extendedprice) totalizes the order (rows identical in
+    ALL key columns are swap-invariant for the output multiset)."""
     w = (
         Window.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy(
+            "l_shipdate",
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_extendedprice",
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return load(spark, sf_dir, "lineitem").select(
