@@ -90,3 +90,47 @@ def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("s_nationkey").alias("nationkey"))
     )
     return c.subtract(s)
+
+
+@register(
+    "q_intersect_all",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT ALL
+SELECT s_nationkey AS nationkey FROM supplier
+""",
+)
+def q_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (multiset semantics): each nation key survives
+    min(customer-count, supplier-count) times — the bag-algebra twin
+    of q_intersect, implemented by the engine as a count-compare
+    aggregate, not a quadratic join."""
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.intersectAll(s)
+
+
+@register(
+    "q_except_all",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+EXCEPT ALL
+SELECT s_nationkey AS nationkey FROM supplier
+""",
+)
+def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (multiset semantics): each nation key survives
+    max(customer-count − supplier-count, 0) times — bag difference,
+    the form dedup accounting actually needs (how many EXTRA copies
+    exist), vs q_except's set difference."""
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.exceptAll(s)
