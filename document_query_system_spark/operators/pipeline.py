@@ -306,7 +306,10 @@ contrib AS (
   JOIN qt q USING (term) JOIN dfq d USING (term) CROSS JOIN stats s
 ),
 scored AS (
-  SELECT question_id, doc_id, round(sum(w), 4) AS bm25
+  -- integer micro-unit sum: order-independent (the float sum of
+  -- round-6 terms flipped the round-4 score at a boundary, sf0.001)
+  SELECT question_id, doc_id,
+         round(sum(CAST(round(w * 1000000, 0) AS BIGINT)) / 1000000.0, 4) AS bm25
   FROM contrib GROUP BY question_id, doc_id
 )
 SELECT question_id, doc_id, bm25
@@ -397,7 +400,11 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         contrib.repartition("question_id")
         .groupBy("question_id", "doc_id")
-        .agg(F.round(F.sum("w"), 4).alias("bm25"))
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("w") * 1e6, 0).cast("long")) / F.lit(1e6), 4
+            ).alias("bm25")
+        )
     )
     w_rank = Window.partitionBy("question_id").orderBy(
         F.desc("bm25"), F.asc("doc_id")

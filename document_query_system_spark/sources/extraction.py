@@ -286,10 +286,21 @@ def _parse_pdf_minimal(payload: bytes) -> str:
     import zlib
 
     texts: list[str] = []
-    for m in re.finditer(
-        rb"<<(.*?)>>\s*stream\r?\n(.*?)\r?\nendstream", payload, re.DOTALL
-    ):
-        head, data = m.group(1), m.group(2)
+    for m in re.finditer(rb"<<(.*?)>>\s*stream\r?\n", payload, re.DOTALL):
+        head = m.group(1)
+        # Per spec the stream dict carries /Length — slice EXACTLY that
+        # many bytes. The old form regex-scanned to "\r?\nendstream",
+        # and compressed data whose last byte happens to be 0x0d lost
+        # it to the optional \r (a ~1/256-per-doc corruption, hit by
+        # doc 38 at sf0.001: truncated Flate stream → empty text).
+        lens = re.findall(rb"/Length\s+(\d+)", head)
+        if lens:
+            data = payload[m.end() : m.end() + int(lens[-1])]
+        else:
+            tail = re.match(rb"(.*?)\r?\nendstream", payload[m.end() :], re.DOTALL)
+            if not tail:
+                continue
+            data = tail.group(1)
         if b"FlateDecode" in head:
             try:
                 data = zlib.decompress(data)
