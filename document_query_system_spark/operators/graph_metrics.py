@@ -150,3 +150,106 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _TRI_TOPK)
         .select("node", "tri_cnt", "clustering_coeff")
     )
+
+
+_LP_ROUNDS = 2
+_LP_TOPK = 20
+
+
+def _lp_sql() -> str:
+    def rnd(prev: str, k: int) -> str:
+        return f"""
+votes{k} AS (
+  SELECT e.dst AS node, p.lbl AS lbl, count(*) AS n
+  FROM bi e JOIN {prev} p ON p.node = e.src
+  GROUP BY e.dst, p.lbl
+),
+l{k} AS (
+  SELECT node, lbl FROM (
+    SELECT node, lbl,
+           row_number() OVER (PARTITION BY node ORDER BY n DESC, lbl) AS rn
+    FROM votes{k})
+  WHERE rn = 1
+)"""
+
+    chain = ",".join(rnd(f"l{k-1}", k) for k in range(1, _LP_ROUNDS + 1))
+    return f"""
+WITH li AS (
+  SELECT l.l_orderkey AS ok, l.l_partkey AS pk
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderpriority = '{_TRI_PRIORITY}'
+),
+edges AS (
+  SELECT DISTINCT a.pk AS u, b.pk AS v
+  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+),
+bi AS (SELECT u AS src, v AS dst FROM edges UNION ALL SELECT v, u FROM edges),
+l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM bi),
+{chain}
+SELECT lbl AS community, count(*) AS size
+FROM l{_LP_ROUNDS} GROUP BY lbl
+ORDER BY size DESC, community LIMIT {_LP_TOPK}
+"""
+
+
+@register("q_communities_lp", oracle=_lp_sql())
+def q_communities_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection via SYNCHRONOUS label propagation
+    (Raghavan et al. 2007), 2 unrolled rounds with a deterministic
+    vote rule — each node takes the most frequent neighbor label,
+    ties to the smallest label — so the result is engine- and
+    partitioning-identical (async LPA's order-dependence is exactly
+    what this variant removes). Top-20 communities by size. Completes
+    the graph family: connectivity (components), centrality
+    (PageRank), cohesion (triangles), and now mesoscale structure.
+
+    Plan: per round, one edge⋈label equi-join, one (node, label)
+    vote count (partial-aggregable), one per-node argmax window over
+    vote rows (fan-in bounded by distinct neighbor labels).
+    Iterations are a fixed budget like q_pagerank; label tables are
+    lazily checkpointed so rounds don't re-derive each other."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .join(
+            load(spark, sf_dir, "orders")
+            .filter(F.col("o_orderpriority") == _TRI_PRIORITY)
+            .select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+    )
+    a = li.select(F.col("ok"), F.col("pk").alias("u"))
+    b = li.select(F.col("ok"), F.col("pk").alias("v"))
+    edges = (
+        a.join(b, "ok").filter(F.col("u") < F.col("v")).select("u", "v").distinct()
+    )
+    bi = (
+        edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .localCheckpoint(eager=False)
+    )
+    lbl = bi.select(F.col("src").alias("node")).distinct().withColumn(
+        "lbl", F.col("node")
+    ).localCheckpoint(eager=False)
+    for _ in range(_LP_ROUNDS):
+        votes = (
+            bi.join(lbl.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"), "lbl")
+            .agg(F.count("*").alias("n"))
+        )
+        w = Window.partitionBy("node").orderBy(F.desc("n"), F.asc("lbl"))
+        lbl = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "lbl")
+            .localCheckpoint(eager=False)
+        )
+    wtop = Window.orderBy(F.desc("size"), F.asc("community"))
+    return (
+        lbl.groupBy(F.col("lbl").alias("community"))
+        .agg(F.count("*").alias("size"))
+        .withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") <= _LP_TOPK)
+        .select("community", "size")
+    )
