@@ -135,3 +135,41 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy("cohort_date", "week_offset").agg(
         F.count("*").alias("n_users")
     )
+
+
+@register(
+    "q_hourly_seasonality",
+    oracle="""
+WITH h AS (
+  SELECT event_type, CAST(hour(ts) AS INT) AS hour_of_day, count(*) AS n
+  FROM events GROUP BY event_type, hour(ts)
+),
+tot AS (SELECT event_type, sum(n) AS t FROM h GROUP BY event_type)
+SELECT h.event_type AS event_type, h.hour_of_day, h.n AS n,
+       round(h.n / tot.t::DOUBLE, 6) AS share
+FROM h JOIN tot ON tot.event_type = h.event_type
+""",
+)
+def q_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day activity profile per event type — the seasonality
+    baseline anomaly monitors normalize against (an alert threshold
+    that ignores the 3 a.m. trough pages people for nothing). Hours
+    are UTC by the session-timezone pin (registry.py), so both
+    engines bucket identically.
+
+    Shape: one (type, hour) hash aggregate — at most |types|·24
+    groups regardless of corpus size — and a broadcast of per-type
+    totals back over it. Everything after the first partial agg is
+    constant-cardinality."""
+    ev = load(spark, sf_dir, "events").select("event_type", "ts")
+    h = ev.groupBy(
+        "event_type", F.hour("ts").cast("int").alias("hour_of_day")
+    ).agg(F.count("*").alias("n"))
+    h = h.localCheckpoint(eager=False)  # feeds totals + the share join
+    tot = h.groupBy("event_type").agg(F.sum("n").alias("t"))
+    return h.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "hour_of_day",
+        "n",
+        F.round(F.col("n") / F.col("t"), 6).alias("share"),
+    )
