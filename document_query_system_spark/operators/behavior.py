@@ -173,3 +173,55 @@ def q_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") / F.col("t"), 6).alias("share"),
     )
+
+
+_GAP_TYPE, _GAP_THR = "error", 250.0
+
+
+@register(
+    "q_gapfill_daily",
+    oracle=f"""
+WITH bounds AS (SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi
+                FROM events),
+spine AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+          FROM bounds),
+daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n FROM events
+          WHERE event_type = '{_GAP_TYPE}' AND value > {_GAP_THR}
+          GROUP BY CAST(ts AS DATE))
+SELECT s.day AS day, coalesce(d.n, 0) AS n_events, d.n IS NULL AS is_gap
+FROM spine s LEFT JOIN daily d ON d.day = s.day
+""",
+)
+def q_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-spine gap filling: a generated calendar spine (min..max
+    event date) left-joined to daily counts of a sparse event slice
+    (high-value errors), zero-filled with the gap flagged — the step
+    every time-series rollup needs before charting or
+    window-averaging, because a groupBy alone silently omits empty
+    days and downstream moving averages skip them.
+
+    Shape: the spine comes from one sequence() over a 1-row bounds
+    aggregate (|days| rows — tiny at any corpus size); the daily
+    counts are a scan-filtered partial aggregate; the join is
+    broadcast. Full-corpus cost is the filtered scan, nothing else
+    scales with data."""
+    ev = load(spark, sf_dir, "events").select("event_type", "value", "ts")
+    bounds = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("lo"),
+        F.max(F.col("ts").cast("date")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 DAY"))
+        ).alias("day")
+    )
+    daily = (
+        ev.filter((F.col("event_type") == _GAP_TYPE) & (F.col("value") > _GAP_THR))
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").alias("n"))
+    )
+    return spine.join(F.broadcast(daily), "day", "left").select(
+        "day",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+        F.col("n").isNull().alias("is_gap"),
+    )
