@@ -249,3 +249,90 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("b_id").alias("dropped_id"), F.col("cid").alias("cluster_id"))
         .agg(F.max("cos").alias("best_cos"))
     )
+
+
+_CONT_TAU = 0.8
+
+
+def _containment_sql() -> str:
+    from ..functions.hashing import tokens_sql
+
+    return f"""
+WITH tk AS (SELECT doc_id, {tokens_sql('text')} AS ts FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, ts[i] || '|' || ts[i+1] || '|' || ts[i+2] AS g
+  FROM tk, LATERAL (SELECT unnest(generate_series(1, len(tk.ts)-2)) AS i) d
+),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+ix AS (SELECT a.doc_id AS contained_id, b.doc_id AS container_id, count(*) AS inter
+       FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id <> b.doc_id
+       GROUP BY a.doc_id, b.doc_id)
+SELECT ix.contained_id, ix.container_id,
+       round(ix.inter / sa.n::DOUBLE, 6) AS containment
+FROM ix JOIN sz sa ON sa.doc_id = ix.contained_id
+WHERE round(ix.inter / sa.n::DOUBLE, 6) >= {_CONT_TAU}
+"""
+
+
+@register("q_dedup_containment", oracle=_containment_sql())
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric CONTAINMENT dedup (Broder's other resemblance
+    measure): |S(A)∩S(B)| / |S(A)| over distinct 3-token shingles —
+    flags documents substantially INCLUDED in another (quotes,
+    excerpts, page-of-a-larger-doc), which symmetric Jaccard
+    under-scores whenever the container is much larger. Emits
+    (contained_id, container_id, containment ≥ 0.8), thresholded on
+    the rounded value so the boundary decision is engine-identical.
+
+    Plan: the same inverted-index shape as q_dedup_ngram_jaccard
+    (dedup.py) — candidates come from a shingle posting-list
+    equi-join, never an all-pairs comparison; per-doc shingle-set
+    sizes join back broadcast-style. The document-frequency cap from
+    the Jaccard variant applies unchanged at scale. Registered here
+    (not dedup.py) so the driver-prefix slots stay fixed — the
+    q_sample_weighted precedent."""
+    from ..functions.hashing import tokens
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    tk = docs.select("doc_id", tokens(F.col("text")).alias("ts"))
+    n = F.size("ts")
+    sh = (
+        tk.filter(n >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n - 3),
+                    lambda i: F.concat_ws(
+                        "|",
+                        F.element_at(F.col("ts"), i + 1),
+                        F.element_at(F.col("ts"), i + 2),
+                        F.element_at(F.col("ts"), i + 3),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds sizes + the posting join
+    )
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("contained_id"), "g")
+    b = sh.select(F.col("doc_id").alias("container_id"), "g")
+    ix = (
+        a.join(b, "g")
+        .filter(F.col("contained_id") != F.col("container_id"))
+        .groupBy("contained_id", "container_id")
+        .agg(F.count("*").alias("inter"))
+    )
+    cont = F.round(
+        F.col("inter") / F.col("n").cast("double"), 6
+    )
+    return (
+        ix.join(
+            F.broadcast(sz.withColumnRenamed("doc_id", "contained_id")),
+            "contained_id",
+        )
+        .withColumn("containment", cont)
+        .filter(F.col("containment") >= _CONT_TAU)
+        .select("contained_id", "container_id", "containment")
+    )
