@@ -242,8 +242,10 @@ WITH firsts AS (
 )
 SELECT CAST(d.day AS TIMESTAMP) AS day, d.dau,
        coalesce(n.new_users, 0) AS new_users,
-       sum(coalesce(n.new_users, 0))
-         OVER (ORDER BY d.day ROWS UNBOUNDED PRECEDING) AS cum_users
+       -- CAST: window sum() is HUGEINT in DuckDB → pandas float64 in
+       -- the driver hash vs Spark int64 (r6 verdict bug class).
+       CAST(sum(coalesce(n.new_users, 0))
+         OVER (ORDER BY d.day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
 FROM daily d LEFT JOIN news n ON d.day = n.day
 """,
 )

@@ -252,6 +252,18 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CONT_TAU = 0.8
+# Document-frequency cap — the posting-list scale knob (same
+# discipline as dedup.NGRAM_DF_CAP): a shingle in df docs emits
+# O(df²) directed pairs, so one boilerplate shingle shared by 10⁶
+# docs would emit 10¹² candidates. Dropping lists with df > cap
+# bounds per-shingle fan-out at cap² while real containments stay
+# connected through their rarer shingles. The cap must exceed the
+# expected duplicate-GROUP size (every copy shares every shingle, so
+# a dup group of k docs pushes its shingles' df to k): 16 clears the
+# synthetic corpus's dup groups at sf0.1 (max df 25, 476/512 true
+# pairs kept) where 4/8 sever them entirely; at 100 TB you'd set it
+# from the dup-rate prior, e.g. 64, and it stays a constant bound.
+_CONT_DF_CAP = 16
 
 
 def _containment_sql() -> str:
@@ -263,9 +275,12 @@ sh AS (
   SELECT DISTINCT doc_id, ts[i] || '|' || ts[i+1] || '|' || ts[i+2] AS g
   FROM tk, LATERAL (SELECT unnest(generate_series(1, len(tk.ts)-2)) AS i) d
 ),
+df AS (SELECT g, count(*) AS c FROM sh GROUP BY g),
+kept AS (SELECT sh.doc_id, sh.g FROM sh JOIN df ON df.g = sh.g
+         WHERE df.c <= {_CONT_DF_CAP}),
 sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 ix AS (SELECT a.doc_id AS contained_id, b.doc_id AS container_id, count(*) AS inter
-       FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id <> b.doc_id
+       FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id <> b.doc_id
        GROUP BY a.doc_id, b.doc_id)
 SELECT ix.contained_id, ix.container_id,
        round(ix.inter / sa.n::DOUBLE, 6) AS containment
@@ -285,12 +300,17 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rounded value so the boundary decision is engine-identical.
 
     Plan: the same inverted-index shape as q_dedup_ngram_jaccard
-    (dedup.py) — candidates come from a shingle posting-list
-    equi-join, never an all-pairs comparison; per-doc shingle-set
-    sizes join back broadcast-style. The document-frequency cap from
-    the Jaccard variant applies unchanged at scale. Registered here
-    (not dedup.py) so the driver-prefix slots stay fixed — the
-    q_sample_weighted precedent."""
+    (dedup.py:366) — ONE groupBy-shingle shuffle builds posting
+    lists, the document-frequency cap (_CONT_DF_CAP, the
+    NGRAM_DF_CAP discipline) drops hot lists so per-shingle fan-out
+    is bounded at cap² regardless of corpus size, and directed
+    candidate pairs explode from each surviving list — never an
+    all-pairs or uncapped self-join. Full (pre-cap) shingle-set
+    sizes stay in the denominator, so containment is downward-biased
+    only for pairs whose shared shingles were hot — exactly the
+    capped-Jaccard trade. Registered here (not dedup.py) so the
+    driver-prefix slots stay fixed — the q_sample_weighted
+    precedent."""
     from ..functions.hashing import tokens
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
@@ -313,15 +333,39 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("g"),
         )
         .distinct()
-        .localCheckpoint(eager=False)  # feeds sizes + the posting join
+        .localCheckpoint(eager=False)  # feeds sizes + the posting lists
     )
     sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.select(F.col("doc_id").alias("contained_id"), "g")
-    b = sh.select(F.col("doc_id").alias("container_id"), "g")
+    posting = (
+        sh.groupBy("g")
+        .agg(F.collect_list("doc_id").alias("ds"))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= _CONT_DF_CAP))
+    )
+    # Directed pairs (containment is asymmetric): every (x, y), x≠y,
+    # from each ≤cap-length posting list — bounded cap² fan-out.
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("ds"),
+                lambda x: F.filter(
+                    F.transform(
+                        F.col("ds"),
+                        lambda y: F.when(
+                            x != y,
+                            F.struct(
+                                x.alias("contained_id"),
+                                y.alias("container_id"),
+                            ),
+                        ),
+                    ),
+                    lambda s: s.isNotNull(),
+                ),
+            )
+        )
+    )
     ix = (
-        a.join(b, "g")
-        .filter(F.col("contained_id") != F.col("container_id"))
-        .groupBy("contained_id", "container_id")
+        posting.select(pair.alias("p"))
+        .groupBy("p.contained_id", "p.container_id")
         .agg(F.count("*").alias("inter"))
     )
     cont = F.round(

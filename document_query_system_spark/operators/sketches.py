@@ -75,7 +75,9 @@ probes AS (
   WHERE rn <= {_CMS_TOPK}
 ),
 est AS (
-  SELECT h.term AS eterm, min(s.total) AS est_count
+  -- CAST: sum()→HUGEINT in DuckDB; the driver's pandas hash renders
+  -- HUGEINT as float64 vs Spark's int64 (r6 verdict bug class).
+  SELECT h.term AS eterm, CAST(min(s.total) AS BIGINT) AS est_count
   FROM hashed h JOIN sketch s ON s.row_i = h.row_i AND s.cell = h.cell
   WHERE h.term IN (SELECT term FROM probes)
   GROUP BY h.term

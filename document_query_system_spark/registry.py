@@ -75,76 +75,102 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
+# REGISTRATION ORDER IS THE DRIVER-COVERAGE ROTATION. The external
+# harness verifies a ~50-query prefix of ``queries()`` dict order per
+# round, so queries needing a FRESH driver row must come first. Until
+# round 6 the rotation was driven by module IMPORT order, which cannot
+# select queries registered at a late module's tail — exactly how 50
+# round-6 registrations (scattered across 15 module tails) ended the
+# round with no driver row (r6 verdict item 2). The rotation is now an
+# explicit NAME list: ``all_specs()`` emits ``_ROTATION_PREFIX`` names
+# first (in listed order), then everything else in registration order.
+# Unknown names fail loudly (a typo would silently burn a prefix slot).
+#
+# Round-7 prefix: the 50 queries with no CORRECTNESS_r01–r06 row —
+# exactly the set computed as registered-minus-union-of-rounds
+# (r6 verdict "What's missing" #1) — fits the ~50-slot prefix.
+_ROTATION_PREFIX: tuple[str, ...] = (
+    # oracle-cast fixes this round — need the fresh row most
+    "q_token_budget_cap",  # r6 red row: HUGEINT window-sum, now cast
+    "q_corpus_refresh",  # same bug class, fixed pre-rotation
+    "q_heavy_hitters_cms",  # same (caught by test_oracle_types_match_spark)
+    "q_user_growth",  # same
+    # clustering / dedup additions
+    "q_cluster_kmeans",
+    "q_dedup_semantic",
+    "q_dedup_containment",
+    # sketches
+    "q_hll_portable",
+    # graph metrics
+    "q_triangle_count",
+    "q_communities_lp",
+    # monitoring battery (analytics/corpus tails)
+    "q_zscore_outliers",
+    "q_mad_outliers",
+    "q_chi2_independence",
+    "q_psi_drift",
+    "q_ks_drift",
+    "q_benford_digits",
+    "q_quantile_bins",
+    "q_data_quality_checks",
+    # behavior analytics
+    "q_funnel_conversion",
+    "q_user_trend",
+    "q_event_transitions",
+    "q_rfm_segments",
+    "q_attribution_last_touch",
+    "q_cohort_retention",
+    "q_hourly_seasonality",
+    "q_gapfill_daily",
+    "q_user_drawdown",
+    # joins additions
+    "q_join_asof_forward",
+    "q_join_asof_nearest",
+    "q_join_interval_bucketed",
+    "q_join_null_safe",
+    "q_skew_salted_join",
+    # set-op ALL variants
+    "q_intersect_all",
+    "q_except_all",
+    # sinks / scans / snapshot
+    "q_merge_into",
+    "q_snapshot_diff",
+    "q_schema_evolution_read",
+    "q_csv_malformed",
+    # search additions
+    "q_phrase_search",
+    "q_proximity_search",
+    # multimodal additions
+    "q_scene_changes",
+    "q_media_hist_arrow",
+    # streaming additions
+    "q_stream_static_join",
+    "q_stream_sliding",
+    "q_stream_cms",
+    # windows / sampling tails
+    "q_ewma_latest",
+    "q_forward_fill",
+    "q_sample_weighted",
+    "q_sample_neyman",
+    # text/scalar tails
+    "q_bpe_tokens",
+    # Slot 51 — the driver checks exactly 50; with the red-row
+    # re-check occupying one slot, ONE never-verified query must
+    # wait for r8. q_bitwise_funcs (pure scalar exprs, rows-only
+    # risk ~nil) is the deliberate defer.
+    "q_bitwise_funcs",
+)
+
+
 def _load_all() -> None:
     """Import every module that registers queries (side-effect imports)."""
     global _LOADED
     if _LOADED:
         return
     # Imports are inside the function to avoid import cycles: these
-    # modules import ``register`` from here.
-    #
-    # IMPORT ORDER IS THE DRIVER-COVERAGE ROTATION. The external
-    # harness verifies a ~50-query prefix of the registration order
-    # per round, so modules needing a FRESH driver row register first.
-    # Round-6 prefix (r5 verdict item 1 — the six round-5 queries
-    # with no driver CORRECTNESS row yet):
-    # - similarity (6): q_ann_multiprobe, q_ann_quantized;
-    # - dedup (10): q_dedup_incremental;
-    # - pipeline (8): q_sequence_pack, q_token_budget_cap;
-    # - sampling (6): q_sample_quality_topfrac;
-    # - corpus (new this round): every round-6 query needs its first
-    #   driver row;
-    # - scoring (new this round, second half): LM perplexity,
-    #   dup-span fraction, quality classifier, split assignment —
-    #   first driver rows needed;
-    # - analytics (11): oldest remaining driver rows (r1) — refresh
-    #   while slots remain; its tail may spill past the ~50 boundary
-    #   (all green rows, lowest risk).
-    # Modules with recent green rows (event_windows/joins/api/search/
-    # extraction/sinks/filters/aggregates all r5; windows/text/scalar
-    # r4; setops/vector/textpipe/scans r2) register last.
-    #
-    # ROUND-7 ROTATION TODO: these round-6 queries registered in LATE
-    # modules and therefore have no driver CORRECTNESS row yet — move
-    # their modules to the prefix next round: analytics
-    # (q_funnel_conversion, q_zscore_outliers, q_data_quality_checks,
-    # q_user_trend, q_event_transitions, q_skew_salted_join), joins
-    # (q_join_asof_forward, q_join_asof_nearest, q_snapshot_diff,
-    # q_join_interval_bucketed),
-    # sinks (q_merge_into), scans (q_schema_evolution_read),
-    # clustering (q_cluster_kmeans, q_dedup_semantic),
-    # sketches (q_heavy_hitters_cms, q_hll_portable),
-    # graph_metrics (q_triangle_count),
-    # search (q_phrase_search, q_proximity_search),
-    # multimodal (q_scene_changes),
-    # analytics TAIL (q_mad_outliers, q_chi2_independence,
-    # q_quantile_bins, q_psi_drift, q_ks_drift — analytics is a
-    # prefix module but these registered at its tail, past the ~50
-    # boundary),
-    # windows (q_ewma_latest, q_forward_fill, q_sample_neyman),
-    # recipes (q_corpus_refresh), behavior (q_attribution_last_touch,
-    # q_cohort_retention), event_windows TAIL (q_stream_cms),
-    # analytics TAIL also q_benford_digits + q_rfm_segments, joins
-    # TAIL (q_join_null_safe),
-    # event_windows (q_stream_static_join, q_stream_sliding), windows
-    # (q_sample_weighted — lives there, not in sampling.py, exactly
-    # so the r6 prefix slots stayed fixed), aggregates
-    # (q_user_growth). The
-    # similarity/dedup prefix queries new this round (q_ann_pq,
-    # q_dedup_embedding_lsh, q_dedup_levenshtein) and the
-    # corpus/scoring/graph/layout modules (incl. the late-r6
-    # q_collocation_pmi in corpus) are in the r6 prefix already, as
-    # is q_scd2_intervals (registered FIRST in analytics so it sits
-    # at ~slot 50 at the ~50 boundary; if the prefix cuts exactly at
-    # 50 it is the last query in). NOTE: shared
-    # helpers live in registration-free modules (functions/hashing.py,
-    # functions/embed.py, operators/questions.py) so a prefix module's
-    # import never drags an already-verified module's registrations
-    # into the prefix. (Round-6 fix of exactly that trap: similarity
-    # used to import DIM/dot/l2_norm and the exact-topk oracle via
-    # functions/vector — whose 7 registrations then occupied prefix
-    # slots 1-7 and pushed scoring/graph/layout to the ~50 boundary;
-    # those helpers now come from registration-free functions/embed.)
+    # modules import ``register`` from here. Import order no longer
+    # matters for driver coverage (see _ROTATION_PREFIX above); kept
+    # roughly grouped by package for readability.
     from .operators import similarity  # noqa: F401
     from .operators import dedup  # noqa: F401
     from .operators import pipeline  # noqa: F401
@@ -154,7 +180,6 @@ def _load_all() -> None:
     from .operators import graph  # noqa: F401
     from .sources import layout  # noqa: F401
     from .operators import analytics  # noqa: F401
-    # ---- ~50-query prefix boundary ----
     from .operators import setops  # noqa: F401
     from .operators import clustering  # noqa: F401
     from .operators import sketches  # noqa: F401
@@ -183,7 +208,12 @@ def _load_all() -> None:
 
 def all_specs() -> dict[str, QuerySpec]:
     _load_all()
-    return dict(_REGISTRY)
+    missing = [n for n in _ROTATION_PREFIX if n not in _REGISTRY]
+    if missing:
+        raise KeyError(f"_ROTATION_PREFIX names not registered: {missing}")
+    prefix = {n: _REGISTRY[n] for n in _ROTATION_PREFIX}
+    rest = {n: s for n, s in _REGISTRY.items() if n not in prefix}
+    return {**prefix, **rest}
 
 
 def queries() -> dict[str, QueryFn]:

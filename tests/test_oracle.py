@@ -196,6 +196,52 @@ def test_query_vs_oracle(name, spark, duck):
     assert not mismatches, f"{name}: first mismatches: {mismatches[:3]}"
 
 
+@pytest.mark.parametrize(
+    "name", sorted(n for n, s in _SPECS.items() if s.oracle is not None)
+)
+def test_oracle_types_match_spark(name, spark, duck):
+    """Driver-hash type parity (r6 verdict #1): the external harness
+    hashes values via pandas, where a DuckDB HUGEINT (uncast sum())
+    renders float64 against Spark's int64 — identical values, red
+    hash. fetchall() converts HUGEINT to Python int, so the value
+    test above can NEVER catch this; this test checks the oracle's
+    arrow schema against Spark's analyzed schema instead (LIMIT 0 —
+    no execution on either side)."""
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    spec = _SPECS[name]
+    s_types = {f.name: f.dataType for f in spec.fn(spark, SF_DIR).schema.fields}
+    d_schema = duck.execute(
+        f"SELECT * FROM ({spec.oracle}) oracle_q LIMIT 0"
+    ).fetch_arrow_table().schema
+    for field in d_schema:
+        st = s_types.get(field.name)
+        if st is None:
+            continue  # column-name parity is the value test's job
+        at = field.type
+        bad = None
+        if isinstance(
+            st, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+        ) and not pa.types.is_integer(at):
+            bad = "integral"
+        elif isinstance(st, (T.FloatType, T.DoubleType)) and not pa.types.is_floating(
+            at
+        ):
+            bad = "floating"
+        elif isinstance(st, T.BooleanType) and not pa.types.is_boolean(at):
+            bad = "boolean"
+        elif isinstance(st, T.StringType) and not (
+            pa.types.is_string(at) or pa.types.is_large_string(at)
+        ):
+            bad = "string"
+        assert bad is None, (
+            f"{name}.{field.name}: spark={st.simpleString()} but oracle "
+            f"emits arrow {at} — driver's pandas hash will diverge "
+            f"(CAST the oracle output AS {bad.upper()}-compatible type)"
+        )
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 
