@@ -634,8 +634,14 @@ def connected_components(edges: DataFrame, max_rounds: int = CC_MAX_ROUNDS):
             .groupBy(F.col("dst").alias("v2"))
             .agg(F.min("label").alias("nlabel"))
         )
+        # old_label rides along so the convergence check below is a
+        # filter over the already-checkpointed result — the per-round
+        # changed-count JOIN this replaced was a full extra
+        # shuffle+join job (the r6 driver-bench regression on
+        # q_dedup_clusters traced to per-round overhead, not rounds).
         propagated = labels.join(neigh, labels.v == neigh.v2, "left").select(
             "v",
+            F.col("label").alias("old_label"),
             F.least(
                 F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
             ).alias("label"),
@@ -649,19 +655,15 @@ def connected_components(edges: DataFrame, max_rounds: int = CC_MAX_ROUNDS):
             propagated.join(hop, propagated.label == hop.hv, "left")
             .select(
                 "v",
+                "old_label",
                 F.least(
                     F.col("label"), F.coalesce(F.col("hlabel"), F.col("label"))
                 ).alias("label"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "v")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("label") != F.col("old_label")).count()
+        labels = new_labels.select("v", "label")
         if changed == 0:
             return labels, rounds
     raise RuntimeError(

@@ -274,7 +274,10 @@ _BM25_B = 0.75
 _BM25_TOPK = 10
 
 
-def _bm25_oracle() -> str:
+def _bm25_ctes() -> str:
+    """CTE chain ``questions → ... → scored`` (question_id, doc_id,
+    bm25) — shared by the q_bm25_topk oracle and the q_rrf_fusion
+    oracle's keyword leg."""
     from .questions import question_values_sql
 
     return f"""
@@ -311,22 +314,30 @@ scored AS (
   SELECT question_id, doc_id,
          round(sum(CAST(round(w * 1000000, 0) AS BIGINT)) / 1000000.0, 4) AS bm25
   FROM contrib GROUP BY question_id, doc_id
-)
+)"""
+
+
+def _bm25_oracle() -> str:
+    return (
+        _bm25_ctes()
+        + f"""
 SELECT question_id, doc_id, bm25
 FROM (SELECT *, row_number() OVER (PARTITION BY question_id
                                    ORDER BY bm25 DESC, doc_id) AS rn
       FROM scored)
 WHERE rn <= {_BM25_TOPK}
 """
+    )
 
 
-@register("q_bm25_topk", oracle=_bm25_oracle())
-def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 top-10 per golden question (k1=1.2, b=0.75). Per-term
-    contributions are rounded to 6 before summing and the summed
-    score to 4 before ranking, so ordering is engine-identical."""
-    from .questions import questions_df
-
+def _bm25_scored(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
+    """(question_id, doc_id, bm25) for every question-doc pair with at
+    least one matching term — the pre-top-k BM25 table, shared by
+    q_bm25_topk and q_rrf_fusion's keyword leg (which passes its own
+    ``docs`` so the two legs branch off ONE scan+spread — identical
+    subtrees ReuseExchange into a single fan-out)."""
     # Shuffle budget (4): ① tf groupBy ② the df groupBy on term ③ the
     # tiny corpus-stats agg ④ repartition(question_id) — which the
     # score groupBy AND the rank window both reuse (hash(question)
@@ -346,7 +357,8 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 1.6 s (checkpoint). Skew note: a stopword's posting list lands
     # in one reducer for ②'s partial-agg input — map-side combine
     # bounds it at one row per (partition, term).
-    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    if docs is None:
+        docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
     tok = docs.select("doc_id", tokens(F.lower(F.col("text"))).alias("tk"))
     stats = F.broadcast(
         tok.agg(
@@ -397,7 +409,7 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("w"),
         )
     )
-    scored = (
+    return (
         contrib.repartition("question_id")
         .groupBy("question_id", "doc_id")
         .agg(
@@ -406,12 +418,154 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bm25")
         )
     )
+
+
+@register("q_bm25_topk", oracle=_bm25_oracle())
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 per golden question (k1=1.2, b=0.75). Per-term
+    contributions are rounded to 6 before summing and the summed
+    score to 4 before ranking, so ordering is engine-identical.
+    Plan/scale notes live on _bm25_scored."""
+    scored = _bm25_scored(spark, sf_dir)
     w_rank = Window.partitionBy("question_id").orderBy(
         F.desc("bm25"), F.asc("doc_id")
     )
     return (
         scored.withColumn("rn", F.row_number().over(w_rank))
         .filter(F.col("rn") <= _BM25_TOPK)
+        .drop("rn")
+    )
+
+
+# --------------------------------------------------- hybrid retrieval fusion
+#
+# Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of the
+# two retrieval legs the engine already proves independently: BM25
+# keyword ranks and embedding-cosine ranks. RRF is THE standard
+# hybrid-retrieval combiner (every production RAG stack ships it)
+# precisely because it fuses on ranks, not scores — no cross-leg
+# score calibration, and rank arithmetic is integer-exact across
+# engines, which also makes it cleanly oracle-checkable.
+
+_RRF_K = 60  # the paper's constant: damps the head, keeps tail votes
+_RRF_POOL = 20  # candidates taken from each leg before fusing
+_RRF_TOPK = 10
+
+
+def _rrf_oracle() -> str:
+    from ..functions.embed import embed_subquery_sql
+
+    qv = embed_subquery_sql("questions", "question_id", "question_text")
+    dv = embed_subquery_sql("documents", "doc_id", "text")
+    return (
+        _bm25_ctes()
+        + f""",
+kw AS (
+  SELECT question_id, doc_id, rk FROM (
+    SELECT question_id, doc_id,
+           row_number() OVER (PARTITION BY question_id
+                              ORDER BY bm25 DESC, doc_id) AS rk
+    FROM scored)
+  WHERE rk <= {_RRF_POOL}
+),
+qv AS (SELECT id AS question_id, embedding AS v FROM {qv}),
+dv AS (SELECT id AS doc_id, embedding AS v FROM {dv}),
+vec AS (
+  SELECT question_id, doc_id, rk FROM (
+    SELECT question_id, doc_id,
+           row_number() OVER (PARTITION BY question_id
+                              ORDER BY cos_sim DESC, doc_id) AS rk
+    FROM (SELECT qv.question_id, dv.doc_id,
+                 round(list_dot_product(qv.v, dv.v), 6) AS cos_sim
+          FROM qv CROSS JOIN dv))
+  WHERE rk <= {_RRF_POOL}
+),
+fused AS (
+  SELECT coalesce(k.question_id, v.question_id) AS question_id,
+         coalesce(k.doc_id, v.doc_id) AS doc_id,
+         round(coalesce(1.0 / ({_RRF_K} + k.rk), 0)
+               + coalesce(1.0 / ({_RRF_K} + v.rk), 0), 6) AS rrf_score,
+         CAST(coalesce(k.rk, 0) AS BIGINT) AS kw_rank,
+         CAST(coalesce(v.rk, 0) AS BIGINT) AS vec_rank
+  FROM kw k FULL OUTER JOIN vec v
+    ON k.question_id = v.question_id AND k.doc_id = v.doc_id
+)
+SELECT question_id, doc_id, rrf_score, kw_rank, vec_rank
+FROM (SELECT *, row_number() OVER (PARTITION BY question_id
+                                   ORDER BY rrf_score DESC, doc_id) AS rn
+      FROM fused)
+WHERE rn <= {_RRF_TOPK}
+"""
+    )
+
+
+@register("q_rrf_fusion", oracle=_rrf_oracle())
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of the BM25 keyword
+    leg and the embedding-cosine leg, top-10 per golden question with
+    each source rank exposed (0 = the doc didn't make that leg's
+    pool). score = Σ_legs 1/(60 + rank) over each leg's top-20,
+    rounded to 6 before the final ranking; doc_id breaks score ties.
+
+    Plan: the two legs are the proven q_bm25_topk /
+    q_golden_vector_search shapes (posting-table aggregation with
+    broadcast question terms; broadcast question vectors against a
+    streamed corpus embed). Each leg's per-question top-20 is a
+    window over its (question)-partitioned score table, and the
+    fusion is a full-outer join of two ≤|questions|·20-row sides —
+    trivially small forever, whatever the corpus size. Rank
+    arithmetic is integer; the only float, 1/(60+rank), takes one of
+    40 fixed values."""
+    from ..functions.embed import dot, embed_df
+    from .questions import questions_df
+
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    kw_w = Window.partitionBy("question_id").orderBy(
+        F.desc("bm25"), F.asc("doc_id")
+    )
+    kw = (
+        _bm25_scored(spark, sf_dir, docs=docs)
+        .withColumn("rk", F.row_number().over(kw_w))
+        .filter(F.col("rk") <= _RRF_POOL)
+        .select("question_id", "doc_id", F.col("rk").alias("kw_rk"))
+    )
+    dv = embed_df(docs, "text", out_col="doc_v").select("doc_id", "doc_v")
+    qv = F.broadcast(
+        embed_df(questions_df(spark), "question_text", out_col="q_v").select(
+            "question_id", "q_v"
+        )
+    )
+    vec_w = Window.partitionBy("question_id").orderBy(
+        F.desc("cos_sim"), F.asc("doc_id")
+    )
+    vec = (
+        dv.crossJoin(qv)
+        .select(
+            "question_id",
+            "doc_id",
+            F.round(dot(F.col("q_v"), F.col("doc_v")), 6).alias("cos_sim"),
+        )
+        .withColumn("rk", F.row_number().over(vec_w))
+        .filter(F.col("rk") <= _RRF_POOL)
+        .select("question_id", "doc_id", F.col("rk").alias("vec_rk"))
+    )
+    fused = kw.join(vec, ["question_id", "doc_id"], "full_outer").select(
+        "question_id",
+        "doc_id",
+        F.round(
+            F.coalesce(1.0 / (_RRF_K + F.col("kw_rk")), F.lit(0.0))
+            + F.coalesce(1.0 / (_RRF_K + F.col("vec_rk")), F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+        F.coalesce(F.col("kw_rk"), F.lit(0)).cast("long").alias("kw_rank"),
+        F.coalesce(F.col("vec_rk"), F.lit(0)).cast("long").alias("vec_rank"),
+    )
+    w_fin = Window.partitionBy("question_id").orderBy(
+        F.desc("rrf_score"), F.asc("doc_id")
+    )
+    return (
+        fused.withColumn("rn", F.row_number().over(w_fin))
+        .filter(F.col("rn") <= _RRF_TOPK)
         .drop("rn")
     )
 

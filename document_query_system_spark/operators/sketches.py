@@ -154,11 +154,14 @@ def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _HLL_P = 8  # 2^8 = 256 buckets
 _HLL_M = 1 << _HLL_P
-# h is a uniform 32-bit integer (md5 prefix), so w = h // m + 1
-# ranges over [1, 2^24] and the rank is 25 − bitlen(w) ∈ [1, 24].
-# The polynomial token_hash is NOT usable here: on short numeric
-# keys it never wraps P, so its high bits carry no entropy and the
-# rank distribution collapses (measured 8× overestimate).
+# h is a uniform 32-bit integer (md5 prefix); the 24-bit suffix
+# w = h // m ranges over [0, 2^24) and the textbook rank (Flajolet's
+# rho = leading zeros of the suffix + 1) is 25 − bitlen(w), with the
+# all-zero suffix defined as rho = 25. (An earlier form ranked
+# suffix+1, under-reporting by 1 whenever the suffix was 0 or 2^k−1 —
+# r6 ADVICE.) The polynomial token_hash is NOT usable here: on short
+# numeric keys it never wraps P, so its high bits carry no entropy
+# and the rank distribution collapses (measured 8× overestimate).
 _HLL_WBITS = 24
 _HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)  # Flajolet et al. 2007
 
@@ -172,8 +175,11 @@ def _hll_sql() -> str:
     )
     return f"""
 WITH h AS (SELECT {key} AS h FROM lineitem),
-b AS (SELECT h % {_HLL_M} AS bucket, h // {_HLL_M} + 1 AS w FROM h),
-m AS (SELECT bucket, CAST(max({_HLL_WBITS + 1} - length(bin(w))) AS BIGINT) AS mj
+b AS (SELECT h % {_HLL_M} AS bucket, h // {_HLL_M} AS w FROM h),
+m AS (SELECT bucket,
+             CAST(max(CASE WHEN w = 0 THEN {_HLL_WBITS + 1}
+                           ELSE {_HLL_WBITS + 1} - length(bin(w)) END)
+                  AS BIGINT) AS mj
       FROM b GROUP BY bucket),
 s AS (SELECT sum(pow(2.0, -mj)) AS sp, count(*) AS n_present FROM m),
 e AS (SELECT round(CAST({_HLL_ALPHA} AS DOUBLE) * {_HLL_M} * {_HLL_M}
@@ -194,8 +200,9 @@ def q_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     (whose Spark-internal HLL++ sketch cannot be reproduced
     elsewhere). Hashes keys to a uniform 32-bit integer via an md5
     prefix (both engines produce identical hex), buckets on the low
-    8 bits, ranks the remaining 24 via bin()-string length
-    (integer-exact in both engines), and
+    8 bits, ranks the remaining 24 with Flajolet's rho (leading
+    zeros + 1 = 25 − bitlen, all-zero suffix → 25) via bin()-string
+    length (integer-exact in both engines), and
     applies the raw HLL estimator; 2^-M sums are dyadic rationals, so
     they are bit-identical regardless of aggregation order. Emits the
     exact distinct count, the sketch estimate, and the relative error
@@ -214,11 +221,12 @@ def q_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b = h.select(
         (F.col("h") % _HLL_M).alias("bucket"),
-        (F.floor(F.col("h") / _HLL_M) + 1).alias("w"),
+        F.floor(F.col("h") / _HLL_M).alias("w"),
     )
-    m = b.groupBy("bucket").agg(
-        F.max(F.lit(_HLL_WBITS + 1) - F.length(F.bin(F.col("w")))).alias("mj")
+    rho = F.when(F.col("w") == 0, F.lit(_HLL_WBITS + 1)).otherwise(
+        F.lit(_HLL_WBITS + 1) - F.length(F.bin(F.col("w")))
     )
+    m = b.groupBy("bucket").agg(F.max(rho).alias("mj"))
     s = m.coalesce(1).agg(
         F.sum(F.pow(F.lit(2.0), -F.col("mj"))).alias("sp"),
         F.count("*").alias("n_present"),

@@ -293,8 +293,15 @@ WITH r AS (
 m AS (SELECT user_id, max(rn) AS mrn FROM r GROUP BY user_id)
 SELECT r.user_id AS user_id,
        count(*) AS n_tail,
-       round(sum(r.value * pow({_EWMA_ALPHA}, m.mrn - r.rn))
-             / sum(pow({_EWMA_ALPHA}, m.mrn - r.rn)), 6) AS ewma
+       -- integer micro-unit sums (the q_tfidf_topk/q_bm25_topk
+       -- pattern): float += across partitions is summation-order-
+       -- dependent; summing round(term*1e6) AS BIGINT is exact and
+       -- order-free in both engines, and the 1e6 cancels in the
+       -- quotient.
+       round(CAST(sum(CAST(round(r.value * pow({_EWMA_ALPHA}, m.mrn - r.rn) * 1e6)
+                           AS BIGINT)) AS DOUBLE)
+             / CAST(sum(CAST(round(pow({_EWMA_ALPHA}, m.mrn - r.rn) * 1e6)
+                             AS BIGINT)) AS DOUBLE), 6) AS ewma
 FROM r JOIN m ON r.user_id = m.user_id
 WHERE r.rn > m.mrn - {_EWMA_N}
 GROUP BY r.user_id
@@ -313,19 +320,26 @@ def q_ewma_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     and a weighted aggregate — all three hash-partition on user_id,
     so AQE fuses them into a single exchange's worth of movement; no
     self-join, no per-row state. Weights come from pow() on both
-    engines and every quotient is rounded inside the query."""
+    engines; numerator and denominator are summed as integer
+    micro-units (round(term*1e6) AS BIGINT — the q_tfidf_topk /
+    q_bm25_topk discipline) so the aggregate is summation-order-free
+    across partitions, and the 1e6 scale cancels in the quotient."""
     ev = load(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     r = ev.withColumn("rn", F.row_number().over(w))
     m = r.groupBy("user_id").agg(F.max("rn").alias("mrn"))
     wt = F.pow(F.lit(_EWMA_ALPHA), F.col("mrn") - F.col("rn"))
+    num = F.sum(F.round(F.col("value") * wt * 1e6).cast("long"))
+    den = F.sum(F.round(wt * 1e6).cast("long"))
     return (
         r.join(m, "user_id")
         .filter(F.col("rn") > F.col("mrn") - _EWMA_N)
         .groupBy("user_id")
         .agg(
             F.count("*").alias("n_tail"),
-            F.round(F.sum(F.col("value") * wt) / F.sum(wt), 6).alias("ewma"),
+            F.round(
+                num.cast("double") / den.cast("double"), 6
+            ).alias("ewma"),
         )
     )
 

@@ -95,9 +95,11 @@ def plan_report(df: DataFrame) -> PlanReport:
     return rep
 
 
-def audit(df: DataFrame, name: str = "") -> list[str]:
+def audit(df: DataFrame, name: str = "", shuffle_budget: int = 4) -> list[str]:
     """Red-flag heuristics for one query plan. Returns human-readable
-    warnings; empty list = nothing suspicious."""
+    warnings; empty list = nothing suspicious. ``shuffle_budget``
+    raises the exchange bar for composed queries whose legs each
+    justify their own budget (callers document the arithmetic)."""
     rep = plan_report(df)
     warns: list[str] = []
     if rep.n_sort_aggregates:
@@ -111,6 +113,6 @@ def audit(df: DataFrame, name: str = "") -> list[str]:
             warns.append(
                 f"{name}: scan reads {len(cols)} columns — check projection pruning"
             )
-    if rep.n_shuffles > 4:
+    if rep.n_shuffles > shuffle_budget:
         warns.append(f"{name}: {rep.n_shuffles} shuffles — check for redundant exchanges")
     return warns

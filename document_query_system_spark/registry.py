@@ -64,6 +64,12 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
                 "spark.sql.optimizer.excludedRules",
                 "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
             )
+            # Subset-key co-partitioning (see session.get_spark): lets
+            # composed joins reuse an existing partitioning on a
+            # subset of the join keys instead of re-exchanging.
+            spark.conf.set(
+                "spark.sql.requireAllClusterKeysForCoPartition", "false"
+            )
             return fn(spark, sf_dir)
 
         wrapped.__name__ = fn.__name__

@@ -13,6 +13,32 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _prepare_jvm_launch_env() -> None:
+    """JVM-launch-time options that SparkSession.builder configs cannot
+    set (the gateway JVM starts before python confs apply).
+
+    - ReservedCodeCacheSize: a 209-query session compiles thousands of
+      generated whole-stage classes; the JDK default (240 MB) can fill
+      mid-suite, at which point C2 disables itself and late-suite
+      codegen-heavy queries run INTERPRETED — the round-6 driver bench
+      signature (steady pass slower than cold, 3-9× scatter on exactly
+      the giant-codegen queries). 512 MB + UseCodeCacheFlushing keeps
+      the compiler alive for the whole suite.
+    - PYTHONWARNINGS: executor Python workers inherit the JVM's env in
+      local mode; pyspark's pandas serializers emit FutureWarnings to
+      worker stderr, which the JVM forwards into the bench artifact's
+      captured tail (r6 verdict item: tail hygiene).
+
+    No-ops if a gateway already exists (options only matter at launch).
+    """
+    if "PYSPARK_SUBMIT_ARGS" not in os.environ:
+        os.environ["PYSPARK_SUBMIT_ARGS"] = (
+            '--driver-java-options "-XX:ReservedCodeCacheSize=512m '
+            '-XX:+UseCodeCacheFlushing" pyspark-shell'
+        )
+    os.environ.setdefault("PYTHONWARNINGS", "ignore::FutureWarning")
+
+
 def get_spark(
     app_name: str = "document_query_system_spark",
     master: str | None = None,
@@ -26,6 +52,7 @@ def get_spark(
         # tiny shuffle files); on a real cluster this is sized to data
         # volume and AQE coalesces down at runtime.
         shuffle_partitions = cpus
+    _prepare_jvm_launch_env()
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -48,6 +75,16 @@ def get_spark(
             "spark.sql.optimizer.excludedRules",
             "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
         )
+        # Subset-key co-partitioning: a join on (a, b) whose two sides
+        # are both already hash(a)-partitioned runs WITHOUT
+        # re-exchanging either side (3.3+ defaults this to off). When
+        # composing pipelines (q_rrf_fusion: two question-partitioned
+        # retrieval legs full-outer joined on (question, doc)) this
+        # removes both join-side shuffles — at 100 TB, re-exchanging
+        # two already-clustered sides is pure waste. The trade
+        # (coarser clustering can skew a hot subset key) is the same
+        # one every groupBy-superset reuse already makes.
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

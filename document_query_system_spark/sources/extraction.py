@@ -293,7 +293,11 @@ def _parse_pdf_minimal(payload: bytes) -> str:
         # and compressed data whose last byte happens to be 0x0d lost
         # it to the optional \r (a ~1/256-per-doc corruption, hit by
         # doc 38 at sf0.001: truncated Flate stream → empty text).
-        lens = re.findall(rb"/Length\s+(\d+)", head)
+        # (?!\s+\d+\s+R): a spec-legal INDIRECT length (/Length 12 0 R)
+        # must not capture the object number as the byte count — fall
+        # through to the endstream scan instead (resolving indirect
+        # objects is the real codec's job, _extract_pdf_real).
+        lens = re.findall(rb"/Length\s+(\d+)\b(?!\s+\d+\s+R)", head)
         if lens:
             data = payload[m.end() : m.end() + int(lens[-1])]
         else:

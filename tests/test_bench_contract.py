@@ -24,11 +24,18 @@ def test_bench_emits_one_json_line():
         SPARK_GRAFT_BENCH_SIDECAR="/tmp/bench_full_subset_test.json",
         # q_embed_pandas is deliberately in the subset: it is UDF-backed,
         # so this also regression-guards the addPyFile worker-shipping
-        # path from a foreign cwd.
+        # path from a foreign cwd. q_stream_stateful_counts is too:
+        # its applyInPandasWithState serializer emits pandas
+        # FutureWarnings from worker stderr (4 copies in BENCH_r06's
+        # captured tail) unless the session's PYTHONWARNINGS
+        # suppression reaches the workers — the Python-warning half of
+        # the tail-hygiene contract below.
         SPARK_GRAFT_BENCH_ONLY=(
-            "q_scan_lineitem,q_join_hash,q_topk_per_question,q_embed_pandas"
+            "q_scan_lineitem,q_join_hash,q_topk_per_question,q_embed_pandas,"
+            "q_stream_stateful_counts"
         ),
     )
+    env.pop("PYTHONWARNINGS", None)  # bench must self-suppress
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         capture_output=True,
@@ -47,16 +54,16 @@ def test_bench_emits_one_json_line():
     assert {"metric", "value", "unit", "queries", "sf"} <= set(d)
     assert d["unit"] == "sec" and d["sf"] == 0.001
     assert d["n_failed"] == 0
-    assert set(d["queries"]) <= {
-        "q_scan_lineitem", "q_join_hash", "q_topk_per_question", "q_embed_pandas"
+    subset = {
+        "q_scan_lineitem", "q_join_hash", "q_topk_per_question",
+        "q_embed_pandas", "q_stream_stateful_counts",
     }
+    assert set(d["queries"]) <= subset
     assert all(v >= 0 for v in d["queries"].values()), d["queries"]
     # Sidecar carries the complete per-query map.
     with open(d["full_timings_file"]) as f:
         full = json.load(f)
-    assert set(full["queries"]) == {
-        "q_scan_lineitem", "q_join_hash", "q_topk_per_question", "q_embed_pandas"
-    }
+    assert set(full["queries"]) == subset
     assert all(v >= 0 for v in full["queries"].values()), full["queries"]
     assert "BENCH-ERROR" not in out.stderr
     # r5 verdict item 7: cold (first-run, JIT included) AND steady-state
@@ -77,3 +84,14 @@ def test_bench_emits_one_json_line():
         if " WARN " in l and not any(p in l for p in startup_ok)
     ]
     assert bad == [], bad
+    # ...and no Python warnings either (r6 verdict item 6, the fourth
+    # recurrence of tail hygiene): the applyInPandasWithState
+    # serializer's pandas FutureWarning shipped 4 copies into
+    # BENCH_r06's tail. The session env suppression must reach worker
+    # processes — checked against the WHOLE output, not just the tail.
+    warn_lines = [
+        l
+        for l in (out.stdout + out.stderr).splitlines()
+        if "Warning:" in l or "warnings.warn" in l
+    ]
+    assert warn_lines == [], warn_lines

@@ -156,15 +156,29 @@ def test_no_sort_aggregates_anywhere(spark):
     assert offenders == []
 
 
+# Composed queries with a documented per-query shuffle budget; every
+# entry must justify its count against the legs it composes.
+_SHUFFLE_BUDGET_EXEMPT = {
+    # 4 proven for the BM25 leg (q_bm25_topk's own pinned budget) +
+    # 1 for the vector leg's rank window. The FUSION itself adds
+    # ZERO: both legs leave the windows hash(question_id)-partitioned
+    # and subset-key co-partitioning (requireAllClusterKeysForCoPartition
+    # = false, session.py) lets the (question, doc) full-outer join
+    # run without re-exchanging either side.
+    "q_rrf_fusion": 5,
+}
+
+
 def test_shuffle_budget(spark):
     """No batch query needs more than 4 data-moving shuffles at this
-    plan shape; more usually means a redundant exchange."""
+    plan shape; more usually means a redundant exchange. Composed
+    queries carry an explicit justified budget above."""
     over = []
     for name, spec in sorted(all_specs().items()):
         if name.startswith("q_stream"):
             continue
         rep = plan_report(spec.fn(spark, SF_DIR))
-        if rep.n_shuffles > 4:
+        if rep.n_shuffles > _SHUFFLE_BUDGET_EXEMPT.get(name, 4):
             over.append((name, rep.n_shuffles))
     assert over == []
 
@@ -174,7 +188,11 @@ def test_audit_is_clean(spark):
     for name, spec in sorted(all_specs().items()):
         if name.startswith("q_stream"):
             continue
-        warns += audit(spec.fn(spark, SF_DIR), name)
+        warns += audit(
+            spec.fn(spark, SF_DIR),
+            name,
+            shuffle_budget=_SHUFFLE_BUDGET_EXEMPT.get(name, 4),
+        )
     assert warns == []
 
 

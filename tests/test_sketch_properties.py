@@ -95,9 +95,11 @@ def test_semantic_dedup_subset_of_corpus(duck):
     rows = duck.execute(
         registry.all_specs()["q_dedup_semantic"].oracle
     ).fetchall()
+    from document_query_system_spark.operators.clustering import _SEM_TAU
+
     ids = [r[0] for r in rows]
     assert len(ids) == len(set(ids))
-    assert all(r[2] >= 0.35 for r in rows)
+    assert all(r[2] >= _SEM_TAU for r in rows)
     vec_ids = {
         v for (v,) in duck.execute("SELECT vec_id FROM embeddings").fetchall()
     }

@@ -49,6 +49,7 @@ HEAVY = [
     "q_collocation_pmi",
     "q_cluster_kmeans",
     "q_dedup_semantic",
+    "q_dedup_containment",
     "q_heavy_hitters_cms",
     "q_phrase_search",
     "q_proximity_search",
