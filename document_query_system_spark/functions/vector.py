@@ -159,6 +159,80 @@ def q_vector_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HARD_NEG_SQL = f"""
+WITH q AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, q.label AS query_label,
+         c.vec_id AS negative_id, c.label AS negative_label,
+         round(list_dot_product(q.v, c.v)
+               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))),
+               6) AS cos_sim
+  FROM q CROSS JOIN c
+  WHERE q.label <> c.label
+)
+SELECT query_id, query_label, negative_id, negative_label, cos_sim
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, negative_id) AS rn
+      FROM scored)
+WHERE rn <= {_TOPK_K}
+"""
+
+
+@register("q_hard_negatives", oracle=_HARD_NEG_SQL)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive / embedding training: for
+    each anchor vector, the top-k most-similar vectors with a
+    DIFFERENT label — the near-but-wrong examples a triplet or
+    InfoNCE loss learns the most from (the mining pass every
+    retrieval-model pipeline runs between epochs). Ranking is on the
+    rounded cosine (then negative_id), so ties are engine-identical.
+
+    Plan: identical shape to q_vector_topk — broadcast anchors ⨯ the
+    vector table with the label-inequality predicate evaluated
+    BEFORE scoring (Catalyst folds it into the join condition, so
+    same-label pairs are never scored), then a per-anchor top-k
+    window. At 100 TB the exact scan swaps for an ANN tier exactly
+    as in the recall report; the mining semantics don't change."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("query_label"),
+            F.col("embedding").cast("array<double>").alias("qv"),
+        )
+    )
+    c = emb.select(
+        F.col("vec_id").alias("negative_id"),
+        F.col("label").alias("negative_label"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    scored = (
+        c.crossJoin(q)
+        .filter(F.col("query_label") != F.col("negative_label"))
+        .select(
+            "query_id",
+            "query_label",
+            "negative_id",
+            "negative_label",
+            F.round(
+                dot(F.col("qv"), F.col("cv"))
+                / (l2_norm(F.col("qv")) * l2_norm(F.col("cv"))),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("negative_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOPK_K)
+        .drop("rn")
+    )
+
+
 _EMBED_DOCS_ORACLE = (
     "SELECT e.id AS doc_id, t.i - 1 AS dim_idx, e.embedding[CAST(t.i AS INT)] AS val FROM "
     + embed_subquery_sql(

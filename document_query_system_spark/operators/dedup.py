@@ -138,6 +138,12 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the signature-agreement Jaccard estimate. The join is on
     (band, band_key) — only colliding docs ever meet, so the shuffle
     is proportional to candidates, not to |docs|²."""
+    return _minhash_candidate_pairs(spark, sf_dir)
+
+
+def _minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, est_jaccard) — shared by q_dedup_minhash_pairs
+    and q_dedup_tier_eval's candidate leg."""
     sig = minhash_signatures(spark, sf_dir)
     bands = sig.select(
         "doc_id",
@@ -504,6 +510,91 @@ def q_dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairwise formulation: remove hot shingles from each document's
     set, then list_intersect per pair."""
     return _ngram_jaccard(spark, sf_dir, df_cap=NGRAM_DF_CAP)
+
+
+# ------------------------------------------------------- dedup tier eval
+#
+# The dedup analog of the ANN recall report (similarity.py): measure
+# the MinHash-LSH candidate tier against the engine's own exact
+# blocked-Jaccard truth. Blocking is PART of the truth definition —
+# (lang, size-bucket) pairs are the only ones the dedup pipeline
+# would ever act on — so precision counts cross-block candidates as
+# false positives, which is exactly the band-collision noise the
+# tier's band/width knobs trade against recall.
+
+
+def _tier_eval_sql() -> str:
+    truth_pairs = f"""
+  SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+         round(CAST(len(list_intersect(a.sset, c.sset)) AS DOUBLE)
+               / (len(a.sset) + len(c.sset) - len(list_intersect(a.sset, c.sset))),
+               6) AS jaccard
+  FROM b2 a JOIN b2 c
+    ON a.lang = c.lang AND a.size_bucket = c.size_bucket AND a.doc_id < c.doc_id"""
+    return (
+        _BANDS_SQL
+        + f""",
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM keyed a JOIN keyed b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+th2 AS (SELECT doc_id, lang, {token_hashes_sql('text')} AS ths FROM documents),
+sh2 AS (SELECT doc_id, lang, len(ths) AS n_tok,
+               list_distinct({_shingle_hashes_sql('ths')}) AS sset
+        FROM th2),
+b2 AS (SELECT doc_id, lang, n_tok // 16 AS size_bucket, sset FROM sh2
+       WHERE len(sset) > 0),
+truth AS (
+  SELECT doc_a, doc_b FROM ({truth_pairs}) WHERE jaccard >= {JACCARD_MIN}
+),
+tp AS (SELECT doc_a, doc_b FROM cand INTERSECT SELECT doc_a, doc_b FROM truth)
+SELECT CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+       CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+       CAST((SELECT count(*) FROM tp) AS BIGINT) AS n_tp,
+       round((SELECT count(*) FROM tp)
+             / CAST((SELECT count(*) FROM cand) AS DOUBLE), 6) AS tier_precision,
+       round((SELECT count(*) FROM tp)
+             / CAST((SELECT count(*) FROM truth) AS DOUBLE), 6) AS tier_recall
+"""
+    )
+
+
+@register("q_dedup_tier_eval", oracle=_tier_eval_sql())
+def q_dedup_tier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-tier quality report: precision/recall of the MinHash-LSH
+    candidate pairs against the exact blocked-Jaccard truth at
+    J ≥ 0.1 — the one-row health check a pipeline runs before
+    trusting an approximate dedup tier at scale (the knobs it
+    steers: N_PERM, band count, shingle width).
+
+    Plan: both legs are the engine's existing proven shapes
+    (band-bucket equi-join; inverted-index Jaccard), each ending in a
+    one-row count; the report is a crossJoin of three single-row
+    aggregates. At 100 TB the eval runs on a hash-sampled slice
+    (md5(doc_id) head — q_sample_hash's device) rather than the full
+    corpus; the metric semantics are unchanged."""
+    cand = _minhash_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    truth = _ngram_jaccard(spark, sf_dir, df_cap=None).select("doc_a", "doc_b")
+    tp = cand.join(truth, ["doc_a", "doc_b"])
+    nc = cand.agg(F.count("*").alias("n_candidates"))
+    nt = truth.agg(F.count("*").alias("n_truth"))
+    ntp = tp.agg(F.count("*").alias("n_tp"))
+    return (
+        nc.crossJoin(nt)
+        .crossJoin(ntp)
+        .select(
+            "n_candidates",
+            "n_truth",
+            "n_tp",
+            F.round(
+                F.col("n_tp") / F.col("n_candidates").cast("double"), 6
+            ).alias("tier_precision"),
+            F.round(F.col("n_tp") / F.col("n_truth").cast("double"), 6).alias(
+                "tier_recall"
+            ),
+        )
+    )
 
 
 @register(

@@ -213,6 +213,102 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------- temperature-scaled mixture
+#
+# The other half of mixture construction next to q_domain_mix's fixed
+# quotas: temperature sampling (multilingual-BERT / XLM-R style —
+# p_d ∝ share_d^(1/T) renormalized) upsamples tail domains and
+# downsamples the head, with T the single knob every multilingual /
+# multi-domain pretraining recipe exposes. Quotas are derived from
+# the corpus itself (two tiny aggregates), selection is the same
+# deterministic md5-order head as every sampling op here.
+
+_MIX_T = 2.0  # temperature; 1/T = 0.5 → share^0.5 (sqrt flattening)
+_MIX_SAMPLE = 200  # target mixed-sample size
+
+
+@register(
+    "q_temperature_mix",
+    oracle=f"""
+WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+tot AS (SELECT sum(n) AS total FROM c),
+w AS (
+  -- integer micro-units: pow/div are IEEE-identical across engines,
+  -- but SUMMING the weights is order-dependent in doubles — round
+  -- each weight to 1e-12 and sum as BIGINT (registry conventions).
+  SELECT source, n,
+         CAST(round(pow(n / CAST(total AS DOUBLE), 1.0 / {_MIX_T}) * 1e12)
+              AS BIGINT) AS wgt_u
+  FROM c CROSS JOIN tot
+),
+q AS (
+  SELECT source, n,
+         CAST(floor({_MIX_SAMPLE} * wgt_u
+                    / CAST((SELECT sum(wgt_u) FROM w) AS DOUBLE)) AS BIGINT)
+           AS quota
+  FROM w
+),
+r AS (
+  SELECT d.source, d.doc_id, q.quota,
+         row_number() OVER (PARTITION BY d.source
+                            ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id)
+           AS rn
+  FROM documents d JOIN q USING (source)
+)
+SELECT source, doc_id, quota FROM r WHERE rn <= quota
+""",
+)
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixture: per-source sampling quotas
+    ∝ share^(1/T) renormalized to a fixed sample budget (T=2 — the
+    sqrt flattening that upsamples tail sources), docs taken per
+    source in reproducible md5(doc_id) order. floor() on the quota
+    keeps the boundary integer-exact in both engines (IEEE sqrt /
+    div / mul are correctly rounded, so the doubles agree bitwise).
+
+    Plan: ONE per-source count aggregate, then both normalizers
+    (total docs, total weight) are global windows over the
+    ≤|sources|-row count table — a single SinglePartition exchange
+    of a tiny table, instead of the aggregate-per-normalizer chain
+    that recomputes the counts subtree per consumer. The only
+    corpus-sized operations are one scan and one per-source rank
+    window — identical shape to q_domain_mix, whose 100 TB notes
+    apply unchanged. Weights sum as integer micro-units (order-free;
+    a raw double sum across partitions could flip a floor()
+    boundary)."""
+    d = load(spark, sf_dir, "documents").select("source", "doc_id")
+    c = d.groupBy("source").agg(F.count("*").alias("n"))
+    wg = Window.partitionBy()  # global: the count table is ≤|sources| rows
+    quota = F.broadcast(
+        c.withColumn("total", F.sum("n").over(wg))
+        .withColumn(
+            "wgt_u",
+            F.round(
+                F.pow(F.col("n") / F.col("total").cast("double"), 1.0 / _MIX_T)
+                * 1e12
+            ).cast("long"),
+        )
+        .withColumn("sum_wgt_u", F.sum("wgt_u").over(wg))
+        .select(
+            "source",
+            F.floor(
+                _MIX_SAMPLE * F.col("wgt_u") / F.col("sum_wgt_u").cast("double")
+            )
+            .cast("long")
+            .alias("quota"),
+        )
+    )
+    rw = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.asc("doc_id")
+    )
+    return (
+        d.join(quota, "source")
+        .withColumn("rn", F.row_number().over(rw))
+        .filter(F.col("rn") <= F.col("quota"))
+        .select("source", "doc_id", "quota")
+    )
+
+
 # ------------------------------------------------------ boilerplate prefix
 #
 # Documents sharing an identical leading token run are boilerplate

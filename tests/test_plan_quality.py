@@ -166,6 +166,13 @@ _SHUFFLE_BUDGET_EXEMPT = {
     # = false, session.py) lets the (question, doc) full-outer join
     # run without re-exchanging either side.
     "q_rrf_fusion": 5,
+    # Composed eval harness: the MinHash-LSH candidate leg (sig map +
+    # band self-join + distinct ≈ 3) + the exact blocked-Jaccard
+    # truth leg (posting groupBy + pair groupBy ≈ 2) + the TP join
+    # and three single-row count aggregates (≈ 4 tiny exchanges).
+    # Both legs are individually pinned by their own queries; the
+    # harness adds only row-count-sized movement.
+    "q_dedup_tier_eval": 9,
 }
 
 

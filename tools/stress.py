@@ -50,6 +50,10 @@ HEAVY = [
     "q_cluster_kmeans",
     "q_dedup_semantic",
     "q_dedup_containment",
+    "q_rrf_fusion",
+    "q_dedup_tier_eval",
+    "q_temperature_mix",
+    "q_hard_negatives",
     "q_heavy_hitters_cms",
     "q_phrase_search",
     "q_proximity_search",
