@@ -253,3 +253,130 @@ def q_communities_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _LP_TOPK)
         .select("community", "size")
     )
+
+
+# ----------------------------------------------------------------- k-core
+#
+# Iterative peel: drop nodes of degree < K, recompute degrees over
+# the surviving subgraph, repeat. The K-core is the maximal subgraph
+# where every node keeps ≥ K neighbors — the spam/bot-farm filter
+# (low-core URLs are link-graph periphery) and the dense-seed finder
+# for community detection. Like PageRank the rounds are UNROLLED to
+# a fixed budget in both engines, so the oracle is exact whether or
+# not the peel has converged by the last round; at sf scales it
+# converges (peeling is monotone — each round only removes, and a
+# round that removes nothing is a fixpoint, so extra rounds are
+# no-ops).
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 4
+
+
+def _kcore_sql() -> str:
+    rounds = []
+    prev = "n0"
+    for k in range(1, _KCORE_ROUNDS + 1):
+        rounds.append(
+            f"""n{k} AS (
+  SELECT node FROM (
+    SELECT n.node, count(e.u) AS d
+    FROM {prev} n
+    LEFT JOIN (SELECT u, v FROM edges
+               WHERE u IN (SELECT node FROM {prev})
+                 AND v IN (SELECT node FROM {prev})) e
+      ON e.u = n.node OR e.v = n.node
+    GROUP BY n.node)
+  WHERE d >= {_KCORE_K}
+)"""
+        )
+        prev = f"n{k}"
+    rounds_sql = ",\n".join(rounds)
+    return f"""
+WITH li AS (
+  SELECT l.l_orderkey AS ok, l.l_partkey AS pk
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderpriority = '{_TRI_PRIORITY}'
+),
+edges AS (
+  SELECT DISTINCT a.pk AS u, b.pk AS v
+  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+),
+n0 AS (SELECT u AS node FROM edges UNION SELECT v FROM edges),
+{rounds_sql}
+SELECT n.node AS node, CAST(count(e.u) AS BIGINT) AS core_deg
+FROM {prev} n
+LEFT JOIN (SELECT u, v FROM edges
+           WHERE u IN (SELECT node FROM {prev})
+             AND v IN (SELECT node FROM {prev})) e
+  ON e.u = n.node OR e.v = n.node
+GROUP BY n.node
+"""
+
+
+@register("q_kcore", oracle=_kcore_sql())
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{K}-core of the co-order part graph (K=3, 4 unrolled peel
+    rounds): surviving nodes with their within-core degree. See the
+    module comment above _KCORE_K for semantics and why fixed
+    unrolled rounds stay oracle-exact.
+
+    Plan: same one-shot edge build as q_triangle_count (self-join on
+    the order key + distinct, lazily checkpointed); each peel round
+    is one semi-join of the edge list against the survivor set and
+    one degree groupBy — shuffle ∝ surviving edges, strictly
+    shrinking per round. The survivor set is re-checkpointed each
+    round so the plan stays constant-size (the PageRank discipline;
+    25-round pointer-jumping CC shows the unbounded-round variant)."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .join(
+            load(spark, sf_dir, "orders")
+            .filter(F.col("o_orderpriority") == _TRI_PRIORITY)
+            .select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+    )
+    a = li.select(F.col("ok"), F.col("pk").alias("u"))
+    b = li.select(F.col("ok"), F.col("pk").alias("v"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    surv = (
+        edges.select(F.col("u").alias("node"))
+        .union(edges.select("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def core_degrees(surv_df):
+        keep = edges.join(
+            surv_df.select(F.col("node").alias("u")), "u", "left_semi"
+        ).join(surv_df.select(F.col("node").alias("v")), "v", "left_semi")
+        ends = keep.select(F.col("u").alias("node")).unionAll(
+            keep.select(F.col("v").alias("node"))
+        )
+        return (
+            surv_df.join(
+                ends.groupBy("node").agg(F.count("*").alias("d")),
+                "node",
+                "left",
+            )
+            .select("node", F.coalesce(F.col("d"), F.lit(0)).alias("d"))
+        )
+
+    for _ in range(_KCORE_ROUNDS):
+        surv = (
+            core_degrees(surv)
+            .filter(F.col("d") >= _KCORE_K)
+            .select("node")
+            .localCheckpoint(eager=True)
+        )
+    return core_degrees(surv).select(
+        "node", F.col("d").cast("long").alias("core_deg")
+    )

@@ -173,6 +173,13 @@ _SHUFFLE_BUDGET_EXEMPT = {
     # Both legs are individually pinned by their own queries; the
     # harness adds only row-count-sized movement.
     "q_dedup_tier_eval": 9,
+    # One k-core peel pass = two endpoint semi-joins of the (eagerly
+    # checkpointed, strictly shrinking) edge list against the
+    # survivor set + a degree groupBy + the degree rejoin — the
+    # visible plan is only the FINAL pass (each round checkpoints),
+    # but that single pass legitimately exchanges the small
+    # edge/survivor tables ~10 times. All movement is subgraph-sized.
+    "q_kcore": 10,
 }
 
 
