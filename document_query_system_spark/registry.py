@@ -192,6 +192,7 @@ def _load_all() -> None:
     from .operators import graph_metrics  # noqa: F401
     from .operators import recipes  # noqa: F401
     from .operators import behavior  # noqa: F401
+    from .operators import governance  # noqa: F401
     from .functions import vector  # noqa: F401
     from .operators import textpipe  # noqa: F401
     from .sources import scans  # noqa: F401
