@@ -368,3 +368,123 @@ def q_golden_vector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _GOLDEN_SEARCH_TOP_K)
         .drop("rn")
     )
+
+
+# ------------------------------------------------- Matryoshka truncation
+#
+# MRL-style dimension truncation (Kusupati et al. 2022): serve a
+# prefix of each embedding — 4-8× less index bandwidth — and measure
+# what that costs in retrieval quality. The eval: exact top-k on the
+# FULL vectors is truth; per prefix width d, top-k on the first d
+# dims (cosine over the renormalized prefix); recall@k per (d,
+# query). These embeddings are not MRL-trained, so the measured
+# recall IS the point — the harness tells you whether truncation is
+# safe for a given corpus, exactly like q_ann_recall does for the
+# ANN tiers.
+
+_MRL_DIMS = (8, 16, 32)
+
+
+def _mrl_sql() -> str:
+    legs = []
+    for d in _MRL_DIMS:
+        legs.append(
+            f"""
+  SELECT {d} AS dims, query_id, match_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round(list_dot_product(q.v[1:{d}], c.v[1:{d}])
+                   / (sqrt(list_dot_product(q.v[1:{d}], q.v[1:{d}]))
+                      * sqrt(list_dot_product(c.v[1:{d}], c.v[1:{d}]))), 6) DESC,
+               c.vec_id) AS rn
+    FROM q CROSS JOIN c WHERE q.vec_id <> c.vec_id)
+  WHERE rn <= {_TOPK_K}"""
+        )
+    union = "\n  UNION ALL".join(legs)
+    return f"""
+WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+truth AS (
+  SELECT query_id, match_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round(list_dot_product(q.v, c.v)
+                   / (sqrt(list_dot_product(q.v, q.v))
+                      * sqrt(list_dot_product(c.v, c.v))), 6) DESC, c.vec_id) AS rn
+    FROM q CROSS JOIN c WHERE q.vec_id <> c.vec_id)
+  WHERE rn <= {_TOPK_K}
+),
+approx AS ({union})
+SELECT a.dims, a.query_id,
+       round(count(t.match_id) / {_TOPK_K}.0, 6) AS recall
+FROM approx a
+LEFT JOIN truth t ON t.query_id = a.query_id AND t.match_id = a.match_id
+GROUP BY a.dims, a.query_id
+"""
+
+
+@register("q_matryoshka_recall", oracle=_mrl_sql())
+def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{k} of dimension-truncated (Matryoshka-style) cosine
+    search vs the full-dimension exact top-{k}, per prefix width
+    (8/16/32 of 64 dims) and query — the bandwidth/quality trade
+    report for serving truncated embeddings. See the module comment
+    above _MRL_DIMS.
+
+    Plan: the evaluation-harness shape of q_ann_recall — each
+    truncated search is the proven broadcast-queries ⨯ streamed-scan
+    top-k (the slice happens inside the fold, so the scan still
+    reads each vector once), materialized via localCheckpoint; the
+    scorer consumes the |dims|·|queries|·k-row outputs in one
+    join + groupBy pass."""
+
+    def topk(width: int | None) -> DataFrame:
+        emb = load(spark, sf_dir, "embeddings")
+        v = F.col("embedding").cast("array<double>")
+        tv = v if width is None else F.slice(v, 1, width)
+        q = F.broadcast(
+            emb.filter(F.col("vec_id") < 5).select(
+                F.col("vec_id").alias("query_id"), tv.alias("qv")
+            )
+        )
+        c = emb.select(F.col("vec_id").alias("match_id"), tv.alias("cv"))
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cos_sim"), F.asc("match_id")
+        )
+        return (
+            c.crossJoin(q)
+            .filter(F.col("query_id") != F.col("match_id"))
+            .select(
+                "query_id",
+                "match_id",
+                F.round(
+                    dot(F.col("qv"), F.col("cv"))
+                    / (l2_norm(F.col("qv")) * l2_norm(F.col("cv"))),
+                    6,
+                ).alias("cos_sim"),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= _TOPK_K)
+            .select("query_id", "match_id")
+            .localCheckpoint(eager=False)
+        )
+
+    truth = topk(None)
+    approx = None
+    for d in _MRL_DIMS:
+        leg = topk(d).select(
+            F.lit(d).cast("long").alias("dims"), "query_id", "match_id"
+        )
+        approx = leg if approx is None else approx.unionAll(leg)
+    hit = truth.withColumn("hit", F.lit(1))
+    return (
+        approx.join(hit, ["query_id", "match_id"], "left")
+        .groupBy("dims", "query_id")
+        .agg(
+            F.round(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))) / float(_TOPK_K), 6
+            ).alias("recall")
+        )
+    )
