@@ -402,3 +402,138 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("share"),
         )
     )
+
+
+# ------------------------------------------------ classifier calibration
+#
+# Reliability diagram for the logistic quality classifier: bin the
+# predicted keep-probability into fixed-width deciles and compare
+# each bin's mean score against the observed rate of an INDEPENDENT
+# reference label — the C4 heuristic chain from
+# q_quality_filter_chain (sampling.py). A well-calibrated scorer has
+# gap ≈ 0 per bin; systematic positive gaps mean the model is
+# over-confident for that score range. Fixed-width bins (not
+# quantile bins) so the binning is trivially engine-identical.
+
+
+def _calibration_sql() -> str:
+    from .sampling import _MAX_MEAN_WORD_LEN, _MIN_WORDS
+
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {tokens_sql('lower(text)')} AS tk FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         round(len(list_distinct(tk)) / CAST(len(tk) AS DOUBLE), 6) AS ttr,
+         round(len(list_filter(tk, t -> t IN {_CLF_STOPWORDS!r}))
+               / CAST(len(tk) AS DOUBLE), 6) AS stop_share,
+         round(list_sum(list_transform(tk, t -> len(t)))
+               / CAST(len(tk) AS DOUBLE), 6) AS mean_len
+  FROM tok WHERE len(tk) > 0
+),
+scored AS (
+  SELECT doc_id,
+         round(1.0 / (1.0 + exp(-round({_CLF_W['bias']} + {_CLF_W['ttr']} * ttr
+               + {_CLF_W['stop_share']} * stop_share
+               + {_CLF_W['mean_len']} * (mean_len - 4.0), 6))), 6) AS score
+  FROM feat
+),
+lbl AS (
+  SELECT doc_id,
+         (len(toks) >= {_MIN_WORDS}
+          AND CAST(length(text) AS DOUBLE) / greatest(len(toks), 1)
+                <= {_MAX_MEAN_WORD_LEN}
+          AND len(list_filter(toks, t -> t IN ('the', 'a', 'is', 'of'))) > 0
+          AND NOT contains(text, '{{')) AS ref_keep
+  FROM (SELECT doc_id, text, {tokens_sql('text')} AS toks FROM documents)
+)
+SELECT CAST(least(floor(s.score * 10), 9) AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(CAST(round(s.score * 1000000) AS BIGINT)) AS DOUBLE)
+             / count(*) / 1000000.0, 6) AS mean_score,
+       round(sum(CASE WHEN l.ref_keep THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS ref_rate
+FROM scored s JOIN lbl l USING (doc_id)
+GROUP BY least(floor(s.score * 10), 9)
+"""
+
+
+@register("q_classifier_calibration", oracle=_calibration_sql())
+def q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability bins for the quality classifier: per score decile,
+    document count, mean predicted score, and the observed pass rate
+    of the independent C4 heuristic chain (q_quality_filter_chain) —
+    the monitoring report that catches scorer drift before it skews
+    the corpus mix. See the module comment above _calibration_sql.
+
+    Plan: the classifier features, the sigmoid, and the reference
+    label are all scan-local column expressions over ONE documents
+    scan (the two token pipelines share it); the report is a single
+    ≤10-group hash aggregate — one shuffle, output bounded by the
+    bin count forever. Mean scores aggregate as integer micro-units
+    (order-free)."""
+    from .sampling import _MAX_MEAN_WORD_LEN, _MIN_WORDS, _STOP
+
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    tk = tokens(F.lower(F.col("text")))
+    toks = tokens(F.col("text"))
+    base = docs.select("doc_id", "text", tk.alias("tk"), toks.alias("toks"))
+    n = F.size("tk").cast("double")
+    feat = base.filter(F.size("tk") > 0).select(
+        "doc_id",
+        "text",
+        "toks",
+        F.round(F.size(F.array_distinct("tk")) / n, 6).alias("ttr"),
+        F.round(
+            F.size(F.filter(F.col("tk"), lambda t: t.isin(*_CLF_STOPWORDS))) / n,
+            6,
+        ).alias("stop_share"),
+        F.round(
+            F.aggregate(
+                F.transform(F.col("tk"), F.length), F.lit(0), lambda a, x: a + x
+            )
+            / n,
+            6,
+        ).alias("mean_len"),
+    )
+    logit = F.round(
+        F.lit(_CLF_W["bias"])
+        + F.lit(_CLF_W["ttr"]) * F.col("ttr")
+        + F.lit(_CLF_W["stop_share"]) * F.col("stop_share")
+        + F.lit(_CLF_W["mean_len"]) * (F.col("mean_len") - F.lit(4.0)),
+        6,
+    )
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6)
+    ref = (
+        (F.size("toks") >= _MIN_WORDS)
+        & (
+            F.length("text").cast("double")
+            / F.greatest(F.size("toks"), F.lit(1))
+            <= _MAX_MEAN_WORD_LEN
+        )
+        & (F.size(F.filter(F.col("toks"), lambda t: t.isin(*_STOP))) > 0)
+        & (~F.col("text").contains("{"))
+    )
+    s2 = feat.select("doc_id", score.alias("score"), ref.alias("ref_keep"))
+    return (
+        s2.groupBy(
+            F.least(F.floor(F.col("score") * 10), F.lit(9))
+            .cast("long")
+            .alias("bin")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(
+                F.sum(F.round(F.col("score") * 1e6).cast("long")).cast("double")
+                / F.count("*")
+                / 1e6,
+                6,
+            ).alias("mean_score"),
+            F.round(
+                F.sum(F.when(F.col("ref_keep"), 1).otherwise(0))
+                / F.count("*").cast("double"),
+                6,
+            ).alias("ref_rate"),
+        )
+    )
