@@ -1234,3 +1234,84 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_users"),
         F.round(F.sum("cents") / F.count("*") / 100.0, 2).alias("avg_monetary"),
     )
+
+
+# ---------------------------------------------------------- winsorization
+#
+# Percentile clamping — the outlier-taming pass feature engineering
+# runs before normalization (tails squashed to the [p05, p95]
+# boundaries instead of dropped). Boundaries come from ONE exact
+# interpolated-percentile aggregate (rounded to 4 in both engines so
+# the clamp decision is engine-identical), broadcast back over the
+# scan; the report aggregates in integer CENTS so no float sum is
+# order-dependent. The 100 TB swap is percentile_approx for the
+# boundary pass — same note as q_quantile_bins.
+
+_WINSOR_LO = 0.05
+_WINSOR_HI = 0.95
+
+
+@register(
+    "q_winsorize",
+    oracle=f"""
+WITH b AS (
+  SELECT round(quantile_cont(l_extendedprice, {_WINSOR_LO}), 4) AS lo,
+         round(quantile_cont(l_extendedprice, {_WINSOR_HI}), 4) AS hi
+  FROM lineitem
+),
+w AS (
+  SELECT l.l_returnflag AS flag,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents,
+         CAST(round(least(greatest(l.l_extendedprice, b.lo), b.hi) * 100)
+              AS BIGINT) AS wcents,
+         (l.l_extendedprice < b.lo) AS clamped_lo,
+         (l.l_extendedprice > b.hi) AS clamped_hi
+  FROM lineitem l CROSS JOIN b
+)
+SELECT flag, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN clamped_lo THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+       CAST(sum(CASE WHEN clamped_hi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+       round(CAST(sum(cents) AS DOUBLE) / count(*) / 100.0, 4) AS mean_raw,
+       round(CAST(sum(wcents) AS DOUBLE) / count(*) / 100.0, 4) AS mean_winsorized
+FROM w GROUP BY flag
+""",
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorize the price column to its global [p05, p95] and report
+    per return-flag: row count, clamped-tail counts, and the raw vs
+    winsorized means — the before/after audit of the clamp. See the
+    module comment above _WINSOR_LO for the plan shape."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("v"),
+    )
+    b = F.broadcast(
+        li.agg(
+            F.round(F.expr(f"percentile(v, {_WINSOR_LO})"), 4).alias("lo"),
+            F.round(F.expr(f"percentile(v, {_WINSOR_HI})"), 4).alias("hi"),
+        )
+    )
+    w = li.crossJoin(b).select(
+        "flag",
+        F.round(F.col("v") * 100).cast("long").alias("cents"),
+        F.round(F.least(F.greatest(F.col("v"), F.col("lo")), F.col("hi")) * 100)
+        .cast("long")
+        .alias("wcents"),
+        (F.col("v") < F.col("lo")).alias("clamped_lo"),
+        (F.col("v") > F.col("hi")).alias("clamped_hi"),
+    )
+    return w.groupBy("flag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("clamped_lo"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_lo"),
+        F.sum(F.when(F.col("clamped_hi"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_hi"),
+        F.round(F.sum("cents").cast("double") / F.count("*") / 100.0, 4).alias(
+            "mean_raw"
+        ),
+        F.round(F.sum("wcents").cast("double") / F.count("*") / 100.0, 4).alias(
+            "mean_winsorized"
+        ),
+    )

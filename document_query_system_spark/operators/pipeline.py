@@ -666,6 +666,136 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------- nDCG eval
+#
+# Graded ranking quality: nDCG@10 of the BM25 keyword ranking scored
+# against vector-cosine pseudo-relevance (the exact semantic top-5
+# graded 5..1) — the keyword-vs-semantic agreement report that
+# complements q_rrf_fusion (which MERGES the legs) and
+# q_ann_recall/q_dedup_tier_eval (the other eval harnesses).
+#
+# Determinism: the DCG discounts 1/log2(rank+1) are PRECOMPUTED in
+# Python and injected as integer nano-unit literals in BOTH engines
+# (log2 is a libm call with no cross-engine last-bit guarantee; ten
+# precomputed integers sidestep it entirely). DCG is then a pure
+# integer sum; every query has exactly 5 graded docs, so IDCG is one
+# shared integer constant.
+
+_NDCG_K = 10
+_NDCG_GRADES = 5  # vector top-5 graded 5..1
+_NDCG_DISC = tuple(
+    round(1e9 / __import__("math").log2(i + 1)) for i in range(1, _NDCG_K + 1)
+)
+_NDCG_IDCG = sum(
+    (_NDCG_GRADES - j) * _NDCG_DISC[j] for j in range(_NDCG_GRADES)
+)
+
+
+def _ndcg_oracle() -> str:
+    from ..functions.embed import embed_subquery_sql
+
+    qv = embed_subquery_sql("questions", "question_id", "question_text")
+    dv = embed_subquery_sql("documents", "doc_id", "text")
+    disc = ", ".join(str(d) for d in _NDCG_DISC)
+    return (
+        _bm25_ctes()
+        + f""",
+kw AS (
+  SELECT question_id, doc_id, rk FROM (
+    SELECT question_id, doc_id,
+           row_number() OVER (PARTITION BY question_id
+                              ORDER BY bm25 DESC, doc_id) AS rk
+    FROM scored)
+  WHERE rk <= {_NDCG_K}
+),
+qv AS (SELECT id AS question_id, embedding AS v FROM {qv}),
+dv AS (SELECT id AS doc_id, embedding AS v FROM {dv}),
+rel AS (
+  SELECT question_id, doc_id, {_NDCG_GRADES + 1} - rk AS grade FROM (
+    SELECT question_id, doc_id,
+           row_number() OVER (PARTITION BY question_id
+                              ORDER BY cos_sim DESC, doc_id) AS rk
+    FROM (SELECT qv.question_id, dv.doc_id,
+                 round(list_dot_product(qv.v, dv.v), 6) AS cos_sim
+          FROM qv CROSS JOIN dv))
+  WHERE rk <= {_NDCG_GRADES}
+)
+SELECT k.question_id,
+       CAST(sum(coalesce(r.grade, 0) * ([{disc}])[k.rk]) AS BIGINT) AS dcg_nano,
+       round(sum(coalesce(r.grade, 0) * ([{disc}])[k.rk])
+             / {_NDCG_IDCG}.0, 6) AS ndcg
+FROM kw k LEFT JOIN rel r
+  ON r.question_id = k.question_id AND r.doc_id = k.doc_id
+GROUP BY k.question_id
+"""
+    )
+
+
+@register("q_ndcg_eval", oracle=_ndcg_oracle())
+def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 per golden question: the BM25 ranking scored against
+    vector-cosine pseudo-relevance (exact semantic top-5 graded
+    5..1). Low nDCG = the keyword and semantic views disagree — the
+    per-question signal for routing a query to hybrid retrieval.
+    See the module comment above _NDCG_K (notably: log2 discounts
+    are precomputed integer literals, so the whole metric is integer
+    arithmetic until the final normalization).
+
+    Plan: the two proven legs again (BM25 posting aggregation;
+    broadcast question vectors ⨯ streamed corpus embed); the scorer
+    joins two ≤|questions|·k-row tables and hash-aggregates per
+    question — movement bounded by the question count forever."""
+    from ..functions.embed import dot, embed_df
+    from .questions import questions_df
+
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    kw_w = Window.partitionBy("question_id").orderBy(
+        F.desc("bm25"), F.asc("doc_id")
+    )
+    kw = (
+        _bm25_scored(spark, sf_dir, docs=docs)
+        .withColumn("rk", F.row_number().over(kw_w))
+        .filter(F.col("rk") <= _NDCG_K)
+        .select("question_id", "doc_id", "rk")
+    )
+    dv = embed_df(docs, "text", out_col="doc_v").select("doc_id", "doc_v")
+    qv = F.broadcast(
+        embed_df(questions_df(spark), "question_text", out_col="q_v").select(
+            "question_id", "q_v"
+        )
+    )
+    rel_w = Window.partitionBy("question_id").orderBy(
+        F.desc("cos_sim"), F.asc("doc_id")
+    )
+    rel = (
+        dv.crossJoin(qv)
+        .select(
+            "question_id",
+            "doc_id",
+            F.round(dot(F.col("q_v"), F.col("doc_v")), 6).alias("cos_sim"),
+        )
+        .withColumn("rk", F.row_number().over(rel_w))
+        .filter(F.col("rk") <= _NDCG_GRADES)
+        .select(
+            "question_id",
+            "doc_id",
+            (F.lit(_NDCG_GRADES + 1) - F.col("rk")).alias("grade"),
+        )
+    )
+    disc = F.array(*[F.lit(d).cast("long") for d in _NDCG_DISC])
+    term = F.coalesce(F.col("grade"), F.lit(0)).cast("long") * F.element_at(
+        disc, F.col("rk")
+    )
+    return (
+        kw.join(rel, ["question_id", "doc_id"], "left")
+        .groupBy("question_id")
+        .agg(
+            F.sum(term).cast("long").alias("dcg_nano"),
+            F.round(F.sum(term) / float(_NDCG_IDCG), 6).alias("ndcg"),
+        )
+    )
+
+
 # ------------------------------------------------------ bloom prefilter join
 #
 # The 100 TB pattern for "filter a huge fact table by a key set too
