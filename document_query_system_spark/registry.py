@@ -95,6 +95,15 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # Round-7 prefix: the 50 queries with no CORRECTNESS_r01–r06 row —
 # exactly the set computed as registered-minus-union-of-rounds
 # (r6 verdict "What's missing" #1) — fits the ~50-slot prefix.
+#
+# ROUND-8 ROTATION TODO: replace this list with the queries that
+# will then lack a driver row — the r7 in-round additions past the
+# prefix (q_rrf_fusion, q_dedup_tier_eval, q_temperature_mix,
+# q_hard_negatives, q_kcore, q_k_anonymity, q_entity_resolution,
+# q_matryoshka_recall, q_classifier_calibration, q_winsorize,
+# q_ndcg_eval), the slot-51 defer q_bitwise_funcs, plus anything
+# CORRECTNESS_r07 flags red; backfill remaining slots with the
+# oldest green rows (the r1/r2 vintage in dedup/setops/textpipe).
 _ROTATION_PREFIX: tuple[str, ...] = (
     # oracle-cast fixes this round — need the fresh row most
     "q_token_budget_cap",  # r6 red row: HUGEINT window-sum, now cast
