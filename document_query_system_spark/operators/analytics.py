@@ -1285,10 +1285,17 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_returnflag").alias("flag"),
         F.col("l_extendedprice").alias("v"),
     )
+    # ONE array-percentile aggregate (the q_quantile_bins device):
+    # two scalar percentile() calls each keep their own sort buffer;
+    # the array form shares one.
     b = F.broadcast(
         li.agg(
-            F.round(F.expr(f"percentile(v, {_WINSOR_LO})"), 4).alias("lo"),
-            F.round(F.expr(f"percentile(v, {_WINSOR_HI})"), 4).alias("hi"),
+            F.expr(f"percentile(v, array({_WINSOR_LO}, {_WINSOR_HI}))").alias(
+                "bs"
+            )
+        ).select(
+            F.round(F.element_at("bs", 1), 4).alias("lo"),
+            F.round(F.element_at("bs", 2), 4).alias("hi"),
         )
     )
     w = li.crossJoin(b).select(
