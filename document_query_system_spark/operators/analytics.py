@@ -148,11 +148,22 @@ def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentile buffers all group values; the exact form is used here
     because it is oracle-checkable and the driver tables fit."""
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
-        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95"),
-        F.round(F.min("l_extendedprice"), 2).alias("lo"),
-        F.round(F.max("l_extendedprice"), 2).alias("hi"),
+    # One array-percentile buffer per group, not one per requested
+    # quantile (the q_winsorize/q_quantile_bins device).
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, array(0.5, 0.95))").alias("ps"),
+            F.round(F.min("l_extendedprice"), 2).alias("lo"),
+            F.round(F.max("l_extendedprice"), 2).alias("hi"),
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.element_at("ps", 1), 4).alias("p50"),
+            F.round(F.element_at("ps", 2), 4).alias("p95"),
+            "lo",
+            "hi",
+        )
     )
 
 
