@@ -54,6 +54,8 @@ HEAVY = [
     "q_dedup_tier_eval",
     "q_temperature_mix",
     "q_hard_negatives",
+    "q_ndcg_eval",
+    "q_classifier_calibration",
     "q_heavy_hitters_cms",
     "q_phrase_search",
     "q_proximity_search",
