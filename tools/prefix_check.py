@@ -15,8 +15,9 @@ driver's observable behavior allows:
   leaks into the rendering exactly as it would into a hash
   (np.float64(5) -> '5.0' vs np.int64(5) -> '5').
 
-Run: python tools/prefix_check.py [N]    (default 50)
-Exit code 1 if any prefix query mismatches.
+Run: python tools/prefix_check.py [N]        (default 50 — first N)
+     python tools/prefix_check.py LO HI      (slice [LO:HI] of the order)
+Exit code 1 if any checked query mismatches.
 """
 
 from __future__ import annotations
@@ -72,9 +73,12 @@ def _canon(pdf: pd.DataFrame) -> tuple[list[str], list[tuple[str, ...]]]:
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    if len(sys.argv) > 2:
+        lo, hi = int(sys.argv[1]), int(sys.argv[2])
+    else:
+        lo, hi = 0, int(sys.argv[1]) if len(sys.argv) > 1 else 50
     specs = all_specs()
-    prefix = list(specs)[:n]
+    prefix = list(specs)[lo:hi]
     spark = get_spark(app_name="dqs-prefix-check")
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
