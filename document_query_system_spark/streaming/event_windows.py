@@ -791,3 +791,132 @@ def q_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("row_i", "cell")
         .agg(F.sum("total").cast("long").alias("total"))
     )
+
+
+# ------------------------------------------------- streaming anomaly monitor
+#
+# The streaming member of the monitoring battery (batch siblings:
+# q_zscore_outliers, q_psi_drift): per (event_type, 1-hour tumbling
+# window) the stream computes count + mean value; each window is then
+# flagged against the STATIC per-type baseline (mean and σ over the
+# full historical table, tested at 3·SE = 3σ/√n of the window mean) — the alerting shape a production monitor
+# runs, with the baseline refreshed offline and the stream only
+# paying a windowed aggregate. Determinism discipline: every mean /
+# variance on BOTH engines derives from integer-CENTS sums (value ≤
+# ~560 ⇒ cents² · rows ≪ 2⁶³), so the 3·SE boundary comparison is on
+# bit-identical doubles; display values round after flagging.
+
+
+@register(
+    "q_stream_anomaly",
+    oracle="""
+WITH base AS (
+  SELECT event_type,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+           / count(*) AS mu_c,
+         sqrt(greatest(
+           CAST(sum(CAST(round(value * 100) AS BIGINT)
+                    * CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+             / count(*)
+             - pow(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                   / count(*), 2),
+           0.0)) AS sd_c
+  FROM events GROUP BY event_type
+),
+win AS (
+  SELECT date_trunc('hour', ts) AS w, event_type,
+         count(*) AS n_events,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+           / count(*) AS win_mean_c
+  FROM events GROUP BY date_trunc('hour', ts), event_type
+)
+SELECT epoch_us(win.w) AS window_start_us,
+       win.event_type AS event_type,
+       win.n_events,
+       -- floor(x*100 + 0.5)/10000: a cents-mean like 6599.125 is a
+       -- half-way tie at 4 dp where the engines' round() rules
+       -- disagree; floor(+0.5) on the bit-identical double is
+       -- deterministic everywhere.
+       CAST(floor(win.win_mean_c * 100.0 + 0.5) AS BIGINT) / 10000.0 AS win_mean,
+       CAST(floor(b.mu_c * 100.0 + 0.5) AS BIGINT) / 10000.0 AS base_mean,
+       CAST(floor(b.sd_c * 100.0 + 0.5) AS BIGINT) / 10000.0 AS base_sd,
+       -- 3σ on the STANDARD ERROR of the window mean (sd/√n): the
+       -- statistically right test for a window MEAN, and it actually
+       -- fires (16 of 3600 windows at sf0.1 ≈ the CLT tail rate) —
+       -- a population-σ threshold never trips on window means and
+       -- would make the flag vacuous (the q_token_budget_cap
+       -- lesson: exercise the semantics, don't just compute them).
+       (abs(win.win_mean_c - b.mu_c)
+          > 3 * b.sd_c / sqrt(win.n_events)) AS is_anomalous
+FROM win JOIN base b ON b.event_type = win.event_type
+""",
+)
+def q_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming anomaly monitor: tumbling 1-hour per-type windows
+    computed by the STREAM (integer-cents count/sum, complete mode),
+    then flagged in a batch post-pass against the static per-type
+    mean ± 3·SE baseline — the stream pays only the windowed aggregate;
+    the baseline is offline state (see the module comment above).
+
+    The flag comparison runs on doubles derived identically from
+    integer sums in both engines, so the 3·SE boundary is
+    engine-identical; display values round after the flag."""
+    ev = _read_event_stream(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("long")
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(cents).alias("sum_c"),
+        )
+        .select(
+            F.unix_micros(F.col("window.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "sum_c",
+        )
+    )
+    win = _run_to_memory(agg, spark).select(
+        "window_start_us",
+        "event_type",
+        "n_events",
+        (F.col("sum_c").cast("double") / F.col("n_events")).alias("win_mean_c"),
+    )
+    sq = cents * cents
+    base_src = load(spark, sf_dir, "events").select("event_type", "value")
+    mu_c = F.col("sum_c").cast("double") / F.col("n")
+    base = F.broadcast(
+        base_src.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(cents).alias("sum_c"),
+            F.sum(sq).alias("sumsq_c"),
+        )
+        .select(
+            "event_type",
+            mu_c.alias("mu_c"),
+            F.sqrt(
+                F.greatest(
+                    F.col("sumsq_c").cast("double") / F.col("n")
+                    - F.pow(mu_c, 2),
+                    F.lit(0.0),
+                )
+            ).alias("sd_c"),
+        )
+    )
+    def _fix4(c):  # floor(x*100+0.5)/1e4 — tie-free 4-dp (see oracle)
+        return F.floor(c * 100.0 + 0.5).cast("long") / 10000.0
+
+    return win.join(base, "event_type").select(
+        "window_start_us",
+        "event_type",
+        "n_events",
+        _fix4(F.col("win_mean_c")).alias("win_mean"),
+        _fix4(F.col("mu_c")).alias("base_mean"),
+        _fix4(F.col("sd_c")).alias("base_sd"),
+        (
+            F.abs(F.col("win_mean_c") - F.col("mu_c"))
+            > 3 * F.col("sd_c") / F.sqrt(F.col("n_events"))
+        ).alias("is_anomalous"),
+    )
