@@ -553,9 +553,11 @@ SELECT CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
        CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
        CAST((SELECT count(*) FROM tp) AS BIGINT) AS n_tp,
        round((SELECT count(*) FROM tp)
-             / CAST((SELECT count(*) FROM cand) AS DOUBLE), 6) AS tier_precision,
+             / CAST(nullif((SELECT count(*) FROM cand), 0) AS DOUBLE),
+             6) AS tier_precision,
        round((SELECT count(*) FROM tp)
-             / CAST((SELECT count(*) FROM truth) AS DOUBLE), 6) AS tier_recall
+             / CAST(nullif((SELECT count(*) FROM truth), 0) AS DOUBLE),
+             6) AS tier_recall
 """
     )
 
@@ -587,12 +589,25 @@ def q_dedup_tier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_candidates",
             "n_truth",
             "n_tp",
+            # Zero-guard both quotients: on a degenerate input (empty
+            # candidate or truth leg) Spark's double division yields
+            # NULL while DuckDB yields inf/NaN — both engines must
+            # emit NULL exactly when the eval is most alarming
+            # (nullif() on the oracle side mirrors this).
             F.round(
-                F.col("n_tp") / F.col("n_candidates").cast("double"), 6
+                F.when(
+                    F.col("n_candidates") > 0,
+                    F.col("n_tp") / F.col("n_candidates").cast("double"),
+                ),
+                6,
             ).alias("tier_precision"),
-            F.round(F.col("n_tp") / F.col("n_truth").cast("double"), 6).alias(
-                "tier_recall"
-            ),
+            F.round(
+                F.when(
+                    F.col("n_truth") > 0,
+                    F.col("n_tp") / F.col("n_truth").cast("double"),
+                ),
+                6,
+            ).alias("tier_recall"),
         )
     )
 

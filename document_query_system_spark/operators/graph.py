@@ -14,7 +14,7 @@ checkpointed too, so lineage never accumulates across rounds.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -130,9 +130,12 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
-    w = Window.orderBy(F.desc("r"), F.asc("node"))
+    # Final top-k via orderBy().limit() — TakeOrderedAndProject keeps
+    # a 20-row heap per partition and merges heaps on the driver; the
+    # previous global row_number() window sorted ALL nodes in one
+    # partition (the O1 discipline; r7 verdict #4).
     return (
-        r.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _PR_TOPK)
+        r.orderBy(F.desc("r"), F.asc("node"))
+        .limit(_PR_TOPK)
         .select("node", F.col("r").alias("rank"))
     )

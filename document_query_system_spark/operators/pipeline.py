@@ -603,15 +603,18 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     pool). score = Σ_legs 1/(60 + rank) over each leg's top-20,
     rounded to 6 before the final ranking; doc_id breaks score ties.
 
-    Plan: the two legs are the proven q_bm25_topk /
-    q_golden_vector_search shapes (posting-table aggregation with
-    broadcast question terms; broadcast question vectors against a
-    streamed corpus embed). Each leg's per-question top-20 is a
-    window over its (question)-partitioned score table, and the
-    fusion is a full-outer join of two ≤|questions|·20-row sides —
-    trivially small forever, whatever the corpus size. Rank
+    Plan: the two legs are the proven q_bm25_topk / q_hybrid_rrf
+    shapes (posting-table aggregation with broadcast question terms;
+    broadcast question vectors probing the STORED vector index from
+    ensure_vector_index — a retrieval query must never re-embed the
+    corpus per question batch; at 100 TB that is a full compute pass
+    per call, the r2/r4/r7 verdict finding). Each leg's per-question
+    top-20 is a window over its (question)-partitioned score table,
+    and the fusion is a full-outer join of two ≤|questions|·20-row
+    sides — trivially small forever, whatever the corpus size. Rank
     arithmetic is integer; the only float, 1/(60+rank), takes one of
     40 fixed values."""
+    from ..api import ensure_vector_index
     from ..functions.embed import dot, embed_df
     from .questions import questions_df
 
@@ -625,7 +628,10 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _RRF_POOL)
         .select("question_id", "doc_id", F.col("rk").alias("kw_rk"))
     )
-    dv = embed_df(docs, "text", out_col="doc_v").select("doc_id", "doc_v")
+    dv = (
+        spark.read.parquet(ensure_vector_index(spark, sf_dir))
+        .select("doc_id", F.col("dv").alias("doc_v"))
+    )
     qv = F.broadcast(
         embed_df(questions_df(spark), "question_text", out_col="q_v").select(
             "question_id", "q_v"
@@ -742,9 +748,12 @@ def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic until the final normalization).
 
     Plan: the two proven legs again (BM25 posting aggregation;
-    broadcast question vectors ⨯ streamed corpus embed); the scorer
-    joins two ≤|questions|·k-row tables and hash-aggregates per
-    question — movement bounded by the question count forever."""
+    broadcast question vectors probing the STORED vector index —
+    grading against the index the engine actually serves, never a
+    per-call corpus re-embed); the scorer joins two ≤|questions|·k-row
+    tables and hash-aggregates per question — movement bounded by the
+    question count forever."""
+    from ..api import ensure_vector_index
     from ..functions.embed import dot, embed_df
     from .questions import questions_df
 
@@ -758,7 +767,10 @@ def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _NDCG_K)
         .select("question_id", "doc_id", "rk")
     )
-    dv = embed_df(docs, "text", out_col="doc_v").select("doc_id", "doc_v")
+    dv = (
+        spark.read.parquet(ensure_vector_index(spark, sf_dir))
+        .select("doc_id", F.col("dv").alias("doc_v"))
+    )
     qv = F.broadcast(
         embed_df(questions_df(spark), "question_text", out_col="q_v").select(
             "question_id", "q_v"

@@ -92,88 +92,79 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # first (in listed order), then everything else in registration order.
 # Unknown names fail loudly (a typo would silently burn a prefix slot).
 #
-# Round-7 prefix: the 50 queries with no CORRECTNESS_r01–r06 row —
-# exactly the set computed as registered-minus-union-of-rounds
-# (r6 verdict "What's missing" #1) — fits the ~50-slot prefix.
-#
-# ROUND-8 ROTATION TODO: replace this list with the queries that
-# will then lack a driver row — the r7 in-round additions past the
-# prefix (q_rrf_fusion, q_dedup_tier_eval, q_temperature_mix,
-# q_hard_negatives, q_kcore, q_k_anonymity, q_entity_resolution,
-# q_matryoshka_recall, q_classifier_calibration, q_winsorize,
-# q_ndcg_eval), the slot-51 defer q_bitwise_funcs, plus anything
-# CORRECTNESS_r07 flags red; backfill remaining slots with the
-# oldest green rows (the r1/r2 vintage in dedup/setops/textpipe).
+# Round-8 prefix (r7 verdict "Next round" #1): the 13 queries added
+# after the r7 prefix was frozen — the only registered queries with
+# no CORRECTNESS_r01–r07 row — come first, then any NEW r8 queries
+# (added to this list AS they are registered, so the r7 debt cycle
+# doesn't repeat), then backfill with the oldest green rows: the 17
+# r1-vintage rows, then r2-vintage (rows age as the driver's tables
+# and type rendering evolve — the r7 HUGEINT and date-rendering
+# episodes both bit queries whose row was stale). Deferred r2
+# refreshes (twins of an included query or scan-class duplicates):
+# q_source_csv/json/orc (q_scan_lineitem covers the scan class),
+# q_embed_pandas (bit-identical twin of q_embed_hash, pinned by
+# tests), q_vector_topk_filtered (superset twin of q_vector_topk),
+# q_union_distinct, q_filter_chunk_type, q_l2_normalize,
+# q_sentence_split (regex twin of q_udtf_sentences).
 _ROTATION_PREFIX: tuple[str, ...] = (
-    # oracle-cast fixes this round — need the fresh row most
-    "q_token_budget_cap",  # r6 red row: HUGEINT window-sum, now cast
-    "q_corpus_refresh",  # same bug class, fixed pre-rotation
-    "q_heavy_hitters_cms",  # same (caught by test_oracle_types_match_spark)
-    "q_user_growth",  # same
-    # clustering / dedup additions
-    "q_cluster_kmeans",
-    "q_dedup_semantic",
-    "q_dedup_containment",
-    # sketches
-    "q_hll_portable",
-    # graph metrics
-    "q_triangle_count",
-    "q_communities_lp",
-    # monitoring battery (analytics/corpus tails)
-    "q_zscore_outliers",
-    "q_mad_outliers",
-    "q_chi2_independence",
-    "q_psi_drift",
-    "q_ks_drift",
-    "q_benford_digits",
-    "q_quantile_bins",
-    "q_data_quality_checks",
-    # behavior analytics
-    "q_funnel_conversion",
-    "q_user_trend",
-    "q_event_transitions",
-    "q_rfm_segments",
-    "q_attribution_last_touch",
-    "q_cohort_retention",
-    "q_hourly_seasonality",
-    "q_gapfill_daily",
-    "q_user_drawdown",
-    # joins additions
-    "q_join_asof_forward",
-    "q_join_asof_nearest",
-    "q_join_interval_bucketed",
-    "q_join_null_safe",
-    "q_skew_salted_join",
-    # set-op ALL variants
-    "q_intersect_all",
-    "q_except_all",
-    # sinks / scans / snapshot
-    "q_merge_into",
-    "q_snapshot_diff",
-    "q_schema_evolution_read",
-    "q_csv_malformed",
-    # search additions
-    "q_phrase_search",
-    "q_proximity_search",
-    # multimodal additions
-    "q_scene_changes",
-    "q_media_hist_arrow",
-    # streaming additions
-    "q_stream_static_join",
-    "q_stream_sliding",
-    "q_stream_cms",
-    # windows / sampling tails
-    "q_ewma_latest",
-    "q_forward_fill",
-    "q_sample_weighted",
-    "q_sample_neyman",
-    # text/scalar tails
-    "q_bpe_tokens",
-    # Slot 51 — the driver checks exactly 50; with the red-row
-    # re-check occupying one slot, ONE never-verified query must
-    # wait for r8. q_bitwise_funcs (pure scalar exprs, rows-only
-    # risk ~nil) is the deliberate defer.
-    "q_bitwise_funcs",
+    # --- the 13 r7 post-prefix additions (never driver-verified) ---
+    "q_rrf_fusion",  # + stored-index fix this round (r7 verdict #2)
+    "q_ndcg_eval",  # + stored-index fix this round (r7 verdict #3)
+    "q_dedup_tier_eval",  # + zero-guard fix this round (ADVICE #1)
+    "q_temperature_mix",
+    "q_hard_negatives",
+    "q_kcore",
+    "q_k_anonymity",
+    "q_entity_resolution",
+    "q_matryoshka_recall",
+    "q_classifier_calibration",
+    "q_winsorize",
+    "q_stream_anomaly",  # only streaming query with no driver row
+    "q_bitwise_funcs",  # the deliberate r7 slot-51 defer
+    # --- new r8 registrations (driver row in the round they land;
+    #     grown here AS each lands so the r7 debt cycle can't repeat) ---
+    "q_pagerank",  # re-verify after the top-k plan change (verdict #4)
+    # --- r1-vintage refresh (no fresh row since round 1) ---
+    "q_agg_stats",
+    "q_agg_percentiles",
+    "q_agg_percentiles_approx",
+    "q_pivot_lang_source",
+    "q_shipping_priority",
+    "q_local_supplier_volume",
+    "q_grouping_sets",
+    "q_exists_subquery",
+    "q_scalar_subquery",
+    "q_range_frame",
+    "q_skew_salted_agg",
+    "q_media_metadata",
+    "q_image_decode_stats",
+    "q_image_resize",
+    "q_frame_sample",
+    "q_audio_rms",
+    "q_agg_cube",
+    # --- r2-vintage refresh (oldest first by risk class) ---
+    "q_vector_topk",
+    "q_golden_vector_search",
+    "q_embed_hash",
+    "q_embed_quantize_int8",
+    "q_sliding_chunks",
+    "q_merge_small_chunks",
+    "q_paragraph_explode",
+    "q_udtf_sentences",
+    "q_scan_lineitem",
+    "q_scan_part_pruned",
+    # q_union_all deferred with q_union_distinct (set-op family got
+    # fresh r7 rows via the ALL-variants; this keeps the list at the
+    # driver's exact 50 slots)
+    "q_intersect",
+    "q_except",
+    "q_string_funcs",
+    "q_regex_sections",
+    "q_array_funcs",
+    "q_json_funcs",
+    "q_map_funcs",
+    "q_table_flatten",
+    "q_json_corrupt_tolerant",
 )
 
 

@@ -31,10 +31,23 @@ def _prepare_jvm_launch_env() -> None:
 
     No-ops if a gateway already exists (options only matter at launch).
     """
-    if "PYSPARK_SUBMIT_ARGS" not in os.environ:
+    code_cache = (
+        "-XX:ReservedCodeCacheSize=512m -XX:+UseCodeCacheFlushing"
+    )
+    existing = os.environ.get("PYSPARK_SUBMIT_ARGS")
+    if existing is None:
         os.environ["PYSPARK_SUBMIT_ARGS"] = (
-            '--driver-java-options "-XX:ReservedCodeCacheSize=512m '
-            '-XX:+UseCodeCacheFlushing" pyspark-shell'
+            f'--driver-java-options "{code_cache}" pyspark-shell'
+        )
+    elif "ReservedCodeCacheSize" not in existing:
+        # A pre-set PYSPARK_SUBMIT_ARGS (common in CI) must not
+        # silently drop the code-cache fix — the interpreted-codegen
+        # regression it prevents would reappear with no signal
+        # (ADVICE r7). Prepend our options; a later --driver-java-
+        # options from the user would win, which is the right
+        # precedence for an explicit override.
+        os.environ["PYSPARK_SUBMIT_ARGS"] = (
+            f'--driver-java-options "{code_cache}" {existing}'
         )
     os.environ.setdefault("PYTHONWARNINGS", "ignore::FutureWarning")
 

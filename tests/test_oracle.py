@@ -205,8 +205,12 @@ def test_oracle_types_match_spark(name, spark, duck):
     renders float64 against Spark's int64 — identical values, red
     hash. fetchall() converts HUGEINT to Python int, so the value
     test above can NEVER catch this; this test checks the oracle's
-    arrow schema against Spark's analyzed schema instead (LIMIT 0 —
-    no execution on either side)."""
+    arrow schema against Spark's analyzed schema instead. The oracle
+    side is LIMIT 0 (never executed); the Spark side is analysis-only
+    for batch queries, but q_stream_* fns DO run their stream to the
+    memory sink before .schema is readable — accepted cost (sf0.001,
+    sub-second each): streaming fixed-point display rounding was a
+    real cross-engine divergence class this test exists to catch."""
     import pyarrow as pa
     from pyspark.sql import types as T
 

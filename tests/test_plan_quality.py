@@ -276,3 +276,54 @@ def test_phrase_search_prunes_terms_before_joins(spark):
     side (the per-term posting lists are the broadcast candidates)."""
     rep = _plan(spark, "q_phrase_search")
     assert rep.n_shuffles <= 1, rep.n_shuffles
+
+
+# Retrieval queries whose plans must NEVER embed the document corpus:
+# they probe the STORED vector index (api.ensure_vector_index), so
+# the only embed compute allowed is the literal question batch —
+# which Catalyst constant-folds clean out of the plan. The r7 round
+# shipped two queries (q_rrf_fusion, q_ndcg_eval) violating the rule
+# that api.py documents; this pin makes the next violation fail at
+# commit time instead of in a verdict (r7 verdict #6).
+_RETRIEVAL_QUERIES = (
+    "q_hybrid_rrf",
+    "q_rrf_fusion",
+    "q_ndcg_eval",
+    "q_api_run_vector",
+    "q_api_run_keyword",
+    "q_bm25_topk",
+    "q_tfidf_topk",
+)
+# Deliberately NOT pinned: q_golden_vector_search — it is the
+# end-to-end embed-documents-then-search pipeline benchmark (the
+# reference's one-shot src/main.py:84-127 run; BASELINE.md B1+B2
+# analog), where the corpus embed IS the measured work.
+# The deterministic embedder's char-fold hash is (acc*131 + ascii) %
+# 1000000007 (functions/hashing.py) — `* 131)` survives into any
+# optimized plan that hash-embeds a text column. Embedding the
+# 10-row question batch is allowed (its source column renders as
+# split(question_text#N)); embedding the corpus is the violation
+# (split(text#N) — the documents table's column — in the enclosing
+# token_hashes expression, which in plan text sits within a few
+# hundred chars before the fold constant).
+_EMBED_MARKER = "* 131)"
+_CORPUS_SPLIT = "split(text#"
+
+
+@pytest.mark.parametrize("name", _RETRIEVAL_QUERIES)
+def test_retrieval_never_embeds_corpus(name, spark):
+    df = all_specs()[name].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    i = 0
+    while True:
+        i = plan.find(_EMBED_MARKER, i)
+        if i < 0:
+            break
+        window = plan[max(0, i - 900) : i]
+        assert _CORPUS_SPLIT not in window, (
+            f"{name}: optimized plan hash-embeds the documents text "
+            "column — a retrieval query re-embedding the corpus is a "
+            "full compute pass per call at 100 TB; probe the stored "
+            "index from api.ensure_vector_index instead"
+        )
+        i += 1
