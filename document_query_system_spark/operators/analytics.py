@@ -1020,6 +1020,44 @@ def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BIN_APPROX_ACC = 10000  # percentile_approx rank error <= n/accuracy
+
+
+@register("q_quantile_bins_approx", oracle=None)  # sketch boundaries
+def q_quantile_bins_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB path of q_quantile_bins, actually executed: the
+    decile boundary pass uses percentile_approx (KLL-style sketch,
+    bounded memory, mergeable partials — exact ``percentile`` buffers
+    every value) and everything downstream is byte-identical to the
+    exact twin: broadcast 9-element boundary array, scan-local bin
+    expression, 10-group rollup. Rows-only by construction (sketch
+    boundaries are engine-specific); the local suite brackets every
+    cumulative bin count by the sketch's rank-error guarantee
+    (error <= n/accuracy per boundary) against DuckDB's exact CDF."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("v")
+    )
+    ps = ", ".join(str(p) for p in _BIN_PS)
+    b = li.agg(
+        F.transform(
+            F.expr(f"percentile_approx(v, array({ps}), {_BIN_APPROX_ACC})"),
+            lambda x: F.round(x, 4),
+        ).alias("bs")
+    )
+    binned = li.crossJoin(F.broadcast(b)).select(
+        (
+            1 + F.size(F.filter(F.col("bs"), lambda x: F.col("v") > x))
+        ).cast("int").alias("bin"),
+        "v",
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.round(F.min("v"), 2).alias("lo"),
+        F.round(F.max("v"), 2).alias("hi"),
+        F.round(F.avg("v"), 4).alias("avg_v"),
+    )
+
+
 @register(
     "q_psi_drift",
     oracle="""
@@ -1304,6 +1342,56 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"percentile(v, array({_WINSOR_LO}, {_WINSOR_HI}))").alias(
                 "bs"
             )
+        ).select(
+            F.round(F.element_at("bs", 1), 4).alias("lo"),
+            F.round(F.element_at("bs", 2), 4).alias("hi"),
+        )
+    )
+    w = li.crossJoin(b).select(
+        "flag",
+        F.round(F.col("v") * 100).cast("long").alias("cents"),
+        F.round(F.least(F.greatest(F.col("v"), F.col("lo")), F.col("hi")) * 100)
+        .cast("long")
+        .alias("wcents"),
+        (F.col("v") < F.col("lo")).alias("clamped_lo"),
+        (F.col("v") > F.col("hi")).alias("clamped_hi"),
+    )
+    return w.groupBy("flag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("clamped_lo"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_lo"),
+        F.sum(F.when(F.col("clamped_hi"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_hi"),
+        F.round(F.sum("cents").cast("double") / F.count("*") / 100.0, 4).alias(
+            "mean_raw"
+        ),
+        F.round(F.sum("wcents").cast("double") / F.count("*") / 100.0, 4).alias(
+            "mean_winsorized"
+        ),
+    )
+
+
+@register("q_winsorize_approx", oracle=None)  # sketch boundaries
+def q_winsorize_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB path of q_winsorize, actually executed: the [p05,
+    p95] clamp bounds come from ONE percentile_approx sketch (bounded
+    memory, mergeable partials) instead of the exact sort buffer;
+    clamp, integer-cents accounting, and per-flag rollup are
+    byte-identical to the exact twin. Rows-only; the local suite
+    brackets each clamped-tail fraction by the sketch's rank-error
+    guarantee against DuckDB's exact CDF."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("v"),
+    )
+    b = F.broadcast(
+        li.agg(
+            F.expr(
+                f"percentile_approx(v, array({_WINSOR_LO}, {_WINSOR_HI}),"
+                f" {_BIN_APPROX_ACC})"
+            ).alias("bs")
         ).select(
             F.round(F.element_at("bs", 1), 4).alias("lo"),
             F.round(F.element_at("bs", 2), 4).alias("hi"),

@@ -124,6 +124,8 @@ _ROTATION_PREFIX: tuple[str, ...] = (
     # --- new r8 registrations (driver row in the round they land;
     #     grown here AS each lands so the r7 debt cycle can't repeat) ---
     "q_pagerank",  # re-verify after the top-k plan change (verdict #4)
+    "q_quantile_bins_approx",  # r8 addition (verdict #7; rows-only)
+    "q_winsorize_approx",  # r8 addition (verdict #7; rows-only)
     # --- r1-vintage refresh (no fresh row since round 1) ---
     "q_agg_stats",
     "q_agg_percentiles",
@@ -153,11 +155,10 @@ _ROTATION_PREFIX: tuple[str, ...] = (
     "q_udtf_sentences",
     "q_scan_lineitem",
     "q_scan_part_pruned",
-    # q_union_all deferred with q_union_distinct (set-op family got
-    # fresh r7 rows via the ALL-variants; this keeps the list at the
-    # driver's exact 50 slots)
-    "q_intersect",
-    "q_except",
+    # q_union_all / q_intersect / q_except deferred with
+    # q_union_distinct (the set-op family got fresh r7 rows via the
+    # ALL-variants in the same file; keeps the list at the driver's
+    # exact 50 slots)
     "q_string_funcs",
     "q_regex_sections",
     "q_array_funcs",

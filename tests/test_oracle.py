@@ -88,6 +88,67 @@ def _chk_percentiles_approx(duck, cols, rows):
             assert lo <= got[key] <= hi, (flag, key, got[key], lo, hi)
 
 
+def _chk_quantile_bins_approx(duck, cols, rows):
+    # percentile_approx(accuracy=10000) bounds each boundary's rank
+    # error by n/10000; bracket every cumulative bin fraction by the
+    # target decile ± 0.005 (a 50× rank margin absorbing the 4-decimal
+    # boundary rounding), and require exact partition of the scan.
+    (n_total,) = duck.execute("SELECT count(*) FROM lineitem").fetchone()
+    got = {r[cols.index("bin")]: dict(zip(cols, r)) for r in rows}
+    assert set(got) == set(range(1, 11)), sorted(got)
+    assert sum(g["n"] for g in got.values()) == n_total
+    cum = 0
+    for k in range(1, 10):
+        cum += got[k]["n"]
+        frac = cum / n_total
+        assert abs(frac - k / 10) <= 0.005, (k, frac)
+    for g in got.values():
+        assert g["lo"] <= g["avg_v"] <= g["hi"], g
+
+
+def _chk_winsorize_approx(duck, cols, rows):
+    # Clamped-tail fractions must sit within the sketch rank-error
+    # bracket of their 5% targets, and each flag's winsorized mean
+    # must lie between the EXACT winsorized means computed at clamp
+    # quantiles p ∓ 0.001 (mean_w(lo, hi) is monotone increasing in
+    # both bounds, so shifting both down/up gives hard envelopes; the
+    # sketch guarantees rank error ≤ 1e-4 ≪ the 1e-3 margin).
+    (n_total,) = duck.execute("SELECT count(*) FROM lineitem").fetchone()
+    n_lo = sum(r[cols.index("n_lo")] for r in rows)
+    n_hi = sum(r[cols.index("n_hi")] for r in rows)
+    assert sum(r[cols.index("n")] for r in rows) == n_total
+    assert abs(n_lo / n_total - 0.05) <= 0.005, n_lo / n_total
+    assert abs(n_hi / n_total - 0.05) <= 0.005, n_hi / n_total
+    env = {
+        flag: (mw_lo, mw_hi)
+        for flag, mw_lo, mw_hi in duck.execute(
+            """
+WITH b AS (
+  SELECT quantile_cont(l_extendedprice, 0.049) AS lo_dn,
+         quantile_cont(l_extendedprice, 0.051) AS lo_up,
+         quantile_cont(l_extendedprice, 0.949) AS hi_dn,
+         quantile_cont(l_extendedprice, 0.951) AS hi_up
+  FROM lineitem
+)
+SELECT l_returnflag,
+       avg(least(greatest(l_extendedprice, b.lo_dn), b.hi_dn)),
+       avg(least(greatest(l_extendedprice, b.lo_up), b.hi_up))
+FROM lineitem CROSS JOIN b GROUP BY l_returnflag
+"""
+        ).fetchall()
+    }
+    for r in rows:
+        g = dict(zip(cols, r))
+        mw_lo, mw_hi = env[g["flag"]]
+        # 0.02 slack absorbs the 4-decimal boundary rounding and the
+        # integer-cents accounting.
+        assert mw_lo - 0.02 <= g["mean_winsorized"] <= mw_hi + 0.02, (
+            g,
+            mw_lo,
+            mw_hi,
+        )
+
+
 def _chk_mllib_lsh(duck, cols, rows):
     # The MLlib hash family decides WHICH candidates surface (not
     # checkable cross-engine), but every surfaced row must be a real
@@ -143,6 +204,8 @@ def _chk_bpe_tokens(duck, cols, rows):
 _BOUND_CHECKS = {
     "q_agg_approx_distinct": _chk_approx_distinct,
     "q_agg_percentiles_approx": _chk_percentiles_approx,
+    "q_quantile_bins_approx": _chk_quantile_bins_approx,
+    "q_winsorize_approx": _chk_winsorize_approx,
     "q_ann_mllib_lsh": _chk_mllib_lsh,
     "q_bpe_tokens": _chk_bpe_tokens,
 }
