@@ -208,6 +208,59 @@ def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_variant_funcs",
+    oracle="""
+WITH j AS (
+  SELECT doc_id,
+         to_json(struct_pack(
+           id   := doc_id,
+           meta := struct_pack(lang := lang, source := source),
+           dims := [n_chars, length(text)])) AS js
+  FROM documents
+)
+SELECT doc_id,
+       json_extract_string(js, '$.meta.lang')          AS lang_v,
+       CAST(json_extract(js, '$.dims[0]') AS BIGINT)   AS nchars_v,
+       CAST(NULL AS BIGINT)                            AS lang_as_int,
+       CAST(NULL AS BIGINT)                            AS missing_v,
+       TRUE                                            AS is_obj
+FROM j
+""",
+)
+def q_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X17+: the VARIANT semi-structured type (Spark 4) — the scale
+    path for JSON payload columns: parse once into the binary variant
+    encoding, then every ``variant_get`` is a typed path lookup with
+    no re-parse (vs get_json_object re-parsing the string per
+    extraction, the q_json_funcs shape). Exercises parse_json,
+    variant_get (nested object + array-index paths), try_variant_get
+    (type-mismatch → NULL, never an error), and schema_of_variant.
+    Both engines round-trip the SAME struct through their native JSON
+    encoding before extraction, so the check covers encode → parse →
+    typed-path-extract end-to-end."""
+    d = load(spark, sf_dir, "documents")
+    v = F.parse_json(
+        F.to_json(
+            F.struct(
+                F.col("doc_id").alias("id"),
+                F.struct(F.col("lang"), F.col("source")).alias("meta"),
+                F.array(F.col("n_chars"), F.length("text")).alias("dims"),
+            )
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.variant_get(v, "$.meta.lang", "string").alias("lang_v"),
+        F.variant_get(v, "$.dims[0]", "bigint").alias("nchars_v"),
+        # 'en'/'de'/… never casts to a number: try_ yields NULL.
+        F.try_variant_get(v, "$.meta.lang", "bigint").alias("lang_as_int"),
+        # Absent path: NULL (for both variant_get and try_variant_get).
+        F.try_variant_get(v, "$.nope", "bigint").alias("missing_v"),
+        F.schema_of_variant(v).startswith("OBJECT").alias("is_obj"),
+    )
+
+
+@register(
     "q_map_funcs",
     oracle="""
 WITH entries AS (

@@ -126,6 +126,8 @@ _ROTATION_PREFIX: tuple[str, ...] = (
     "q_pagerank",  # re-verify after the top-k plan change (verdict #4)
     "q_quantile_bins_approx",  # r8 addition (verdict #7; rows-only)
     "q_winsorize_approx",  # r8 addition (verdict #7; rows-only)
+    "q_variant_funcs",  # r8 addition (Spark-4 VARIANT surface)
+    "q_source_xml",  # r8 addition (native XML source round-trip)
     # --- r1-vintage refresh (no fresh row since round 1) ---
     "q_agg_stats",
     "q_agg_percentiles",
@@ -164,8 +166,9 @@ _ROTATION_PREFIX: tuple[str, ...] = (
     "q_array_funcs",
     "q_json_funcs",
     "q_map_funcs",
-    "q_table_flatten",
-    "q_json_corrupt_tolerant",
+    # q_table_flatten / q_json_corrupt_tolerant deferred (string-output
+    # shapes — neither of the two row-aging classes the refresh guards
+    # against, HUGEINT sums and date rendering, applies to them)
 )
 
 

@@ -60,12 +60,16 @@ def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
         w = load(spark, sf_dir, "nation").write.mode("overwrite").format(fmt)
         if fmt == "csv":
             w = w.option("header", "true")
+        elif fmt == "xml":
+            w = w.option("rowTag", "nation")
         w.save(path)
         _FORMAT_DIRS.add(key)
     schema = "n_nationkey INT, n_name STRING, n_regionkey INT, n_comment STRING"
     r = spark.read.format(fmt)
     if fmt == "csv":
         r = r.option("header", "true")
+    elif fmt == "xml":
+        r = r.option("rowTag", "nation")
     back = r.schema(schema).load(path)
     # min over a string buffer would plan as SortAggregate (string
     # agg buffers aren't UnsafeRow-mutable) — numeric aggregates keep
@@ -97,6 +101,15 @@ def q_source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC source round-trip — the other columnar format, same
     pushdown/pruning machinery as parquet."""
     return _roundtrip(spark, sf_dir, "orc")
+
+
+@register("q_source_xml", oracle=_NATION_AGG_ORACLE)
+def q_source_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source round-trip (native ``xml`` format since Spark 4,
+    rowTag-scoped records). Like CSV it is an interchange format —
+    row-oriented, no pushdown — but feeds + legacy enterprise exports
+    land this way; declared schema keeps it to one read."""
+    return _roundtrip(spark, sf_dir, "xml")
 
 
 @register(
