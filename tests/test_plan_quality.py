@@ -51,6 +51,25 @@ def test_topk_sort_limit_avoids_full_sort(spark):
     assert "TakeOrderedAndProject" in rep.raw
 
 
+def test_pagerank_final_topk_is_take_ordered(spark):
+    """The final top-20 must plan as TakeOrderedAndProject (a 20-row
+    heap per partition, heaps merged on the driver) — the previous
+    global row_number() window sorted ALL nodes in one partition
+    (r7 verdict #4). Also pins the fixed-budget lazy-rounds shape:
+    exactly one ExistingRDD source (the checkpointed edge list) feeds
+    every round — no per-round materialization barrier remains.
+    (Repeated-subtree exchanges dedup at RUNTIME under AQE, so
+    ReusedExchange is not visible in the static plan.)"""
+    import re
+
+    rep = _plan(spark, "q_pagerank")
+    assert "TakeOrderedAndProject" in rep.raw
+    outs = re.findall(
+        r"\(\d+\) Scan ExistingRDD\nOutput \[\d+\]: \[([a-z_]+)#", rep.raw
+    )
+    assert outs and set(outs) == {"src"}, set(outs)
+
+
 def test_bucketed_join_has_no_join_exchange(spark):
     """Both sides bucketed on the join key → the SortMergeJoin reads
     co-located buckets with NO shuffle before it; only the final
