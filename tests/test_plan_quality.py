@@ -133,32 +133,33 @@ def test_cosine_dedup_salts_the_bucket_key(spark):
 
 
 def test_bm25_shuffle_shape(spark):
-    """The r5 regression fix (verdict item 2): df must come from a
-    groupBy over the ONE materialized posting table, not a per-term
-    count window (which sorted nearly the whole posting table — the
-    golden terms cover most of the synthetic vocabulary). Pin: no
-    Window node partitions by term (the question_id rank window is the
-    only one allowed), the posting table is checkpointed exactly once
-    (both df and scoring consumers read the same RDD scan instead of
-    re-running scan→tokenize→explode), shuffle budget holds, and no
+    """r8 shape: the query probes the STORED posting index
+    (api.ensure_bm25_index) — the keyword twin of the vector-index
+    rule. Pins: the question-term isin predicate is PUSHED into the
+    postings Parquet scan (In(term, ...) in PushedFilters, so
+    term-sorted row groups skip on min/max stats); no
+    scan→tokenize→explode pipeline remains in the query plan; df
+    comes from a groupBy, never a per-term count window (the r5
+    regression: the golden terms cover most of the synthetic
+    vocabulary, so a term window sorted nearly the whole posting
+    table); shuffle budget 2 (the df groupBy + repartition(question),
+    which the score groupBy and rank window both reuse); no
     SortAggregate."""
     import re
 
     rep = _plan(spark, "q_bm25_topk")
-    assert rep.n_shuffles <= 4
+    assert rep.n_shuffles <= 2, rep.n_shuffles
     assert rep.n_sort_aggregates == 0
     windows = [
         blk for blk in re.split(r"\n\(\d+\) ", rep.raw)
         if blk.startswith("Window") and "term" in blk.split("\n")[1]
     ]
     assert windows == [], "df must come from a groupBy, not a term window"
-    # Exactly one checkpointed posting table feeding >=2 consumers:
-    # the lazy localCheckpoint surfaces as "Scan ExistingRDD" and the
-    # tokenize/explode pipeline disappears from this plan.
-    assert len(re.findall(r"\(\d+\) Scan ExistingRDD", rep.raw)) >= 2
     assert "explode" not in rep.raw, (
-        "posting table must be materialized once, not re-derived per consumer"
+        "posting table must come from the stored index, not be re-derived"
     )
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", rep.raw)
+    assert any("In(term" in p for p in pushed), pushed
 
 
 def test_no_sort_aggregates_anywhere(spark):
@@ -192,6 +193,14 @@ _SHUFFLE_BUDGET_EXEMPT = {
     # Both legs are individually pinned by their own queries; the
     # harness adds only row-count-sized movement.
     "q_dedup_tier_eval": 9,
+    # Fixed-budget lazy rounds (r8): all 3 PageRank iterations live in
+    # ONE plan (the former per-round eager checkpoints serialized the
+    # rounds and cost 5.4 vs 3.4 s at sf0.1), so the static plan shows
+    # every round's exchanges at once: 3 rounds × (rank⨯edges join +
+    # contribution agg + nodes left-join) + the nodes/degree builds.
+    # Identical repeated subtrees (nodes, degrees) dedup at RUNTIME
+    # via AQE exchange reuse; all movement is edge/node-sized.
+    "q_pagerank": 13,
     # One k-core peel pass = two endpoint semi-joins of the (eagerly
     # checkpointed, strictly shrinking) edge list against the
     # survivor set + a degree groupBy + the degree rejoin — the
