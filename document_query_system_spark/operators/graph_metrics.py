@@ -206,8 +206,12 @@ def q_communities_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: per round, one edge⋈label equi-join, one (node, label)
     vote count (partial-aggregable), one per-node argmax window over
     vote rows (fan-in bounded by distinct neighbor labels).
-    Iterations are a fixed budget like q_pagerank; label tables are
-    lazily checkpointed so rounds don't re-derive each other."""
+    Iterations are a fixed budget like q_pagerank, and follow the
+    same r8 discipline: ONE eager checkpoint (the bidirected edge
+    list), all rounds in a single lazy plan (bounded lineage by
+    construction; the former per-round checkpoints serialized the
+    rounds), and the final top-k as orderBy().limit() —
+    TakeOrderedAndProject, not a single-partition global window."""
     li = (
         load(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -227,11 +231,13 @@ def q_communities_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
     bi = (
         edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
         .unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
-    lbl = bi.select(F.col("src").alias("node")).distinct().withColumn(
-        "lbl", F.col("node")
-    ).localCheckpoint(eager=False)
+    lbl = (
+        bi.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+    )
     for _ in range(_LP_ROUNDS):
         votes = (
             bi.join(lbl.withColumnRenamed("node", "src"), "src")
@@ -243,15 +249,12 @@ def q_communities_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
             votes.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select("node", "lbl")
-            .localCheckpoint(eager=False)
         )
-    wtop = Window.orderBy(F.desc("size"), F.asc("community"))
     return (
         lbl.groupBy(F.col("lbl").alias("community"))
         .agg(F.count("*").alias("size"))
-        .withColumn("rn", F.row_number().over(wtop))
-        .filter(F.col("rn") <= _LP_TOPK)
-        .select("community", "size")
+        .orderBy(F.desc("size"), F.asc("community"))
+        .limit(_LP_TOPK)
     )
 
 

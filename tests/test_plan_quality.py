@@ -201,6 +201,12 @@ _SHUFFLE_BUDGET_EXEMPT = {
     # Identical repeated subtrees (nodes, degrees) dedup at RUNTIME
     # via AQE exchange reuse; all movement is edge/node-sized.
     "q_pagerank": 13,
+    # Same fixed-budget lazy-rounds shape (r8): both LP rounds live in
+    # one plan — per round an edge⨯label join + vote groupBy + argmax
+    # window (3 exchanges) + the initial node-distinct; movement is
+    # edge/label-sized and the bidirected edge list is the single
+    # materialized RDD.
+    "q_communities_lp": 7,
     # One k-core peel pass = two endpoint semi-joins of the (eagerly
     # checkpointed, strictly shrinking) edge list against the
     # survivor set + a degree groupBy + the degree rejoin — the
