@@ -1,0 +1,173 @@
+"""Modern SQL surface (Spark 4): recursive CTEs, pipe syntax,
+LATERAL correlated subqueries, and collation-aware grouping.
+
+These exist so a user of the reference who writes plain SQL against
+the engine (the reference exposes ad-hoc queries through its API
+layer; SURVEY §3) gets the full modern-SQL surface, not just the
+DataFrame operators. Each is expressed as spark.sql() over registered
+temp views — the plans compile to the same physical operators the
+DataFrame twins pin elsewhere (the recursion is the one genuinely new
+physical shape: an iterative UnionLoop with a per-step dedup).
+
+Scale notes per query in the docstrings; none of these introduces a
+new shuffle class beyond the operators already pinned.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..registry import register
+from ..sources.tables import load
+
+_BFS_MAX_DEPTH = 3
+_TRI_PRIORITY = "1-URGENT"  # same derived graph as the triangle family
+
+
+def _bfs_sql(dialect_cast: bool = False) -> str:
+    """Shared Spark/DuckDB text: breadth-first reachability from the
+    smallest node of the co-order part graph, depth-capped. The
+    recursive step SELECT DISTINCTs the frontier, so each iteration
+    carries ≤|nodes| rows (never path-counts — with UNION ALL alone a
+    dense graph multiplies paths per hop); min(depth) per node then
+    collapses revisits to the true BFS layer."""
+    return f"""
+WITH RECURSIVE li AS (
+  SELECT l.l_orderkey AS ok, l.l_partkey AS pk
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderpriority = '{_TRI_PRIORITY}'
+),
+edges AS (
+  SELECT DISTINCT a.pk AS u, b.pk AS v
+  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+),
+bi AS (SELECT u AS src, v AS dst FROM edges UNION ALL SELECT v, u FROM edges),
+seed AS (SELECT min(src) AS s FROM bi),
+bfs(node, depth) AS (
+  SELECT s, 0 FROM seed
+  UNION ALL
+  SELECT DISTINCT e.dst, b.depth + 1
+  FROM bfs b JOIN bi e ON e.src = b.node
+  WHERE b.depth < {_BFS_MAX_DEPTH}
+)
+SELECT CAST(depth AS INT) AS depth, CAST(count(*) AS BIGINT) AS n_nodes
+FROM (SELECT node, min(depth) AS depth FROM bfs GROUP BY node)
+GROUP BY depth
+"""
+
+
+def _views(spark: SparkSession, sf_dir: str, *tables: str) -> None:
+    for t in tables:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+@register("q_recursive_bfs", oracle=_bfs_sql())
+def q_recursive_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4): depth-capped BFS over the co-order
+    part graph — node counts per true BFS layer from the smallest
+    node. The SQL-native sibling of the DataFrame-loop graph family
+    (q_pagerank / q_dedup_clusters): same fixed-budget iteration
+    discipline, expressed as WITH RECURSIVE and executed by Spark's
+    recursion operator instead of a Python driver loop.
+
+    Scale: the recursive step is one frontier⨯edges equi-join + a
+    DISTINCT per iteration (frontier ≤ |nodes| — the DISTINCT is the
+    path-explosion guard), iterations capped at {depth} by the WHERE;
+    the closing min/count aggregates are node-bound. Identical text
+    runs on DuckDB as the oracle."""
+    _views(spark, sf_dir, "lineitem", "orders")
+    return spark.sql(_bfs_sql())
+
+
+_PIPE_SQL = """
+FROM lineitem
+|> WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+|> AGGREGATE round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             count(*) AS n_items
+   GROUP BY l_returnflag, l_linestatus
+|> WHERE n_items > 10
+|> SELECT l_returnflag, l_linestatus, revenue, n_items
+"""
+
+
+@register(
+    "q_pipe_syntax",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+GROUP BY l_returnflag, l_linestatus
+HAVING count(*) > 10
+""",
+)
+def q_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4, |> operators): the pricing-summary
+    shape written as a linear pipeline — scan |> filter |> aggregate
+    |> having |> project. Pure syntax: Catalyst compiles it to the
+    identical filtered hash-aggregate plan as the GROUP BY form (the
+    oracle), so the filter still pushes into the Parquet scan and the
+    aggregate still partial-aggregates map-side."""
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(_PIPE_SQL)
+
+
+_LATERAL_SQL = """
+SELECT r.r_name AS region, l.s_name AS supplier, l.acctbal
+FROM region r,
+LATERAL (
+  SELECT s.s_name, round(s.s_acctbal, 2) AS acctbal
+  FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE n.n_regionkey = r.r_regionkey
+  ORDER BY s.s_acctbal DESC, s.s_name LIMIT 2
+) l
+"""
+
+
+@register("q_lateral_topk", oracle=_LATERAL_SQL)
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery: top-2 suppliers by account balance
+    per region, written as the SQL-standard per-row subquery instead
+    of the window-rank idiom (q_topk_per_group is the DataFrame twin).
+    Spark decorrelates the LATERAL into a ranked join under the hood —
+    per-group movement stays bounded by the LIMIT. Identical text runs
+    on DuckDB as the oracle."""
+    _views(spark, sf_dir, "region", "nation", "supplier")
+    return spark.sql(_LATERAL_SQL)
+
+
+_COLLATE_SQL = """
+SELECT min(lang_mixed) AS rep, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT CASE WHEN doc_id % 2 = 0 THEN upper(lang) ELSE lang END
+             AS lang_mixed
+      FROM documents)
+GROUP BY collate(lang_mixed, 'UTF8_LCASE')
+"""
+
+
+@register(
+    "q_collation_group",
+    oracle="""
+SELECT min(lang_mixed) AS rep, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT CASE WHEN doc_id % 2 = 0 THEN upper(lang) ELSE lang END
+             AS lang_mixed
+      FROM documents)
+GROUP BY lower(lang_mixed)
+""",
+)
+def q_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware grouping (Spark 4): case-mixed language tags
+    grouped under UTF8_LCASE so 'EN'/'en' land in one group — the
+    engine-level form of normalize-then-group (the oracle lowercases
+    explicitly; for ASCII tags the two are semantically identical).
+    The collated key itself is NOT output (its representative case is
+    whichever value the engine surfaces); the deterministic min() of
+    the raw strings is. Cost note: a collated GROUP BY plans as
+    SortAggregate by engine design (collation-aware equality has no
+    UnsafeRow binary-hash path in Spark 4) — documented as intrinsic
+    in tests/test_plan_quality._SORT_AGG_INTRINSIC; at 100 TB prefer
+    the explicit lower()-then-groupBy form (the oracle's shape) when
+    the tags are known-ASCII, which keeps the hash-agg path."""
+    _views(spark, sf_dir, "documents")
+    return spark.sql(_COLLATE_SQL)

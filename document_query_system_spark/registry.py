@@ -128,6 +128,10 @@ _ROTATION_PREFIX: tuple[str, ...] = (
     "q_winsorize_approx",  # r8 addition (verdict #7; rows-only)
     "q_variant_funcs",  # r8 addition (Spark-4 VARIANT surface)
     "q_source_xml",  # r8 addition (native XML source round-trip)
+    "q_recursive_bfs",  # r8 addition (Spark-4 recursive CTE)
+    "q_pipe_syntax",  # r8 addition (Spark-4 SQL pipe syntax)
+    "q_lateral_topk",  # r8 addition (LATERAL correlated subquery)
+    "q_collation_group",  # r8 addition (UTF8_LCASE grouping)
     # --- r1-vintage refresh (no fresh row since round 1) ---
     "q_agg_stats",
     "q_agg_percentiles",
@@ -161,14 +165,12 @@ _ROTATION_PREFIX: tuple[str, ...] = (
     # q_union_distinct (the set-op family got fresh r7 rows via the
     # ALL-variants in the same file; keeps the list at the driver's
     # exact 50 slots)
-    "q_string_funcs",
-    "q_regex_sections",
-    "q_array_funcs",
     "q_json_funcs",
-    "q_map_funcs",
-    # q_table_flatten / q_json_corrupt_tolerant deferred (string-output
-    # shapes — neither of the two row-aging classes the refresh guards
-    # against, HUGEINT sums and date rendering, applies to them)
+    # q_string_funcs / q_regex_sections / q_array_funcs / q_map_funcs /
+    # q_table_flatten / q_json_corrupt_tolerant deferred (string/array-
+    # output scalar batteries — neither of the two row-aging classes the
+    # refresh guards against, HUGEINT sums and date rendering, applies
+    # to them; q_json_funcs stays for its BIGINT-cast column)
 )
 
 
@@ -197,6 +199,7 @@ def _load_all() -> None:
     from .operators import recipes  # noqa: F401
     from .operators import behavior  # noqa: F401
     from .operators import governance  # noqa: F401
+    from .operators import sql_surface  # noqa: F401
     from .functions import vector  # noqa: F401
     from .operators import textpipe  # noqa: F401
     from .sources import scans  # noqa: F401
