@@ -118,6 +118,69 @@ def ensure_bm25_index(spark: SparkSession, sf_dir: str) -> str:
     return base
 
 
+_TFIDF_INDEX_READY: set[tuple] = set()
+
+
+def ensure_tfidf_index(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the TF-IDF weighted index ONCE per (session,
+    sf_dir): ``weighted/`` = (term, doc_id, w, dnorm) clustered and
+    sorted by term (w = tf·idf rounded to 6; dnorm = the doc's vector
+    norm riding as a column, NOT pre-divided, so probe rounding stays
+    bit-identical to the oracle), ``terms/`` = (term, df, n_docs) for
+    probe-side idf weights. Same lifecycle contract as
+    ensure_vector_index / ensure_bm25_index: queries probe the stored
+    index with their term predicate pushed into the Parquet scan.
+
+    Determinism note: per-doc norms sum integer MICRO-units (a float
+    sum of round-6 terms is partition-order-dependent — the
+    q_rfm_segments half-cent class)."""
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    base = tmp_path("tfidf_index", tag)
+    key = session_key(spark, sf_dir)
+    if key not in _TFIDF_INDEX_READY:
+        from .functions.hashing import tokens
+
+        docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+        tok = docs.select("doc_id", tokens(F.lower(F.col("text"))).alias("tk"))
+        stats = F.broadcast(tok.agg(F.count("*").alias("n_docs")))
+        tf = (
+            tok.select("doc_id", F.explode("tk").alias("term"))
+            .groupBy("doc_id", "term")
+            .agg(F.count("*").alias("tf"))
+            .localCheckpoint(eager=False)
+        )
+        dfq = tf.groupBy("term").agg(F.count("*").alias("df")).crossJoin(stats)
+        dfq.write.mode("overwrite").parquet(os.path.join(base, "terms"))
+        dfq = spark.read.parquet(os.path.join(base, "terms"))
+        w = tf.join(dfq, "term").select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ).alias("w"),
+        )
+        norm = w.groupBy("doc_id").agg(
+            F.round(
+                F.sqrt(
+                    F.sum(F.round(F.col("w") * F.col("w") * 1e6, 0).cast("long"))
+                    / F.lit(1e6)
+                ),
+                6,
+            ).alias("dnorm")
+        )
+        (
+            w.join(norm, "doc_id")
+            .repartition(F.col("term"))
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .parquet(os.path.join(base, "weighted"))
+        )
+        _TFIDF_INDEX_READY.add(key)
+    return base
+
+
 def run_query(
     spark: SparkSession,
     sf_dir: str,

@@ -274,59 +274,27 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-time index-build pass). Probe side: question terms and their
     idf weights are broadcast; the only big shuffle keys on
     (question, doc) for the score aggregate."""
+    import os as _os
+
+    from ..api import ensure_tfidf_index
     from .questions import GOLDEN_QUESTIONS
 
-    # ---- index build (materialized ONCE; the stored index a real
-    # deployment writes to disk). Without the checkpoints Catalyst
-    # duplicates the posting subtree per consumer — tok feeds
-    # stats+tf, tf feeds df+w, w feeds norm+score — and the static
-    # plan exploded to 18 shuffles (caught by test_shuffle_budget).
-    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
-    tok = docs.select("doc_id", tokens(F.lower(F.col("text"))).alias("tk"))
-    stats = F.broadcast(tok.agg(F.count("*").alias("n_docs")))
-    tf = (
-        tok.select("doc_id", F.explode("tk").alias("term"))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
-        .localCheckpoint(eager=False)
-    )
-    # Per-term document frequency WITH the corpus size folded in, so
-    # the probe side never re-derives the corpus stats.
-    dfq = (
-        tf.groupBy("term")
-        .agg(F.count("*").alias("df"))
-        .crossJoin(stats)
-        .localCheckpoint(eager=False)
-    )
-    w = tf.join(dfq, "term").select(
-        "doc_id",
-        "term",
-        F.round(
-            F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
-        ).alias("w"),
-    )
-    # Exact integer micro-unit sums: a float sum of round-6 terms is
-    # partition-order-dependent, and a sum landing within an ulp of a
-    # rounding boundary flipped the round-4 cosine between runs (the
-    # q_rfm_segments half-cent class; seen as a suite-order flake).
-    norm = w.groupBy("doc_id").agg(
-        F.round(
-            F.sqrt(
-                F.sum(F.round(F.col("w") * F.col("w") * 1e6, 0).cast("long"))
-                / F.lit(1e6)
-            ),
-            6,
-        ).alias("dnorm")
-    )
-    # The stored index row: (doc, term, w, dnorm) — dnorm rides as a
-    # column (NOT pre-divided into w) so the probe's rounding
-    # structure stays bit-identical to the oracle's.
-    wn = w.join(norm, "doc_id").localCheckpoint(eager=False)
-
-    # ---- probe (per-question): broadcast-size sides only.
+    # ---- index: STORED once per (session, sf_dir) — the r8 uniform
+    # index-lifecycle contract (api.ensure_tfidf_index, next to the
+    # vector and BM25 indexes). The probe reads (term, doc_id, w,
+    # dnorm) with the question-term isin predicate pushed into the
+    # term-sorted Parquet scan.
+    base = ensure_tfidf_index(spark, sf_dir)
     pairs = sorted(
         {(qid, t) for qid, q in GOLDEN_QUESTIONS for t in q.lower().split()}
     )
+    terms = sorted({t for _, t in pairs})
+    wn = spark.read.parquet(_os.path.join(base, "weighted")).filter(
+        F.col("term").isin(terms)
+    )
+    dfq = spark.read.parquet(_os.path.join(base, "terms"))
+
+    # ---- probe (per-question): broadcast-size sides only.
     qt = spark.createDataFrame(pairs, "question_id INT, term STRING")
     qw = F.broadcast(
         F.broadcast(qt)
