@@ -328,8 +328,15 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     is one semi-join of the edge list against the survivor set and
     one degree groupBy — shuffle ∝ surviving edges, strictly
     shrinking per round. The survivor set is re-checkpointed each
-    round so the plan stays constant-size (the PageRank discipline;
-    25-round pointer-jumping CC shows the unbounded-round variant)."""
+    round so the plan stays constant-size. NOTE the boundary with the
+    r8 lazy-rounds discipline (q_pagerank/q_communities_lp): those
+    fuse fixed rounds into one plan because each round's input SIZE
+    is round-invariant; here every round's cost depends on how much
+    the PREVIOUS round peeled, and the fused-lazy variant was
+    measured 25× SLOWER at sf0.1 (106 s vs 4.2 s — four compounding
+    semi-join rounds with no materialized stats mis-plan every join).
+    Checkpoint-per-round is the correct shape for shrinking-set
+    iteration."""
     li = (
         load(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
