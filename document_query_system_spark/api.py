@@ -181,6 +181,52 @@ def ensure_tfidf_index(spark: SparkSession, sf_dir: str) -> str:
     return base
 
 
+_COORDER_EDGES_READY: set[tuple] = set()
+
+
+def ensure_coorder_edges(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the co-order part graph ONCE per (session, sf_dir):
+    DISTINCT (u, v) edges with u < v connecting parts co-ordered in
+    the same urgent order — the shared substrate of the whole graph
+    family (triangles, label propagation, k-core, recursive BFS),
+    each of which previously re-derived the identical
+    lineitem⨯orders self-join + distinct per call (~2 s each at
+    sf0.1). A link graph IS a materialized artifact in web pipelines
+    (the crawl's link table); deriving it per query is the same
+    anti-pattern as re-embedding the corpus per retrieval call."""
+    from .operators.graph_metrics import _TRI_PRIORITY
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = tmp_path("coorder_edges", tag)
+    key = session_key(spark, sf_dir)
+    if key not in _COORDER_EDGES_READY:
+        li = (
+            load(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_partkey")
+            .join(
+                load(spark, sf_dir, "orders")
+                .filter(F.col("o_orderpriority") == _TRI_PRIORITY)
+                .select("o_orderkey"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .select(
+                F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+            )
+        )
+        a = li.select(F.col("ok"), F.col("pk").alias("u"))
+        b = li.select(F.col("ok"), F.col("pk").alias("v"))
+        (
+            a.join(b, "ok")
+            .filter(F.col("u") < F.col("v"))
+            .select("u", "v")
+            .distinct()
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        _COORDER_EDGES_READY.add(key)
+    return path
+
+
 def run_query(
     spark: SparkSession,
     sf_dir: str,

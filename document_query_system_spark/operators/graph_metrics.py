@@ -21,7 +21,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..sources.tables import load
 
 _TRI_TOPK = 20
 _TRI_PRIORITY = "1-URGENT"  # graph = parts co-ordered in urgent orders
@@ -75,38 +74,22 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same urgent order — degree-oriented wedge join, the
     MapReduce-classic triangle algorithm.
 
-    Plan: edge build is one self-join of the (order, part) pairs on
-    the order key + a distinct; orientation joins the ~|V| degree
-    table twice (broadcast-size here, co-partitioned at scale); the
-    wedge closure is two node-keyed equi-joins whose fan-out the
-    (degree, id) orientation caps at O(√m) per node. Counting
-    explodes each triangle to its 3 corners and hash-aggregates —
-    partial agg collapses per partition before the exchange."""
-    li = (
-        load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .join(
-            load(spark, sf_dir, "orders")
-            .filter(F.col("o_orderpriority") == _TRI_PRIORITY)
-            .select("o_orderkey"),
-            F.col("l_orderkey") == F.col("o_orderkey"),
-        )
-        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
-    )
-    a = li.select(F.col("ok"), F.col("pk").alias("u"))
-    b = li.select(F.col("ok"), F.col("pk").alias("v"))
+    Plan: the edge list comes from the STORED co-order graph
+    (api.ensure_coorder_edges — the r8 uniform index-lifecycle
+    contract; the self-join + distinct build runs once per session,
+    not per query); orientation joins the ~|V| degree table twice
+    (broadcast-size here, co-partitioned at scale); the wedge closure
+    is two node-keyed equi-joins whose fan-out the (degree, id)
+    orientation caps at O(√m) per node. Counting explodes each
+    triangle to its 3 corners and hash-aggregates — partial agg
+    collapses per partition before the exchange."""
+    from ..api import ensure_coorder_edges
+
     # Lazy checkpoints truncate lineage at each reused subtree —
-    # edges feeds deg + the orientation join, oe feeds all three
-    # wedge roles; without them Catalyst re-derives the whole
-    # build per consumer and the static plan explodes to ~180
-    # exchanges (same discipline as graph.py's PageRank rounds).
-    edges = (
-        a.join(b, "ok")
-        .filter(F.col("u") < F.col("v"))
-        .select("u", "v")
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    # oe feeds all three wedge roles, tri feeds three corner
+    # branches; without them Catalyst re-derives the build per
+    # consumer (same discipline as graph.py's PageRank rounds).
+    edges = spark.read.parquet(ensure_coorder_edges(spark, sf_dir))
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
@@ -207,27 +190,15 @@ def q_communities_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
     vote count (partial-aggregable), one per-node argmax window over
     vote rows (fan-in bounded by distinct neighbor labels).
     Iterations are a fixed budget like q_pagerank, and follow the
-    same r8 discipline: ONE eager checkpoint (the bidirected edge
-    list), all rounds in a single lazy plan (bounded lineage by
-    construction; the former per-round checkpoints serialized the
-    rounds), and the final top-k as orderBy().limit() —
-    TakeOrderedAndProject, not a single-partition global window."""
-    li = (
-        load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .join(
-            load(spark, sf_dir, "orders")
-            .filter(F.col("o_orderpriority") == _TRI_PRIORITY)
-            .select("o_orderkey"),
-            F.col("l_orderkey") == F.col("o_orderkey"),
-        )
-        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
-    )
-    a = li.select(F.col("ok"), F.col("pk").alias("u"))
-    b = li.select(F.col("ok"), F.col("pk").alias("v"))
-    edges = (
-        a.join(b, "ok").filter(F.col("u") < F.col("v")).select("u", "v").distinct()
-    )
+    same r8 discipline: the STORED co-order edge list
+    (api.ensure_coorder_edges) behind ONE eager checkpoint of the
+    bidirected form, all rounds in a single lazy plan (bounded
+    lineage by construction; the former per-round checkpoints
+    serialized the rounds), and the final top-k as orderBy().limit()
+    — TakeOrderedAndProject, not a single-partition global window."""
+    from ..api import ensure_coorder_edges
+
+    edges = spark.read.parquet(ensure_coorder_edges(spark, sf_dir))
     bi = (
         edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
         .unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
@@ -323,8 +294,8 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     module comment above _KCORE_K for semantics and why fixed
     unrolled rounds stay oracle-exact.
 
-    Plan: same one-shot edge build as q_triangle_count (self-join on
-    the order key + distinct, lazily checkpointed); each peel round
+    Plan: the STORED co-order edge list (api.ensure_coorder_edges,
+    shared with the rest of the graph family); each peel round
     is one semi-join of the edge list against the survivor set and
     one degree groupBy — shuffle ∝ surviving edges, strictly
     shrinking per round. The survivor set is re-checkpointed each
@@ -337,26 +308,11 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi-join rounds with no materialized stats mis-plan every join).
     Checkpoint-per-round is the correct shape for shrinking-set
     iteration."""
-    li = (
-        load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .join(
-            load(spark, sf_dir, "orders")
-            .filter(F.col("o_orderpriority") == _TRI_PRIORITY)
-            .select("o_orderkey"),
-            F.col("l_orderkey") == F.col("o_orderkey"),
-        )
-        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
-    )
-    a = li.select(F.col("ok"), F.col("pk").alias("u"))
-    b = li.select(F.col("ok"), F.col("pk").alias("v"))
-    edges = (
-        a.join(b, "ok")
-        .filter(F.col("u") < F.col("v"))
-        .select("u", "v")
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    from ..api import ensure_coorder_edges
+
+    edges = spark.read.parquet(
+        ensure_coorder_edges(spark, sf_dir)
+    ).localCheckpoint(eager=True)
     surv = (
         edges.select(F.col("u").alias("node"))
         .union(edges.select("v"))

@@ -24,23 +24,7 @@ _BFS_MAX_DEPTH = 3
 _TRI_PRIORITY = "1-URGENT"  # same derived graph as the triangle family
 
 
-def _bfs_sql(dialect_cast: bool = False) -> str:
-    """Shared Spark/DuckDB text: breadth-first reachability from the
-    smallest node of the co-order part graph, depth-capped. The
-    recursive step SELECT DISTINCTs the frontier, so each iteration
-    carries ≤|nodes| rows (never path-counts — with UNION ALL alone a
-    dense graph multiplies paths per hop); min(depth) per node then
-    collapses revisits to the true BFS layer."""
-    return f"""
-WITH RECURSIVE li AS (
-  SELECT l.l_orderkey AS ok, l.l_partkey AS pk
-  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-  WHERE o.o_orderpriority = '{_TRI_PRIORITY}'
-),
-edges AS (
-  SELECT DISTINCT a.pk AS u, b.pk AS v
-  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
-),
+_BFS_BODY = f"""
 bi AS (SELECT u AS src, v AS dst FROM edges UNION ALL SELECT v, u FROM edges),
 seed AS (SELECT min(src) AS s FROM bi),
 bfs(node, depth) AS (
@@ -54,6 +38,26 @@ SELECT CAST(depth AS INT) AS depth, CAST(count(*) AS BIGINT) AS n_nodes
 FROM (SELECT node, min(depth) AS depth FROM bfs GROUP BY node)
 GROUP BY depth
 """
+
+
+def _bfs_sql() -> str:
+    """DuckDB oracle: derives the edge list inline (the oracle has no
+    stored index), then the shared recursion body. Breadth-first
+    reachability from the smallest node, depth-capped. The recursive
+    step SELECT DISTINCTs the frontier, so each iteration carries
+    ≤|nodes| rows (never path-counts — with UNION ALL alone a dense
+    graph multiplies paths per hop); min(depth) per node then
+    collapses revisits to the true BFS layer."""
+    return f"""
+WITH RECURSIVE li AS (
+  SELECT l.l_orderkey AS ok, l.l_partkey AS pk
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderpriority = '{_TRI_PRIORITY}'
+),
+edges AS (
+  SELECT DISTINCT a.pk AS u, b.pk AS v
+  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+),{_BFS_BODY}"""
 
 
 def _views(spark: SparkSession, sf_dir: str, *tables: str) -> None:
@@ -70,13 +74,20 @@ def q_recursive_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline, expressed as WITH RECURSIVE and executed by Spark's
     recursion operator instead of a Python driver loop.
 
-    Scale: the recursive step is one frontier⨯edges equi-join + a
-    DISTINCT per iteration (frontier ≤ |nodes| — the DISTINCT is the
+    Scale: the edge list comes from the STORED co-order graph
+    (api.ensure_coorder_edges, shared with the whole graph family);
+    the recursive step is one frontier⨯edges equi-join + a DISTINCT
+    per iteration (frontier ≤ |nodes| — the DISTINCT is the
     path-explosion guard), iterations capped at {depth} by the WHERE;
-    the closing min/count aggregates are node-bound. Identical text
-    runs on DuckDB as the oracle."""
-    _views(spark, sf_dir, "lineitem", "orders")
-    return spark.sql(_bfs_sql())
+    the closing min/count aggregates are node-bound. The oracle runs
+    the same recursion body on DuckDB with the edge derivation
+    inlined (the oracle has no stored index)."""
+    from ..api import ensure_coorder_edges
+
+    spark.read.parquet(
+        ensure_coorder_edges(spark, sf_dir)
+    ).createOrReplaceTempView("edges")
+    return spark.sql(f"WITH RECURSIVE{_BFS_BODY}")
 
 
 _PIPE_SQL = """

@@ -17,13 +17,17 @@ def _prepare_jvm_launch_env() -> None:
     """JVM-launch-time options that SparkSession.builder configs cannot
     set (the gateway JVM starts before python confs apply).
 
-    - ReservedCodeCacheSize: a 209-query session compiles thousands of
-      generated whole-stage classes; the JDK default (240 MB) can fill
-      mid-suite, at which point C2 disables itself and late-suite
+    - ReservedCodeCacheSize: a 200+-query session compiles thousands
+      of generated whole-stage classes; the JDK default (240 MB) can
+      fill mid-suite, at which point C2 disables itself and late-suite
       codegen-heavy queries run INTERPRETED — the round-6 driver bench
       signature (steady pass slower than cold, 3-9× scatter on exactly
-      the giant-codegen queries). 512 MB + UseCodeCacheFlushing keeps
-      the compiler alive for the whole suite.
+      the giant-codegen queries). r7 set 512 MB + UseCodeCacheFlushing;
+      the r8 suite (229 queries × 2 passes, plus the fused
+      fixed-budget-rounds plans whose single trees generate several
+      rounds' worth of code each) reproduced the same inversion at
+      512 MB, so this is 1 GB now — the flushing flag stays as the
+      graceful-degradation backstop.
     - PYTHONWARNINGS: executor Python workers inherit the JVM's env in
       local mode; pyspark's pandas serializers emit FutureWarnings to
       worker stderr, which the JVM forwards into the bench artifact's
@@ -32,7 +36,7 @@ def _prepare_jvm_launch_env() -> None:
     No-ops if a gateway already exists (options only matter at launch).
     """
     code_cache = (
-        "-XX:ReservedCodeCacheSize=512m -XX:+UseCodeCacheFlushing"
+        "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing"
     )
     existing = os.environ.get("PYSPARK_SUBMIT_ARGS")
     if existing is None:

@@ -5,7 +5,7 @@ exponent*, not the absolute numbers: a near-linear wall-clock ratio at
 10× is evidence the plan shapes (inverted-index dedup, salted cosine,
 broadcast search) hold; a super-linear one is a cliff to fix.
 
-Run: python tools/stress.py [factor]     (default 10)
+Run: python tools/stress.py [factor] [query ...]   (default 10, all HEAVY)
 """
 
 from __future__ import annotations
@@ -61,6 +61,7 @@ HEAVY = [
     "q_proximity_search",
     "q_scene_changes",
     "q_corpus_refresh",
+    "q_tfidf_topk",
 ]
 
 
@@ -96,6 +97,7 @@ def scale_corpus(spark, factor: int) -> str:
 
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    names = sys.argv[2:] or HEAVY
     spark = get_spark(app_name="dqs-stress")
     path = scale_corpus(spark, factor)
     specs = all_specs()
@@ -104,7 +106,7 @@ def main() -> None:
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
     print(f"corpus: {factor}x at {path}")
-    for name in HEAVY:
+    for name in names:
         times = {}
         for label, sf_dir in (("1x", BASE), (f"{factor}x", path)):
             t0 = time.perf_counter()
