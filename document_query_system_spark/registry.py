@@ -132,6 +132,7 @@ _ROTATION_PREFIX: tuple[str, ...] = (
     "q_pipe_syntax",  # r8 addition (Spark-4 SQL pipe syntax)
     "q_lateral_topk",  # r8 addition (LATERAL correlated subquery)
     "q_collation_group",  # r8 addition (UTF8_LCASE grouping)
+    "q_python_datasource",  # r8 addition (Spark-4 Python DataSource)
     # --- r1-vintage refresh (no fresh row since round 1) ---
     "q_agg_stats",
     "q_agg_percentiles",
@@ -165,7 +166,8 @@ _ROTATION_PREFIX: tuple[str, ...] = (
     # q_union_distinct (the set-op family got fresh r7 rows via the
     # ALL-variants in the same file; keeps the list at the driver's
     # exact 50 slots)
-    "q_json_funcs",
+    # q_json_funcs joins the deferred list below — the r8 additions
+    # take priority for first-ever rows.
     # q_string_funcs / q_regex_sections / q_array_funcs / q_map_funcs /
     # q_table_flatten / q_json_corrupt_tolerant deferred (string/array-
     # output scalar batteries — neither of the two row-aging classes the
@@ -200,6 +202,7 @@ def _load_all() -> None:
     from .operators import behavior  # noqa: F401
     from .operators import governance  # noqa: F401
     from .operators import sql_surface  # noqa: F401
+    from .sources import pydatasource  # noqa: F401
     from .functions import vector  # noqa: F401
     from .operators import textpipe  # noqa: F401
     from .sources import scans  # noqa: F401
