@@ -25,7 +25,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 from ..registry import register
 
@@ -127,3 +132,134 @@ def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("event_id").alias("first_event"),
         F.max("event_id").alias("last_event"),
     )
+
+
+# ------------------------------------------------ streaming variant
+#
+# The same feed as an unbounded STREAM source: SimpleDataSourceStream-
+# Reader serves the feed in offset-tracked micro-batches — initial
+# offset, read(start) -> (rows, next_offset), and readBetweenOffsets
+# for exactly-once replay after a failure (the contract a real queue/
+# log wrapper implements; Spark persists the offsets in the streaming
+# checkpoint). The feed is finite (_STREAM_MAX_ROWS) so the query has
+# a deterministic fixpoint the oracle can check.
+
+_STREAM_BATCH_ROWS = 100
+_STREAM_MAX_ROWS = 500
+
+
+_STREAM_REGISTERED: set[int] = set()
+
+
+def register_feed_stream(spark: SparkSession) -> None:
+    """Idempotent per-session registration. The stream-reader classes
+    are defined INSIDE this function on purpose: Spark runs the
+    streaming source's planning loop in a separate driver-side Python
+    process that does NOT see sc.addPyFile includes (unlike executor
+    workers, which resolved the batch source's module import fine) —
+    cloudpickle serializes function-scoped classes BY VALUE, so the
+    runner needs no import of this package at all. A real connector
+    shipped as a library would instead install itself on the runner's
+    PYTHONPATH; by-value pickling is the zero-deploy form."""
+    key = id(spark.sparkContext)
+    if key in _STREAM_REGISTERED:
+        return
+    mult, mod = _FEED_MULT, _FEED_MOD
+    batch_default, max_default = _STREAM_BATCH_ROWS, _STREAM_MAX_ROWS
+
+    def gen(lo: int, hi: int):
+        return iter(
+            [(i, chr(ord("a") + i % 5), (i * mult) % mod) for i in range(lo, hi)]
+        )
+
+    class FeedStreamReader(SimpleDataSourceStreamReader):
+        def __init__(self, options):
+            self.batch = int(options.get("batch_rows", str(batch_default)))
+            self.max_rows = int(options.get("max_rows", str(max_default)))
+
+        def initialOffset(self):
+            return {"pos": 0}
+
+        def read(self, start):
+            pos = start["pos"]
+            if pos >= self.max_rows:
+                return iter([]), {"pos": pos}
+            end = min(pos + self.batch, self.max_rows)
+            return gen(pos, end), {"pos": end}
+
+        def readBetweenOffsets(self, start, end):
+            return gen(start["pos"], end["pos"])
+
+    class SyntheticFeedStream(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "synthetic_feed_stream"
+
+        def schema(self) -> str:
+            return "event_id BIGINT, bucket STRING, score BIGINT"
+
+        def simpleStreamReader(self, schema):
+            return FeedStreamReader(self.options)
+
+    spark.dataSource.register(SyntheticFeedStream)
+    _STREAM_REGISTERED.add(key)
+
+
+@register(
+    "q_stream_python_source",
+    oracle=f"""
+WITH feed AS (
+  SELECT i AS event_id,
+         chr(97 + CAST(i % 5 AS INT)) AS bucket,
+         (i * {_FEED_MULT}) % {_FEED_MOD} AS score
+  FROM (SELECT unnest(generate_series(0, {_STREAM_MAX_ROWS - 1})) AS i)
+)
+SELECT bucket,
+       CAST(count(*) AS BIGINT)   AS n,
+       CAST(sum(score) AS BIGINT) AS total_score
+FROM feed GROUP BY bucket
+""",
+)
+def q_stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom Python STREAM source driven to its fixpoint: 5
+    offset-tracked micro-batches of 100 rows into a complete-mode
+    memory aggregate. availableNow snapshots only the first batch for
+    Python simple stream readers, so the drive loop uses a fast
+    processingTime trigger and stops once the aggregate accounts for
+    every feed row — deterministic final state however the batches
+    interleave (integer sums, commutative). Exercises initialOffset /
+    read / readBetweenOffsets — the exactly-once replay contract a
+    real queue or log wrapper implements."""
+    import time
+
+    register_feed_stream(spark)
+    sdf = (
+        spark.readStream.format("synthetic_feed_stream")
+        .option("batch_rows", _STREAM_BATCH_ROWS)
+        .option("max_rows", _STREAM_MAX_ROWS)
+        .load()
+    )
+    agg = sdf.groupBy("bucket").agg(
+        F.count("*").alias("n"), F.sum("score").alias("total_score")
+    )
+    name = "pyfeed_stream_sink"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            got = spark.sql(
+                f"SELECT coalesce(sum(n), 0) FROM {name}"
+            ).first()[0]
+            if got >= _STREAM_MAX_ROWS:
+                break
+            time.sleep(0.25)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    return spark.table(name)
