@@ -258,7 +258,7 @@ def q_stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).first()[0]
             if got >= _STREAM_MAX_ROWS:
                 break
-            time.sleep(0.25)
+            time.sleep(0.1)
     finally:
         q.stop()
         q.awaitTermination(30)
