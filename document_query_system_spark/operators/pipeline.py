@@ -516,6 +516,78 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------- incremental BM25 maintenance
+
+_INC_BM25_MOD = 17  # doc_id % 17 == 0 plays the incoming batch
+
+
+def _inc_bm25_oracle() -> str:
+    from .questions import question_values_sql
+
+    return f"""
+WITH {question_values_sql()},
+tok AS (SELECT doc_id, {tokens_sql('lower(text)')} AS tk FROM documents),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(tk) AS term FROM tok)
+  GROUP BY doc_id, term
+),
+qt AS (
+  SELECT DISTINCT unnest(string_split(lower(question_text), ' ')) AS term
+  FROM questions
+)
+SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS total_tf
+FROM tf WHERE term IN (SELECT term FROM qt)
+GROUP BY term
+"""
+
+
+@register("q_incremental_bm25", oracle=_inc_bm25_oracle())
+def q_incremental_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental posting-index maintenance: the stored BM25 index
+    (api.ensure_bm25_index) minus the incoming batch plays the
+    'index as of yesterday'; the batch (doc_id % 17 == 0) pays
+    tokenize→explode→count on ITS rows only; merged = base ∪ delta.
+    Output: per question-term document frequency and total term
+    frequency over the merged index — which the oracle computes from
+    a FULL-corpus rebuild, proving delta-merge ≡ rebuild (the same
+    equivalence q_dedup_incremental pins for MinHash state).
+
+    Scale: the delta leg's cost tracks the BATCH (tokenize ∝ batch
+    rows, the term filter prunes before its aggregate); the base leg
+    is a term-pruned stored-index scan (In(term,…) pushdown); the
+    merge is a unionByName the downstream per-term aggregate absorbs
+    — no step ever re-tokenizes the indexed corpus."""
+    from ..api import ensure_bm25_index
+    from .questions import GOLDEN_QUESTIONS
+
+    base_path = ensure_bm25_index(spark, sf_dir)
+    terms = sorted(
+        {w for _, q in GOLDEN_QUESTIONS for w in q.lower().split()}
+    )
+    base = (
+        spark.read.parquet(os.path.join(base_path, "postings"))
+        .filter(F.col("term").isin(terms))
+        .filter(F.col("doc_id") % _INC_BM25_MOD != 0)
+        .select("term", "doc_id", "tf")
+    )
+    batch = (
+        spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+        .filter(F.col("doc_id") % _INC_BM25_MOD == 0)
+    )
+    delta = (
+        batch.select("doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    merged = base.unionByName(delta)
+    return merged.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("total_tf"),
+    )
+
+
 # --------------------------------------------------- hybrid retrieval fusion
 #
 # Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of the

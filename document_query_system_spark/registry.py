@@ -134,6 +134,7 @@ _ROTATION_PREFIX: tuple[str, ...] = (
     "q_collation_group",  # r8 addition (UTF8_LCASE grouping)
     "q_python_datasource",  # r8 addition (Spark-4 Python DataSource)
     "q_stream_python_source",  # r8 addition (Python stream source)
+    "q_incremental_bm25",  # r8 addition (posting-index delta merge)
     # --- r1-vintage refresh (no fresh row since round 1) ---
     "q_agg_stats",
     "q_agg_percentiles",
@@ -159,9 +160,8 @@ _ROTATION_PREFIX: tuple[str, ...] = (
     "q_embed_quantize_int8",
     "q_sliding_chunks",
     "q_merge_small_chunks",
-    # q_paragraph_explode deferred (explode shape shared with
-    # q_udtf_sentences below, which keeps its slot)
-    "q_udtf_sentences",
+    # q_paragraph_explode / q_udtf_sentences deferred (explode-shape
+    # twins; r8 additions take priority for first-ever rows)
     "q_scan_lineitem",
     "q_scan_part_pruned",
     # q_union_all / q_intersect / q_except deferred with
