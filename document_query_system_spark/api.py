@@ -93,7 +93,12 @@ def ensure_bm25_index(spark: SparkSession, sf_dir: str) -> str:
         from .functions.hashing import tokens
 
         docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
-        tok = docs.select("doc_id", tokens(F.lower(F.col("text"))).alias("tk"))
+        # Checkpointed: the postings write AND the stats write both
+        # consume tok — without this the build pays the full corpus
+        # tokenize twice (the ensure_tfidf_index discipline).
+        tok = docs.select(
+            "doc_id", tokens(F.lower(F.col("text"))).alias("tk")
+        ).localCheckpoint(eager=False)
         tf = (
             tok.select(
                 "doc_id", F.size("tk").alias("dl"), F.explode("tk").alias("term")

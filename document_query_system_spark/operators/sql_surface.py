@@ -21,7 +21,10 @@ from ..registry import register
 from ..sources.tables import load
 
 _BFS_MAX_DEPTH = 3
-_TRI_PRIORITY = "1-URGENT"  # same derived graph as the triangle family
+# Same derived graph as the triangle family — imported, not
+# re-declared, so the oracle's inline edge derivation can never
+# desynchronize from the stored edge index (r8 review).
+from .graph_metrics import _TRI_PRIORITY  # noqa: E402
 
 
 _BFS_BODY = f"""

@@ -168,13 +168,12 @@ _ROTATION_PREFIX: tuple[str, ...] = (
     # q_union_distinct (the set-op family got fresh r7 rows via the
     # ALL-variants in the same file; keeps the list at the driver's
     # exact 50 slots)
-    # q_json_funcs joins the deferred list below — the r8 additions
-    # take priority for first-ever rows.
-    # q_string_funcs / q_regex_sections / q_array_funcs / q_map_funcs /
-    # q_table_flatten / q_json_corrupt_tolerant deferred (string/array-
-    # output scalar batteries — neither of the two row-aging classes the
-    # refresh guards against, HUGEINT sums and date rendering, applies
-    # to them; q_json_funcs stays for its BIGINT-cast column)
+    # Deferred r2 scalar batteries (r8 additions take priority for
+    # first-ever rows): q_json_funcs, q_string_funcs, q_regex_sections,
+    # q_array_funcs, q_map_funcs, q_table_flatten,
+    # q_json_corrupt_tolerant — string/array-output shapes, neither of
+    # the two row-aging classes the refresh guards against (HUGEINT
+    # sums and date rendering) applies to them.
 )
 
 

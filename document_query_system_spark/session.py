@@ -47,12 +47,29 @@ def _prepare_jvm_launch_env() -> None:
         # A pre-set PYSPARK_SUBMIT_ARGS (common in CI) must not
         # silently drop the code-cache fix — the interpreted-codegen
         # regression it prevents would reappear with no signal
-        # (ADVICE r7). Prepend our options; a later --driver-java-
-        # options from the user would win, which is the right
-        # precedence for an explicit override.
-        os.environ["PYSPARK_SUBMIT_ARGS"] = (
-            f'--driver-java-options "{code_cache}" {existing}'
-        )
+        # (ADVICE r7). If the user already passes their own
+        # --driver-java-options, MERGE into it (spark-submit keeps
+        # only the last occurrence of the flag, so a separate
+        # prepended copy would be silently discarded — r8 review);
+        # the user's own -XX choices still win inside the merged
+        # string because later JVM options override earlier ones.
+        flag = '--driver-java-options "'
+        if flag in existing:
+            merged = existing.replace(flag, f"{flag}{code_cache} ", 1)
+        elif "--driver-java-options" in existing:
+            # Unquoted/unusual quoting we can't safely splice into —
+            # leave it alone but say so instead of failing silently.
+            import warnings
+
+            warnings.warn(
+                "PYSPARK_SUBMIT_ARGS has --driver-java-options in a "
+                "form this session helper cannot merge with; the "
+                f"code-cache options ({code_cache}) were NOT applied."
+            )
+            merged = existing
+        else:
+            merged = f'--driver-java-options "{code_cache}" {existing}'
+        os.environ["PYSPARK_SUBMIT_ARGS"] = merged
     os.environ.setdefault("PYTHONWARNINGS", "ignore::FutureWarning")
 
 

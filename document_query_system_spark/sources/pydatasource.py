@@ -80,12 +80,15 @@ class SyntheticFeed(DataSource):
         return FeedReader(self.options)
 
 
-_REGISTERED: set[int] = set()
+_REGISTERED: set[str] = set()
 
 
 def register_feed(spark: SparkSession) -> None:
-    """Idempotent per-session registration of the custom source."""
-    key = id(spark.sparkContext)
+    """Idempotent per-session registration of the custom source.
+    Keyed on applicationId (NOT id(sc) — CPython recycles object
+    addresses, so an id() memo can silently skip registration for a
+    brand-new session)."""
+    key = spark.sparkContext.applicationId
     if key not in _REGISTERED:
         from ..session import ensure_worker_imports
 
@@ -148,7 +151,7 @@ _STREAM_BATCH_ROWS = 100
 _STREAM_MAX_ROWS = 500
 
 
-_STREAM_REGISTERED: set[int] = set()
+_STREAM_REGISTERED: set[str] = set()
 
 
 def register_feed_stream(spark: SparkSession) -> None:
@@ -161,7 +164,7 @@ def register_feed_stream(spark: SparkSession) -> None:
     runner needs no import of this package at all. A real connector
     shipped as a library would instead install itself on the runner's
     PYTHONPATH; by-value pickling is the zero-deploy form."""
-    key = id(spark.sparkContext)
+    key = spark.sparkContext.applicationId
     if key in _STREAM_REGISTERED:
         return
     mult, mod = _FEED_MULT, _FEED_MOD
@@ -252,12 +255,20 @@ def q_stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         deadline = time.time() + 120
-        while time.time() < deadline:
+        got = 0
+        while True:
+            if q.exception() is not None:
+                raise q.exception()  # fail loud, not an empty table
             got = spark.sql(
                 f"SELECT coalesce(sum(n), 0) FROM {name}"
             ).first()[0]
             if got >= _STREAM_MAX_ROWS:
                 break
+            if time.time() >= deadline:
+                raise TimeoutError(
+                    f"feed stream stalled: {got}/{_STREAM_MAX_ROWS} rows "
+                    "aggregated within the 120 s deadline"
+                )
             time.sleep(0.1)
     finally:
         q.stop()

@@ -350,11 +350,15 @@ _RETRIEVAL_QUERIES = (
 # optimized plan that hash-embeds a text column. Embedding the
 # 10-row question batch is allowed (its source column renders as
 # split(question_text#N)); embedding the corpus is the violation
-# (split(text#N) — the documents table's column — in the enclosing
-# token_hashes expression, which in plan text sits within a few
-# hundred chars before the fold constant).
+# (split(text#N) — the documents table's column — in the SAME
+# enclosing token_hashes expression as the fold constant). The
+# association check scans a wide window on BOTH sides of each fold
+# marker (an expression's printed span can put the split before or
+# after the constant, and extra casts/aliases can pad it — a narrow
+# one-sided window fails open; r8 review).
 _EMBED_MARKER = "* 131)"
 _CORPUS_SPLIT = "split(text#"
+_EMBED_WINDOW = 6000
 
 
 @pytest.mark.parametrize("name", _RETRIEVAL_QUERIES)
@@ -366,7 +370,7 @@ def test_retrieval_never_embeds_corpus(name, spark):
         i = plan.find(_EMBED_MARKER, i)
         if i < 0:
             break
-        window = plan[max(0, i - 900) : i]
+        window = plan[max(0, i - _EMBED_WINDOW) : i + _EMBED_WINDOW]
         assert _CORPUS_SPLIT not in window, (
             f"{name}: optimized plan hash-embeds the documents text "
             "column — a retrieval query re-embedding the corpus is a "
