@@ -151,6 +151,48 @@ def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_LATERAL_SQL)
 
 
+@register(
+    "q_sql_udf",
+    oracle="""
+SELECT l_returnflag,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+           AS charged,
+       round(avg(l_extendedprice * (1 - l_discount)), 4) AS avg_net
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined scalar functions (Spark 4 CREATE FUNCTION ...
+    RETURN <expr>): the engine-level form of a shared business-logic
+    expression library — net_rev and charged are defined ONCE and
+    reused across queries, and because the body is a SQL expression
+    (not a Python UDF) Catalyst INLINES it at the call site: full
+    codegen, pushdown through it, zero serialization boundary. The
+    oracle inlines the same expressions by hand, proving the UDF
+    call path is a pure macro expansion."""
+    _views(spark, sf_dir, "lineitem")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION net_rev(price DOUBLE,"
+        " disc DOUBLE) RETURNS DOUBLE RETURN price * (1 - disc)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION charged(price DOUBLE,"
+        " disc DOUBLE, tax DOUBLE) RETURNS DOUBLE"
+        " RETURN net_rev(price, disc) * (1 + tax)"
+    )
+    return spark.sql(
+        """
+SELECT l_returnflag,
+       round(sum(charged(l_extendedprice, l_discount, l_tax)), 2)
+           AS charged,
+       round(avg(net_rev(l_extendedprice, l_discount)), 4) AS avg_net
+FROM lineitem
+GROUP BY l_returnflag
+"""
+    )
+
+
 _COLLATE_SQL = """
 SELECT min(lang_mixed) AS rep, CAST(count(*) AS BIGINT) AS n
 FROM (SELECT CASE WHEN doc_id % 2 = 0 THEN upper(lang) ELSE lang END

@@ -135,6 +135,7 @@ _ROTATION_PREFIX: tuple[str, ...] = (
     "q_python_datasource",  # r8 addition (Spark-4 Python DataSource)
     "q_stream_python_source",  # r8 addition (Python stream source)
     "q_incremental_bm25",  # r8 addition (posting-index delta merge)
+    "q_sql_udf",  # r8 addition (SQL-defined scalar functions)
     # --- r1-vintage refresh (no fresh row since round 1) ---
     "q_agg_stats",
     "q_agg_percentiles",
@@ -157,7 +158,8 @@ _ROTATION_PREFIX: tuple[str, ...] = (
     "q_vector_topk",
     "q_golden_vector_search",
     "q_embed_hash",
-    "q_embed_quantize_int8",
+    # q_embed_quantize_int8 deferred (int8 path also exercised by
+    # q_ann_quantized's r6 row; r8 additions take priority)
     "q_sliding_chunks",
     "q_merge_small_chunks",
     # q_paragraph_explode / q_udtf_sentences deferred (explode-shape
