@@ -537,3 +537,68 @@ def q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ref_rate"),
         )
     )
+
+
+# ------------------------------------------------------- readability
+
+
+@register(
+    "q_readability",
+    oracle=r"""
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_words,
+       CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+           AS n_sentences,
+       CAST(greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+            AS BIGINT) AS n_syllables,
+       round(206.835
+             - 1.015 * (len(regexp_split_to_array(trim(text), '\s+'))
+               / CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                      AS DOUBLE))
+             - 84.6 * (greatest(len(regexp_extract_all(lower(text),
+                                                       '[aeiouy]+')), 1)
+               / CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                      AS DOUBLE)), 4) AS flesch
+FROM documents
+""",
+)
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document — the classic readability cut
+    quality pipelines apply next to the ratio heuristics (very low
+    scores flag legalese/boilerplate; impossibly high ones flag
+    token-salad). Syllables use the standard vowel-group
+    approximation (runs of [aeiouy]); sentences count terminal
+    punctuation runs, floored at 1 so fragments don't divide by zero.
+    All three counts and the score are scan-local column expressions
+    in the RE2 ∩ java.util.regex common subset — zero shuffles, the
+    pass costs one corpus read at any scale."""
+    d = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    words = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    sents = F.greatest(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.!?]+"), 0)),
+        F.lit(1),
+    ).cast("long")
+    sylls = F.greatest(
+        F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[aeiouy]+"), 0)
+        ),
+        F.lit(1),
+    ).cast("long")
+    staged = d.select(
+        "doc_id",
+        words.alias("n_words"),
+        sents.alias("n_sentences"),
+        sylls.alias("n_syllables"),
+    )
+    return staged.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.round(
+            206.835
+            - 1.015 * (F.col("n_words") / F.col("n_sentences"))
+            - 84.6 * (F.col("n_syllables") / F.col("n_words")),
+            4,
+        ).alias("flesch"),
+    )

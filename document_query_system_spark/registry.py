@@ -136,6 +136,7 @@ _ROTATION_PREFIX: tuple[str, ...] = (
     "q_stream_python_source",  # r8 addition (Python stream source)
     "q_incremental_bm25",  # r8 addition (posting-index delta merge)
     "q_sql_udf",  # r8 addition (SQL-defined scalar functions)
+    "q_readability",  # r8 addition (Flesch quality cut)
     # --- r1-vintage refresh (no fresh row since round 1) ---
     "q_agg_stats",
     "q_agg_percentiles",
@@ -161,7 +162,8 @@ _ROTATION_PREFIX: tuple[str, ...] = (
     # q_embed_quantize_int8 deferred (int8 path also exercised by
     # q_ann_quantized's r6 row; r8 additions take priority)
     "q_sliding_chunks",
-    "q_merge_small_chunks",
+    # q_merge_small_chunks deferred (chunk-family twin of
+    # q_sliding_chunks above; r8 additions take priority)
     # q_paragraph_explode / q_udtf_sentences deferred (explode-shape
     # twins; r8 additions take priority for first-ever rows)
     "q_scan_lineitem",
