@@ -170,6 +170,33 @@ def test_bm25_shuffle_shape(spark):
 _SORT_AGG_INTRINSIC = {"q_collation_group"}
 
 
+def test_tfidf_probes_stored_index(spark):
+    """Symmetric with the BM25 pin: the TF-IDF probe must read the
+    stored weighted index with the question-term isin pushed into the
+    Parquet scan, and never re-derive the weighted postings
+    (tokenize→explode) inside the query plan."""
+    import re
+
+    rep = _plan(spark, "q_tfidf_topk")
+    assert "explode" not in rep.raw
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", rep.raw)
+    assert any("In(term" in p for p in pushed), pushed
+
+
+def test_graph_family_reads_stored_edges(spark):
+    """The co-order graph queries must consume api.ensure_coorder_edges
+    — no lineitem/orders scan (the edge derivation) may appear in any
+    of their per-query plans; the build runs once per session."""
+    for name in (
+        "q_triangle_count",
+        "q_communities_lp",
+        "q_kcore",
+        "q_recursive_bfs",
+    ):
+        rep = _plan(spark, name)
+        assert "lineitem" not in rep.raw and "orders" not in rep.raw, name
+
+
 def test_no_sort_aggregates_anywhere(spark):
     """Hash-aggregable buffers everywhere: SortAggregate means an agg
     fell out of codegen (this is how the max_by top-1 regression was
