@@ -155,9 +155,12 @@ def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_sql_udf",
     oracle="""
 SELECT l_returnflag,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
-           AS charged,
-       round(avg(l_extendedprice * (1 - l_discount)), 4) AS avg_net
+       round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                 * (1 + l_tax) * 100, 0) AS BIGINT))
+                  AS DOUBLE) / 100.0, 2) AS charged,
+       round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                           AS BIGINT)) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) / 100.0, 4) AS avg_net
 FROM lineitem
 GROUP BY l_returnflag
 """,
@@ -170,7 +173,10 @@ def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (not a Python UDF) Catalyst INLINES it at the call site: full
     codegen, pushdown through it, zero serialization boundary. The
     oracle inlines the same expressions by hand, proving the UDF
-    call path is a pure macro expansion."""
+    call path is a pure macro expansion. Aggregation sums integer
+    CENTS of the per-row UDF values (a raw double sum is
+    partition-order-dependent at a rounding boundary — the repo-wide
+    integer-unit discipline, graph.py:34)."""
     _views(spark, sf_dir, "lineitem")
     spark.sql(
         "CREATE OR REPLACE TEMPORARY FUNCTION net_rev(price DOUBLE,"
@@ -184,9 +190,11 @@ def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
 SELECT l_returnflag,
-       round(sum(charged(l_extendedprice, l_discount, l_tax)), 2)
-           AS charged,
-       round(avg(net_rev(l_extendedprice, l_discount)), 4) AS avg_net
+       round(sum(CAST(round(charged(l_extendedprice, l_discount, l_tax)
+                            * 100, 0) AS BIGINT)) / 100.0D, 2) AS charged,
+       round(sum(CAST(round(net_rev(l_extendedprice, l_discount) * 100, 0)
+                      AS BIGINT))
+             / CAST(count(*) AS DOUBLE) / 100.0D, 4) AS avg_net
 FROM lineitem
 GROUP BY l_returnflag
 """

@@ -154,19 +154,18 @@ _STREAM_MAX_ROWS = 500
 _STREAM_REGISTERED: set[str] = set()
 
 
-def register_feed_stream(spark: SparkSession) -> None:
-    """Idempotent per-session registration. The stream-reader classes
-    are defined INSIDE this function on purpose: Spark runs the
-    streaming source's planning loop in a separate driver-side Python
-    process that does NOT see sc.addPyFile includes (unlike executor
-    workers, which resolved the batch source's module import fine) —
+def stream_classes():
+    """Build (FeedStreamReader, SyntheticFeedStream). The classes are
+    defined INSIDE a function on purpose: Spark runs the streaming
+    source's planning loop in a separate driver-side Python process
+    that does NOT see sc.addPyFile includes (unlike executor workers,
+    which resolved the batch source's module import fine) —
     cloudpickle serializes function-scoped classes BY VALUE, so the
     runner needs no import of this package at all. A real connector
     shipped as a library would instead install itself on the runner's
-    PYTHONPATH; by-value pickling is the zero-deploy form."""
-    key = spark.sparkContext.applicationId
-    if key in _STREAM_REGISTERED:
-        return
+    PYTHONPATH; by-value pickling is the zero-deploy form. Exposed as
+    a factory (rather than closures inside register_feed_stream) so
+    tests drive the REAL reader's offset/replay contract directly."""
     mult, mod = _FEED_MULT, _FEED_MOD
     batch_default, max_default = _STREAM_BATCH_ROWS, _STREAM_MAX_ROWS
 
@@ -204,6 +203,15 @@ def register_feed_stream(spark: SparkSession) -> None:
         def simpleStreamReader(self, schema):
             return FeedStreamReader(self.options)
 
+    return FeedStreamReader, SyntheticFeedStream
+
+
+def register_feed_stream(spark: SparkSession) -> None:
+    """Idempotent per-session registration (applicationId-keyed)."""
+    key = spark.sparkContext.applicationId
+    if key in _STREAM_REGISTERED:
+        return
+    _, SyntheticFeedStream = stream_classes()
     spark.dataSource.register(SyntheticFeedStream)
     _STREAM_REGISTERED.add(key)
 

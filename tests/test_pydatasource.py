@@ -37,36 +37,40 @@ def test_batch_source_partition_contract(spark):
 def test_stream_reader_offsets_are_replayable():
     """readBetweenOffsets(start, end) must regenerate EXACTLY what
     read() served between those offsets — the contract Spark's
-    checkpoint replay depends on for exactly-once. Drives the reader
-    directly (no Spark session needed)."""
-    from document_query_system_spark.sources import pydatasource as m
+    checkpoint replay depends on for exactly-once. Drives the REAL
+    reader from stream_classes() (no Spark session needed)."""
+    from document_query_system_spark.sources.pydatasource import stream_classes
 
-    # The classes are function-scoped (pickled by value for the
-    # runner); rebuild an equivalent reader through the generator.
-    class Opts(dict):
-        def get(self, k, d=None):
-            return super().get(k, d)
-
-    # Re-derive via a tiny local driver of the same arithmetic.
-    def gen(lo, hi):
-        return [
-            (i, chr(ord("a") + i % 5), (i * m._FEED_MULT) % m._FEED_MOD)
-            for i in range(lo, hi)
-        ]
+    FeedStreamReader, _ = stream_classes()
+    reader = FeedStreamReader({})
 
     served = []
-    pos = {"pos": 0}
-    while pos["pos"] < _STREAM_MAX_ROWS:
-        start = pos["pos"]
-        end = min(start + _STREAM_BATCH_ROWS, _STREAM_MAX_ROWS)
-        batch = gen(start, end)
-        served.append(((start, end), batch))
-        pos = {"pos": end}
-    # Replay any sub-range and compare to the concatenated batches.
-    flat = [r for _, b in served for r in b]
-    assert gen(150, 420) == flat[150:420]
+    offsets = [reader.initialOffset()]
+    while True:
+        rows, nxt = reader.read(offsets[-1])
+        rows = list(rows)
+        if not rows:
+            assert nxt == offsets[-1], "fixpoint must not advance"
+            break
+        served.append((offsets[-1], nxt, rows))
+        offsets.append(nxt)
+    flat = [r for _, _, b in served for r in b]
     assert len(flat) == _STREAM_MAX_ROWS
+    assert len(served) == _STREAM_MAX_ROWS // _STREAM_BATCH_ROWS
+    # Every served batch must replay identically from its offsets...
+    for start, end, rows in served:
+        assert list(reader.readBetweenOffsets(start, end)) == rows
+    # ...including ranges SPANNING multiple original batches (a
+    # restart can replay several committed batches in one call).
+    assert (
+        list(reader.readBetweenOffsets(offsets[0], offsets[-1])) == flat
+    )
+    mid = {"pos": 150}
+    assert list(reader.readBetweenOffsets(mid, {"pos": 420})) == flat[150:420]
+    # Deterministic content spot-check against the shared arithmetic.
+    assert flat[17] == (17, "c", (17 * _FEED_MULT) % _FEED_MOD)
     # Batches tile the feed with no gaps or overlaps.
-    bounds = [se for se, _ in served]
-    assert bounds[0][0] == 0 and bounds[-1][1] == _STREAM_MAX_ROWS
-    assert all(a[1] == b[0] for a, b in zip(bounds, bounds[1:]))
+    assert offsets[0]["pos"] == 0 and offsets[-1]["pos"] == _STREAM_MAX_ROWS
+    assert all(
+        a["pos"] < b["pos"] for a, b in zip(offsets, offsets[1:])
+    )
