@@ -85,6 +85,76 @@ def main() -> None:
     except Exception as exc:  # pragma: no cover
         print(f"BENCH-ERROR index warmup: {exc}", file=sys.stderr)
 
+    # BASELINE.md headline benches — measured BEFORE the two full
+    # suite passes (r8 verdict #1): B1/B2/B3 are reference-envelope
+    # comparators, not suite members. Measuring them here, on a JVM
+    # that is warm (the untimed warmup + index build above) but not
+    # yet polluted by ~470 other generated plans, removes the
+    # cross-suite codegen-cache/JIT scatter that made driver B2 swing
+    # 0.24↔1.3↔0.55 s/query across r6-r8 with no code change. Each
+    # per-query metric takes min-of-2 timed runs after one untimed
+    # warm run (steady-state engine time, the envelope's own terms:
+    # the reference amortizes model load + index build the same way).
+    baseline: dict[str, float] = {}
+    try:
+        from pyspark.sql import functions as F
+
+        from document_query_system_spark.functions.vector import embed_df
+        from document_query_system_spark.sources.tables import load, spread
+        from document_query_system_spark.sources.tmputil import tmp_path
+
+        # B1 protocol: embed AND write the embeddings table (the
+        # reference's index build, minus its throttling sleeps). The
+        # raw corpus at sf0.1 is only 500 docs (~0.25-1 s of work) —
+        # sub-second wall is noise-dominated (B1 "moved" 4× across r3/
+        # r4 with zero code change), so replicate the corpus until the
+        # measured batch is big enough that the rate is stable (±20%).
+        B1_REPLICAS = int(os.environ.get("SPARK_GRAFT_B1_REPLICAS", "20"))
+        base_docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+        docs = spread(
+            base_docs.crossJoin(
+                F.broadcast(
+                    spark.range(B1_REPLICAS).select(F.col("id").alias("replica"))
+                )
+            ).select(
+                (F.col("doc_id") + F.col("replica") * 1_000_000_000).alias("doc_id"),
+                "text",
+            )
+        )
+        n_docs = docs.count()
+        t0 = time.perf_counter()
+        embed_df(docs, "text").select("doc_id", "embedding").write.mode(
+            "overwrite"
+        ).parquet(tmp_path("bench_embeddings.parquet"))
+        b1 = time.perf_counter() - t0
+        baseline["b1_index_docs_per_sec"] = round(n_docs / b1, 1)
+        baseline["b1_batch_docs"] = n_docs
+        baseline["b1_wall_sec"] = round(b1, 3)
+
+        def _steady(name: str) -> float:
+            fn = specs[name].fn
+            _force(fn(spark, sf_dir))  # untimed: codegen + JIT warm
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                _force(fn(spark, sf_dir))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        # B2/B3 divide by the 10-question batch: the reference runs
+        # its per-question searches SEQUENTIALLY (BASELINE.md), so
+        # sec-per-question is the comparable unit.
+        if "q_golden_vector_search" in specs:
+            baseline["b2_vector_sec_per_query"] = round(
+                _steady("q_golden_vector_search") / 10, 4
+            )
+        if "q_topk_per_question" in specs:
+            baseline["b3_keyword_sec_per_query"] = round(
+                _steady("q_topk_per_question") / 10, 4
+            )
+    except Exception as exc:  # pragma: no cover
+        print(f"BENCH-ERROR baseline: {exc}", file=sys.stderr)
+
     # JMH-style warmup pass: run every query once before the timed
     # loop so per-query numbers measure STEADY-STATE engine
     # throughput, not whole-stage-codegen JIT compilation (measured
@@ -136,53 +206,6 @@ def main() -> None:
             print(f"BENCH-ERROR {name}: {exc}", file=sys.stderr)
         _maybe_gc(i)
     total = round(time.perf_counter() - t_total0, 3)
-
-    # BASELINE.md headline benches. Reference envelopes (BASELINE.md):
-    # B1 embed ≤ 320 texts/s; B2/B3 sequential per-question search.
-    baseline: dict[str, float] = {}
-    try:
-        from pyspark.sql import functions as F
-
-        from document_query_system_spark.functions.vector import embed_df
-        from document_query_system_spark.sources.tables import load, spread
-
-        from document_query_system_spark.sources.tmputil import tmp_path
-
-        # B1 protocol: embed AND write the embeddings table (the
-        # reference's index build, minus its throttling sleeps). The
-        # raw corpus at sf0.1 is only 500 docs (~0.25-1 s of work) —
-        # sub-second wall is noise-dominated (B1 "moved" 4× across r3/
-        # r4 with zero code change), so replicate the corpus until the
-        # measured batch is big enough that the rate is stable (±20%).
-        B1_REPLICAS = int(os.environ.get("SPARK_GRAFT_B1_REPLICAS", "20"))
-        base_docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-        docs = spread(
-            base_docs.crossJoin(
-                F.broadcast(
-                    spark.range(B1_REPLICAS).select(F.col("id").alias("replica"))
-                )
-            ).select(
-                (F.col("doc_id") + F.col("replica") * 1_000_000_000).alias("doc_id"),
-                "text",
-            )
-        )
-        n_docs = docs.count()
-        t0 = time.perf_counter()
-        embed_df(docs, "text").select("doc_id", "embedding").write.mode(
-            "overwrite"
-        ).parquet(tmp_path("bench_embeddings.parquet"))
-        b1 = time.perf_counter() - t0
-        baseline["b1_index_docs_per_sec"] = round(n_docs / b1, 1)
-        baseline["b1_batch_docs"] = n_docs
-        baseline["b1_wall_sec"] = round(b1, 3)
-        baseline["b2_vector_sec_per_query"] = round(
-            timings.get("q_golden_vector_search", -1.0) / 10, 4
-        )
-        baseline["b3_keyword_sec_per_query"] = round(
-            timings.get("q_topk_per_question", -1.0) / 10, 4
-        )
-    except Exception as exc:  # pragma: no cover
-        print(f"BENCH-ERROR baseline: {exc}", file=sys.stderr)
 
     # Full per-query timings go to a sidecar file; the driver captures
     # only a bounded tail of stdout, so the LAST line must be a SHORT

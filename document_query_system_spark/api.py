@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from .registry import register
 from .sources.tables import load, spread
-from .sources.tmputil import session_key, tmp_path
+from .sources.tmputil import dir_tag, session_key, tmp_path
 from .functions.embed import dot, embed_df
 from .operators.questions import GOLDEN_QUESTIONS, SNIPPET_LEN, TOP_K
 
@@ -56,7 +56,7 @@ def ensure_vector_index(spark: SparkSession, sf_dir: str) -> str:
     full-corpus pass. Kept fresh incrementally by the anti-join
     delta pattern (q_incremental_index, sources/sinks.py) + the
     last-writer-wins upsert (upsert_parquet)."""
-    tag = os.path.basename(sf_dir.rstrip("/"))
+    tag = dir_tag(sf_dir)
     path = tmp_path("vector_index", tag)
     key = session_key(spark, sf_dir)
     if key not in _VECTOR_INDEX_READY:
@@ -86,7 +86,7 @@ def ensure_bm25_index(spark: SparkSession, sf_dir: str) -> str:
     per question batch, which at 100 TB is a full corpus pass per
     call. Kept fresh the same way the vector index is: anti-join
     delta + last-writer-wins upsert."""
-    tag = os.path.basename(sf_dir.rstrip("/"))
+    tag = dir_tag(sf_dir)
     base = tmp_path("bm25_index", tag)
     key = session_key(spark, sf_dir)
     if key not in _BM25_INDEX_READY:
@@ -139,7 +139,7 @@ def ensure_tfidf_index(spark: SparkSession, sf_dir: str) -> str:
     Determinism note: per-doc norms sum integer MICRO-units (a float
     sum of round-6 terms is partition-order-dependent — the
     q_rfm_segments half-cent class)."""
-    tag = os.path.basename(sf_dir.rstrip("/"))
+    tag = dir_tag(sf_dir)
     base = tmp_path("tfidf_index", tag)
     key = session_key(spark, sf_dir)
     if key not in _TFIDF_INDEX_READY:
@@ -201,7 +201,7 @@ def ensure_coorder_edges(spark: SparkSession, sf_dir: str) -> str:
     anti-pattern as re-embedding the corpus per retrieval call."""
     from .operators.graph_metrics import _TRI_PRIORITY
 
-    tag = os.path.basename(sf_dir.rstrip("/"))
+    tag = dir_tag(sf_dir)
     path = tmp_path("coorder_edges", tag)
     key = session_key(spark, sf_dir)
     if key not in _COORDER_EDGES_READY:

@@ -1099,3 +1099,218 @@ def q_token_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s2.filter(F.col("cum_tokens") <= _DOMAIN_TOKEN_BUDGET).select(
         "source", "doc_id", "n_tokens", "cum_tokens"
     )
+
+
+# --------------------------------------------------- MMR diversification
+#
+# Maximal Marginal Relevance (Carbonell & Goldstein 1998): re-rank a
+# retrieval candidate pool so the top-k balances relevance against
+# redundancy — argmax over remaining candidates of
+#   λ·rel(q, d) − (1−λ)·max_{s∈selected} sim(d, s).
+# The de-facto answer to "the top-5 chunks are five near-copies of the
+# same paragraph" in RAG context assembly (the reference returns raw
+# top-k; ref: src/main.py:97-127 — MMR is the standard upgrade).
+#
+# Greedy selection is inherently sequential in k, so the k rounds are
+# UNROLLED as DataFrame stages (k is a small constant — the same
+# fixed-budget discipline as the k-means/PageRank loops). Every round
+# is bounded by the POOL: candidates are the stored-index top-20 per
+# question, so each round's join is ≤ |questions|·20 × (round) rows —
+# trivially small forever, whatever the corpus size. The corpus-scale
+# work (scoring all docs) happens ONCE in the candidate pass, probing
+# the stored vector index exactly like q_rrf_fusion's vector leg.
+
+_MMR_LAMBDA_NUM = "0.7"  # λ and (1−λ) as literal strings so both
+_MMR_LAMBDA_REST = "0.3"  # engines parse the SAME double (1-0.7 in
+#                           Python is 0.30000000000000004 — never
+#                           compute the complement, spell it)
+_MMR_POOL = 20
+_MMR_K = 5
+
+
+def _mmr_oracle() -> str:
+    from ..functions.embed import embed_subquery_sql
+    from .questions import question_values_sql
+
+    qv = embed_subquery_sql("questions", "question_id", "question_text")
+    dv = embed_subquery_sql("documents", "doc_id", "text")
+    lam, rest = _MMR_LAMBDA_NUM, _MMR_LAMBDA_REST
+    ctes = f"""
+WITH {question_values_sql()},
+qv AS (SELECT id AS question_id, embedding AS v FROM {qv}),
+dv AS (SELECT id AS doc_id, embedding AS v FROM {dv}),
+cand AS (
+  SELECT question_id, doc_id, rel, v FROM (
+    SELECT qv.question_id, dv.doc_id,
+           round(list_dot_product(qv.v, dv.v), 6) AS rel, dv.v,
+           row_number() OVER (PARTITION BY qv.question_id
+                              ORDER BY round(list_dot_product(qv.v, dv.v), 6)
+                                       DESC, dv.doc_id) AS rk
+    FROM qv CROSS JOIN dv)
+  WHERE rk <= {_MMR_POOL}
+),
+sel_upto1 AS (
+  SELECT question_id, doc_id, v, 1 AS mmr_rank, rel AS mmr_score FROM (
+    SELECT *, row_number() OVER (PARTITION BY question_id
+                                 ORDER BY rel DESC, doc_id) AS rn
+    FROM cand)
+  WHERE rn = 1
+)"""
+    for t in range(2, _MMR_K + 1):
+        prev = f"sel_upto{t - 1}"
+        ctes += f""",
+scored{t} AS (
+  SELECT c.question_id, c.doc_id, c.v,
+         round({lam} * c.rel
+               - {rest} * max(round(list_dot_product(c.v, s.v), 6)), 6)
+           AS mmr_score
+  FROM cand c JOIN {prev} s USING (question_id)
+  WHERE NOT EXISTS (SELECT 1 FROM {prev} x
+                    WHERE x.question_id = c.question_id
+                      AND x.doc_id = c.doc_id)
+  GROUP BY c.question_id, c.doc_id, c.rel, c.v
+),
+sel_upto{t} AS (
+  SELECT * FROM {prev}
+  UNION ALL
+  SELECT question_id, doc_id, v, {t} AS mmr_rank, mmr_score FROM (
+    SELECT *, row_number() OVER (PARTITION BY question_id
+                                 ORDER BY mmr_score DESC, doc_id) AS rn
+    FROM scored{t})
+  WHERE rn = 1
+)"""
+    return ctes + f"""
+SELECT question_id, doc_id, CAST(mmr_rank AS BIGINT) AS mmr_rank, mmr_score
+FROM sel_upto{_MMR_K}
+"""
+
+
+@register("q_mmr_diversify", oracle=_mmr_oracle())
+def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-5 (_MMR_K) per golden question (λ = 0.7):
+    greedy
+    argmax of λ·rel − (1−λ)·max-sim-to-selected over the stored-index
+    top-20 candidate pool — see the module comment above _MMR_POOL.
+    mmr_score is the value the row was SELECTED on (rank 1 = its
+    relevance; later ranks = the λ-blend), rounded to 6 with doc_id
+    tiebreaks, so both engines pick identical rows in identical order.
+
+    Plan: one corpus-scale pass (broadcast question vectors probing
+    the stored vector index, the proven q_rrf_fusion leg) produces the
+    per-question candidate pool, lazily checkpointed because all k
+    rounds re-read it; each unrolled round joins the ≤20-row-per-
+    question remainder against the ≤(t−1)-row selected set, takes the
+    per-(question, candidate) max similarity, and window-picks the
+    argmax — per-round shuffles carry O(|questions|·pool·t) rows,
+    independent of corpus size. The vectors ride the bounded pool
+    rows, never a second corpus scan."""
+    from ..api import ensure_vector_index
+    from ..functions.embed import dot, embed_df
+    from .questions import questions_df
+
+    lam = float(_MMR_LAMBDA_NUM)
+    rest = float(_MMR_LAMBDA_REST)
+    dv = spark.read.parquet(ensure_vector_index(spark, sf_dir)).select(
+        "doc_id", F.col("dv").alias("v")
+    )
+    qv = F.broadcast(
+        embed_df(questions_df(spark), "question_text", out_col="q_v").select(
+            "question_id", "q_v"
+        )
+    )
+    cand_w = Window.partitionBy("question_id").orderBy(
+        F.desc("rel"), F.asc("doc_id")
+    )
+    cand = (
+        dv.crossJoin(qv)
+        .select(
+            "question_id",
+            "doc_id",
+            F.round(dot(F.col("q_v"), F.col("v")), 6).alias("rel"),
+            "v",
+        )
+        .withColumn("rk", F.row_number().over(cand_w))
+        .filter(F.col("rk") <= _MMR_POOL)
+        .drop("rk")
+        .localCheckpoint(eager=False)  # all k rounds re-read the pool
+    )
+    first_w = Window.partitionBy("question_id").orderBy(
+        F.desc("rel"), F.asc("doc_id")
+    )
+    selected = (
+        cand.withColumn("rn", F.row_number().over(first_w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "question_id",
+            "doc_id",
+            "v",
+            F.lit(1).alias("mmr_rank"),
+            F.col("rel").alias("mmr_score"),
+        )
+    )
+    # The per-round (question_id, doc_id) joins key on ONE composite
+    # struct column, not the two-column list: with subset-key
+    # co-partition reuse on (requireAllClusterKeysForCoPartition=false,
+    # the session default) plus AQE, the deeply-reused checkpoint
+    # branches otherwise plan a PartitioningCollection whose members
+    # have different partition counts — an engine planning crash
+    # (IllegalArgumentException) at round ≥3. A single struct key has
+    # no subset to reuse, so each side gets one clean exchange —
+    # bounded rows, so the extra exchange is free.
+    def _qd(df: DataFrame) -> DataFrame:
+        return df.withColumn("qd", F.struct("question_id", "doc_id"))
+
+    for t in range(2, _MMR_K + 1):
+        rem = (
+            _qd(cand)
+            .join(_qd(selected).select("qd"), "qd", "left_anti")
+            .drop("qd")
+        )
+        scored = (
+            rem.join(
+                selected.select("question_id", F.col("v").alias("s_v")),
+                "question_id",
+            )
+            .select(
+                "question_id",
+                "doc_id",
+                "rel",
+                F.round(dot(F.col("v"), F.col("s_v")), 6).alias("s"),
+            )
+            .groupBy("question_id", "doc_id", "rel")
+            .agg(F.max("s").alias("maxsim"))
+            .select(
+                "question_id",
+                "doc_id",
+                F.round(
+                    F.lit(lam) * F.col("rel") - F.lit(rest) * F.col("maxsim"),
+                    6,
+                ).alias("mmr_score"),
+            )
+        )
+        pick_w = Window.partitionBy("question_id").orderBy(
+            F.desc("mmr_score"), F.asc("doc_id")
+        )
+        pick = (
+            _qd(
+                scored.withColumn("rn", F.row_number().over(pick_w))
+                .filter(F.col("rn") == 1)
+                .drop("rn")
+            )
+            .join(_qd(cand).select("qd", "v"), "qd")
+            .drop("qd")
+            .select(
+                "question_id",
+                "doc_id",
+                "v",
+                F.lit(t).alias("mmr_rank"),
+                "mmr_score",
+            )
+        )
+        selected = selected.unionByName(pick)
+    return selected.select(
+        "question_id",
+        "doc_id",
+        F.col("mmr_rank").cast("long").alias("mmr_rank"),
+        "mmr_score",
+    )

@@ -81,7 +81,8 @@ def q_recursive_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (api.ensure_coorder_edges, shared with the whole graph family);
     the recursive step is one frontier⨯edges equi-join + a DISTINCT
     per iteration (frontier ≤ |nodes| — the DISTINCT is the
-    path-explosion guard), iterations capped at {depth} by the WHERE;
+    path-explosion guard), iterations capped at _BFS_MAX_DEPTH (3) by
+    the WHERE;
     the closing min/count aggregates are node-bound. The oracle runs
     the same recursion body on DuckDB with the edge derivation
     inlined (the oracle has no stored index)."""
@@ -96,7 +97,8 @@ def q_recursive_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PIPE_SQL = """
 FROM lineitem
 |> WHERE l_shipdate >= TIMESTAMP '1995-01-01'
-|> AGGREGATE round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+|> AGGREGATE round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                           AS BIGINT)) / 100.0D, 2) AS revenue,
              count(*) AS n_items
    GROUP BY l_returnflag, l_linestatus
 |> WHERE n_items > 10
@@ -108,7 +110,8 @@ FROM lineitem
     "q_pipe_syntax",
     oracle="""
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                           AS BIGINT)) AS DOUBLE) / 100.0, 2) AS revenue,
        CAST(count(*) AS BIGINT) AS n_items
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1995-01-01'
@@ -122,7 +125,10 @@ def q_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
     |> having |> project. Pure syntax: Catalyst compiles it to the
     identical filtered hash-aggregate plan as the GROUP BY form (the
     oracle), so the filter still pushes into the Parquet scan and the
-    aggregate still partial-aggregates map-side."""
+    aggregate still partial-aggregates map-side. Revenue sums integer
+    CENTS of the per-row product (the repo-wide float-determinism
+    discipline, q_sql_udf's shape): a raw double sum is
+    partition-order-dependent at a .005 rounding boundary."""
     _views(spark, sf_dir, "lineitem")
     return spark.sql(_PIPE_SQL)
 

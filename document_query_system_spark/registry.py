@@ -92,92 +92,78 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # first (in listed order), then everything else in registration order.
 # Unknown names fail loudly (a typo would silently burn a prefix slot).
 #
-# Round-8 prefix (r7 verdict "Next round" #1): the 13 queries added
-# after the r7 prefix was frozen — the only registered queries with
-# no CORRECTNESS_r01–r07 row — come first, then any NEW r8 queries
-# (added to this list AS they are registered, so the r7 debt cycle
-# doesn't repeat), then backfill with the oldest green rows: the 17
-# r1-vintage rows, then r2-vintage (rows age as the driver's tables
-# and type rendering evolve — the r7 HUGEINT and date-rendering
-# episodes both bit queries whose row was stale). Deferred r2
-# refreshes (twins of an included query or scan-class duplicates):
-# q_source_csv/json/orc (q_scan_lineitem covers the scan class),
-# q_embed_pandas (bit-identical twin of q_embed_hash, pinned by
-# tests), q_vector_topk_filtered (superset twin of q_vector_topk),
-# q_union_distinct, q_filter_chunk_type, q_l2_normalize,
-# q_sentence_split (regex twin of q_udtf_sentences).
+# Round-9 prefix (r8 verdict "Next round" #2): every registered query
+# has a driver row (the debt cycle closed in r8), so this round's 50
+# slots go to ROW AGE, oldest vintage first — rows age as the driver's
+# tables and type rendering evolve (the r7 HUGEINT and date-rendering
+# episodes both bit stale-row queries). Order: (1) new r9
+# registrations (driver row in the round they land — grown here AS
+# each lands so the r7 debt cycle can't repeat); (2) the 23 r2-vintage
+# rows the r8 prefix consciously deferred (scalar batteries, scan
+# twins, set ops — the oldest rows in the ledger); (3) the 13
+# r4-vintage rows; (4) backfill to 50 with the riskiest r5-vintage
+# rows (date/timestamp rendering: as-of + event windows + streaming
+# tumbling; wide integer/double sums the HUGEINT class bites:
+# pricing summary, wordcount, cross-score; plus the flagship api
+# facade pair and the extraction cascade).
 _ROTATION_PREFIX: tuple[str, ...] = (
-    # --- the 13 r7 post-prefix additions (never driver-verified) ---
-    "q_rrf_fusion",  # + stored-index fix this round (r7 verdict #2)
-    "q_ndcg_eval",  # + stored-index fix this round (r7 verdict #3)
-    "q_dedup_tier_eval",  # + zero-guard fix this round (ADVICE #1)
-    "q_temperature_mix",
-    "q_hard_negatives",
-    "q_kcore",
-    "q_k_anonymity",
-    "q_entity_resolution",
-    "q_matryoshka_recall",
-    "q_classifier_calibration",
-    "q_winsorize",
-    "q_stream_anomaly",  # only streaming query with no driver row
-    "q_bitwise_funcs",  # the deliberate r7 slot-51 defer
-    # --- new r8 registrations (driver row in the round they land;
-    #     grown here AS each lands so the r7 debt cycle can't repeat) ---
-    "q_pagerank",  # re-verify after the top-k plan change (verdict #4)
-    "q_quantile_bins_approx",  # r8 addition (verdict #7; rows-only)
-    "q_winsorize_approx",  # r8 addition (verdict #7; rows-only)
-    "q_variant_funcs",  # r8 addition (Spark-4 VARIANT surface)
-    "q_source_xml",  # r8 addition (native XML source round-trip)
-    "q_recursive_bfs",  # r8 addition (Spark-4 recursive CTE)
-    "q_pipe_syntax",  # r8 addition (Spark-4 SQL pipe syntax)
-    "q_lateral_topk",  # r8 addition (LATERAL correlated subquery)
-    "q_collation_group",  # r8 addition (UTF8_LCASE grouping)
-    "q_python_datasource",  # r8 addition (Spark-4 Python DataSource)
-    "q_stream_python_source",  # r8 addition (Python stream source)
-    "q_incremental_bm25",  # r8 addition (posting-index delta merge)
-    "q_sql_udf",  # r8 addition (SQL-defined scalar functions)
-    "q_readability",  # r8 addition (Flesch quality cut)
-    # --- r1-vintage refresh (no fresh row since round 1) ---
-    "q_agg_stats",
-    "q_agg_percentiles",
-    "q_agg_percentiles_approx",
-    "q_pivot_lang_source",
-    "q_shipping_priority",
-    "q_local_supplier_volume",
-    "q_grouping_sets",
-    "q_exists_subquery",
-    "q_scalar_subquery",
-    "q_range_frame",
-    "q_skew_salted_agg",
-    "q_media_metadata",
-    "q_image_decode_stats",
-    "q_image_resize",
-    "q_frame_sample",
-    "q_audio_rms",
-    "q_agg_cube",
-    # --- r2-vintage refresh (oldest first by risk class) ---
-    "q_vector_topk",
-    "q_golden_vector_search",
-    "q_embed_hash",
-    # q_embed_quantize_int8 deferred (int8 path also exercised by
-    # q_ann_quantized's r6 row; r8 additions take priority)
-    "q_sliding_chunks",
-    # q_merge_small_chunks deferred (chunk-family twin of
-    # q_sliding_chunks above; r8 additions take priority)
-    # q_paragraph_explode / q_udtf_sentences deferred (explode-shape
-    # twins; r8 additions take priority for first-ever rows)
-    "q_scan_lineitem",
-    "q_scan_part_pruned",
-    # q_union_all / q_intersect / q_except deferred with
-    # q_union_distinct (the set-op family got fresh r7 rows via the
-    # ALL-variants in the same file; keeps the list at the driver's
-    # exact 50 slots)
-    # Deferred r2 scalar batteries (r8 additions take priority for
-    # first-ever rows): q_json_funcs, q_string_funcs, q_regex_sections,
-    # q_array_funcs, q_map_funcs, q_table_flatten,
-    # q_json_corrupt_tolerant — string/array-output shapes, neither of
-    # the two row-aging classes the refresh guards against (HUGEINT
-    # sums and date rendering) applies to them.
+    # --- new r9 registrations ---
+    "q_stream_python_source_partitioned",  # executor-side stream twin
+    "q_mmr_diversify",  # MMR diversified re-rank over the stored index
+    # --- r2-vintage refresh (oldest rows in the ledger) ---
+    "q_json_funcs",
+    "q_string_funcs",
+    "q_regex_sections",
+    "q_array_funcs",
+    "q_map_funcs",
+    "q_table_flatten",
+    "q_json_corrupt_tolerant",
+    "q_source_csv",
+    "q_source_json",
+    "q_source_orc",
+    "q_embed_pandas",
+    "q_embed_quantize_int8",
+    "q_vector_topk_filtered",
+    "q_union_distinct",
+    "q_union_all",
+    "q_intersect",
+    "q_except",
+    "q_filter_chunk_type",
+    "q_l2_normalize",
+    "q_sentence_split",
+    "q_merge_small_chunks",
+    "q_paragraph_explode",
+    "q_udtf_sentences",
+    # --- r4-vintage refresh ---
+    "q_date_funcs",
+    "q_dedup_hash",
+    "q_fingerprint",
+    "q_http_ingest",
+    "q_lag_lead",
+    "q_lang_id",
+    "q_math_funcs",
+    "q_quality_score",
+    "q_rank_family",
+    "q_running_sum",
+    "q_sort_limit",
+    "q_token_count",
+    "q_topk_per_group",
+    # --- r5-vintage backfill (riskiest row-aging classes first) ---
+    "q_join_asof",  # timestamp rendering class
+    "q_session_window",  # timestamp rendering class
+    "q_tumbling_window",  # timestamp rendering class
+    "q_stream_tumbling",  # timestamp rendering class (streaming twin)
+    "q_agg_pricing_summary",  # wide double sums (HUGEINT class)
+    "q_agg_wordcount",  # wide integer sums (HUGEINT class)
+    "q_agg_doc_stats",  # wide integer sums (HUGEINT class)
+    "q_cross_score",  # flagship keyword scorer (B3's plan family)
+    "q_topk_per_question",  # B3 itself
+    "q_api_run_vector",  # flagship facade, vector path
+    "q_api_run_keyword",  # flagship facade, keyword path
+    "q_extract_cascade",  # largest non-SQL surface with an oracle
+    # q_incremental_index dropped to keep the driver's exact 50 slots
+    # (its anti-join delta shape is also exercised by the r8-green
+    # q_incremental_bm25 row).
 )
 
 

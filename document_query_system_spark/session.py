@@ -119,6 +119,19 @@ def get_spark(
         # (coarser clustering can skew a hot subset key) is the same
         # one every groupBy-superset reuse already makes.
         .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+        # Generated-class cache (static conf, JVM-wide): Spark caches
+        # compiled codegen classes in a 100-entry cache keyed by
+        # generated source. A 234-query × 2-pass bench cycles ~470
+        # plans through it, so the giant classes (the hash-embed HOF
+        # wrapper, keep-canonical's anti-join) are EVICTED between the
+        # cold and steady passes and re-compiled (janino + fresh C2
+        # JIT) on their steady-pass run — the r6/r8 steady-slower-than-
+        # cold scatter that two ReservedCodeCacheSize raises did not
+        # fix (the code cache was never full; the class cache was).
+        # 5000 entries keeps every plan of a full suite run resident;
+        # metaspace cost is a few MB per retained class loader, far
+        # under the 8 GB driver heap's headroom.
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

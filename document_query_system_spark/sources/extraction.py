@@ -136,9 +136,9 @@ def _ensure_landing_dir(spark: SparkSession, sf_dir: str) -> str:
     doc for the first 50 docs) so the binaryFile source has something
     to scan — the on-disk twin of the reference's document_cache
     (ref: ingestion_service.py:322-329)."""
-    from .tmputil import session_key, tmp_path
+    from .tmputil import dir_tag, session_key, tmp_path
 
-    tag = os.path.basename(sf_dir.rstrip("/"))
+    tag = dir_tag(sf_dir)
     path = tmp_path("landing", tag)
     key = session_key(spark, sf_dir)
     if key not in _BINARY_DIR_READY:

@@ -138,10 +138,10 @@ def q_http_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     retry/backoff path itself is unit-tested against a live local
     HTTP server in tests/test_http_ingest.py."""
     from .extraction import _ensure_landing_dir
-    from .tmputil import session_key, tmp_path
+    from .tmputil import dir_tag, session_key, tmp_path
 
     src = _ensure_landing_dir(spark, sf_dir)
-    tag = os.path.basename(sf_dir.rstrip("/"))
+    tag = dir_tag(sf_dir)
     dst = tmp_path("http_landing", tag)
     key = session_key(spark, sf_dir)
     if key not in _HTTP_LANDING_READY:

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
     SimpleDataSourceStreamReader,
 )
@@ -80,21 +81,18 @@ class SyntheticFeed(DataSource):
         return FeedReader(self.options)
 
 
-_REGISTERED: set[str] = set()
-
-
 def register_feed(spark: SparkSession) -> None:
-    """Idempotent per-session registration of the custom source.
-    Keyed on applicationId (NOT id(sc) — CPython recycles object
-    addresses, so an id() memo can silently skip registration for a
-    brand-new session)."""
-    key = spark.sparkContext.applicationId
-    if key not in _REGISTERED:
-        from ..session import ensure_worker_imports
+    """Register the custom source on THIS session, unconditionally:
+    spark.dataSource.register is SparkSession-scoped, so any memo
+    keyed on applicationId would skip a spark.newSession() sibling
+    (same app id, empty source registry) and its reads would fail
+    with 'data source not found' (r8 ADVICE). Registration is a
+    cheap idempotent dict put; ensure_worker_imports memoizes itself
+    per SparkContext."""
+    from ..session import ensure_worker_imports
 
-        ensure_worker_imports(spark)  # workers unpickle classes by ref
-        spark.dataSource.register(SyntheticFeed)
-        _REGISTERED.add(key)
+    ensure_worker_imports(spark)  # workers unpickle classes by ref
+    spark.dataSource.register(SyntheticFeed)
 
 
 @register(
@@ -146,12 +144,24 @@ def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 # log wrapper implements; Spark persists the offsets in the streaming
 # checkpoint). The feed is finite (_STREAM_MAX_ROWS) so the query has
 # a deterministic fixpoint the oracle can check.
+#
+# SCALE CAVEAT (by Spark-4 API design): SimpleDataSourceStreamReader's
+# read(start) runs ON THE DRIVER — every row funnels through the
+# driver-side Python runner before being shipped to executors. That is
+# the documented low-volume variant (control streams, small change
+# feeds). A high-volume feed must use the partition-based
+# DataSourceStreamReader below (pstream_classes): the driver plans
+# only OFFSETS; executors read their own partitions.
+#
+# Two batches of 250, not five of 100: per-micro-batch overhead (offset
+# planning + runner round-trip + sink commit) dominates a demo-sized
+# feed, and two batches already exercise everything a fifth does —
+# offset advance, mid-stream replay spans, and the fixpoint (r8
+# verdict #4; the replay test covers multi-batch spans independently
+# of batch count).
 
-_STREAM_BATCH_ROWS = 100
+_STREAM_BATCH_ROWS = 250
 _STREAM_MAX_ROWS = 500
-
-
-_STREAM_REGISTERED: set[str] = set()
 
 
 def stream_classes():
@@ -207,13 +217,11 @@ def stream_classes():
 
 
 def register_feed_stream(spark: SparkSession) -> None:
-    """Idempotent per-session registration (applicationId-keyed)."""
-    key = spark.sparkContext.applicationId
-    if key in _STREAM_REGISTERED:
-        return
+    """Session-scoped registration, unconditional (see register_feed:
+    a memo keyed on applicationId would skip a spark.newSession()
+    sibling, whose source registry starts empty)."""
     _, SyntheticFeedStream = stream_classes()
     spark.dataSource.register(SyntheticFeedStream)
-    _STREAM_REGISTERED.add(key)
 
 
 @register(
@@ -232,15 +240,20 @@ FROM feed GROUP BY bucket
 """,
 )
 def q_stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The custom Python STREAM source driven to its fixpoint: 5
-    offset-tracked micro-batches of 100 rows into a complete-mode
+    """The custom Python STREAM source driven to its fixpoint: 2
+    offset-tracked micro-batches of 250 rows into a complete-mode
     memory aggregate. availableNow snapshots only the first batch for
     Python simple stream readers, so the drive loop uses a fast
     processingTime trigger and stops once the aggregate accounts for
     every feed row — deterministic final state however the batches
     interleave (integer sums, commutative). Exercises initialOffset /
     read / readBetweenOffsets — the exactly-once replay contract a
-    real queue or log wrapper implements."""
+    real queue or log wrapper implements.
+
+    SCALE CAVEAT: the simple reader reads rows ON THE DRIVER (Spark-4
+    API design — the documented low-volume variant); the executor-side
+    shape for a real high-volume feed is
+    q_stream_python_source_partitioned below."""
     import time
 
     register_feed_stream(spark)
@@ -277,7 +290,171 @@ def q_stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                     f"feed stream stalled: {got}/{_STREAM_MAX_ROWS} rows "
                     "aggregated within the 120 s deadline"
                 )
-            time.sleep(0.1)
+            time.sleep(0.05)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    return spark.table(name)
+
+
+# --------------------------------- partitioned streaming variant
+#
+# The executor-side twin (r8 verdict #3): DataSourceStreamReader plans
+# OFFSET RANGES on the driver (initialOffset/latestOffset — cheap
+# metadata, like Kafka's "what's the head offset?") and splits each
+# micro-batch into InputPartitions whose read(partition) runs ON
+# EXECUTORS — the shape a real 100 TB queue/log wrapper needs: row
+# bytes never transit the driver, and per-batch parallelism is the
+# partition count (one task per shard, like a Parquet split).
+# Reference analog: the ingestion fan-out at ingestion_service.py:
+# 376-416 (N workers each pulling its own shard of the upload batch).
+
+_PSTREAM_BATCH_ROWS = 300  # rows ADMITTED per micro-batch (driver plan)
+_PSTREAM_MAX_ROWS = 600
+_PSTREAM_PARTS = 4  # InputPartitions per micro-batch (executor tasks)
+
+
+def pstream_classes():
+    """Build (PartitionedFeedStreamReader, SyntheticFeedPStream).
+    Function-scoped for the same by-value-pickling reason as
+    stream_classes: the streaming plan runner is a separate driver-side
+    Python process that does not see sc.addPyFile. Exposed as a factory
+    so tests drive the real reader's offset/partition contract
+    directly."""
+    mult, mod = _FEED_MULT, _FEED_MOD
+    batch_default, max_default = _PSTREAM_BATCH_ROWS, _PSTREAM_MAX_ROWS
+    parts_default = _PSTREAM_PARTS
+
+    class RangePartition(InputPartition):
+        def __init__(self, start: int, end: int):
+            self.start, self.end = start, end
+
+    class PartitionedFeedStreamReader(DataSourceStreamReader):
+        def __init__(self, options):
+            self.batch = int(options.get("batch_rows", str(batch_default)))
+            self.max_rows = int(options.get("max_rows", str(max_default)))
+            self.parts = int(options.get("partitions", str(parts_default)))
+            self._pos = 0  # head-offset cursor (see latestOffset)
+
+        def initialOffset(self):
+            return {"pos": 0}
+
+        def latestOffset(self):
+            # A real wrapper asks the external system for its head
+            # offset; this synthetic feed "arrives" one batch per
+            # micro-batch, capped at the fixpoint. Monotonic by
+            # construction, so a restart replays committed ranges via
+            # partitions(start, end) below, never through this cursor.
+            self._pos = min(self._pos + self.batch, self.max_rows)
+            return {"pos": self._pos}
+
+        def partitions(self, start, end):
+            lo, hi = start["pos"], end["pos"]
+            if hi <= lo:  # empty batch (restart races) — one no-op task
+                return [RangePartition(lo, lo)]
+            step = -(-(hi - lo) // self.parts)  # ceil-split the range
+            return [
+                RangePartition(a, min(a + step, hi))
+                for a in range(lo, hi, step)
+            ]
+
+        def read(self, partition):  # EXECUTOR-side: the scale property
+            for i in range(partition.start, partition.end):
+                yield (i, chr(ord("a") + i % 5), (i * mult) % mod)
+
+        def commit(self, end):
+            pass  # nothing to release: the feed is arithmetic
+
+    class SyntheticFeedPStream(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "synthetic_feed_pstream"
+
+        def schema(self) -> str:
+            return "event_id BIGINT, bucket STRING, score BIGINT"
+
+        def streamReader(self, schema):
+            return PartitionedFeedStreamReader(self.options)
+
+    return PartitionedFeedStreamReader, SyntheticFeedPStream
+
+
+def register_feed_pstream(spark: SparkSession) -> None:
+    """Session-scoped registration, unconditional (see register_feed)."""
+    _, SyntheticFeedPStream = pstream_classes()
+    spark.dataSource.register(SyntheticFeedPStream)
+
+
+@register(
+    "q_stream_python_source_partitioned",
+    oracle=f"""
+WITH feed AS (
+  SELECT i AS event_id,
+         chr(97 + CAST(i % 5 AS INT)) AS bucket,
+         (i * {_FEED_MULT}) % {_FEED_MOD} AS score
+  FROM (SELECT unnest(generate_series(0, {_PSTREAM_MAX_ROWS - 1})) AS i)
+)
+SELECT bucket,
+       CAST(count(*) AS BIGINT)   AS n,
+       CAST(sum(score) AS BIGINT) AS total_score,
+       CAST(min(event_id) AS BIGINT) AS first_event,
+       CAST(max(event_id) AS BIGINT) AS last_event
+FROM feed GROUP BY bucket
+""",
+)
+def q_stream_python_source_partitioned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The PARTITION-BASED Python stream source driven to its
+    fixpoint: 2 micro-batches of 300 rows, each split into 4
+    InputPartitions read executor-side, into a complete-mode memory
+    aggregate — the high-volume twin of q_stream_python_source (whose
+    simple reader reads on the driver by API design). The driver plans
+    only offset ranges; row generation/fetch happens in executor
+    tasks, so throughput scales with the partition count — the shape a
+    real queue/log wrapper at 100 TB needs. min/max event_id in the
+    aggregate prove no range was dropped or double-read across the
+    batch splits (exactly-once across partitions)."""
+    import time
+
+    register_feed_pstream(spark)
+    sdf = (
+        spark.readStream.format("synthetic_feed_pstream")
+        .option("batch_rows", _PSTREAM_BATCH_ROWS)
+        .option("max_rows", _PSTREAM_MAX_ROWS)
+        .option("partitions", _PSTREAM_PARTS)
+        .load()
+    )
+    agg = sdf.groupBy("bucket").agg(
+        F.count("*").alias("n"),
+        F.sum("score").alias("total_score"),
+        F.min("event_id").alias("first_event"),
+        F.max("event_id").alias("last_event"),
+    )
+    name = "pyfeed_pstream_sink"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while True:
+            if q.exception() is not None:
+                raise q.exception()  # fail loud, not an empty table
+            got = spark.sql(
+                f"SELECT coalesce(sum(n), 0) FROM {name}"
+            ).first()[0]
+            if got >= _PSTREAM_MAX_ROWS:
+                break
+            if time.time() >= deadline:
+                raise TimeoutError(
+                    f"partitioned feed stream stalled: {got}/"
+                    f"{_PSTREAM_MAX_ROWS} rows within the 120 s deadline"
+                )
+            time.sleep(0.05)
     finally:
         q.stop()
         q.awaitTermination(30)

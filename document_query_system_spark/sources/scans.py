@@ -51,9 +51,9 @@ def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
     by the engine, SURVEY §1.3), and aggregate. The oracle runs on the
     original parquet, so the check covers the full write→read
     round-trip of the format."""
-    from .tmputil import session_key, tmp_path
+    from .tmputil import dir_tag, session_key, tmp_path
 
-    tag = os.path.basename(sf_dir.rstrip("/"))
+    tag = dir_tag(sf_dir)
     path = tmp_path("formats", tag, fmt)
     key = session_key(spark, sf_dir, fmt)
     if key not in _FORMAT_DIRS:

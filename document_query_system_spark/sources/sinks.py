@@ -99,7 +99,7 @@ def q_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-from .tmputil import session_key, tmp_path
+from .tmputil import dir_tag, session_key, tmp_path
 
 _BUCKETS = 8
 _BUCKET_DB_READY: set[tuple] = set()
@@ -116,7 +116,7 @@ def _ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> None:
     if key in _BUCKET_DB_READY:
         return
     base = tmp_path("bucketed")
-    tag = os.path.basename(sf_dir.rstrip("/"))
+    tag = dir_tag(sf_dir)
     for name, bucket_col in (("orders", "o_custkey"), ("customer", "c_custkey")):
         tbl = f"b_{name}_{tag.replace('.', '_')}"
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
@@ -155,7 +155,7 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale bucketing exists for, neither side fits in memory and SMJ
     over aligned buckets is what the optimizer picks unaided."""
     _ensure_bucketed_tables(spark, sf_dir)
-    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    tag = dir_tag(sf_dir).replace(".", "_")
     o = spark.table(f"b_orders_{tag}")
     c = spark.table(f"b_customer_{tag}").hint("MERGE")
     return (
@@ -204,7 +204,7 @@ def _ensure_partitioned_docs(spark: SparkSession, sf_dir: str) -> str:
     per (session, sf_dir); returns the path. Partition columns are the
     coarse file-skipping axis at scale: a lang-filtered query lists
     only that partition's directory."""
-    tag = os.path.basename(sf_dir.rstrip("/"))
+    tag = dir_tag(sf_dir)
     path = tmp_path("partitioned", tag, "documents")
     key = session_key(spark, sf_dir)
     if key not in _PARTITIONED_READY:

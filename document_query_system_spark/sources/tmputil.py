@@ -33,6 +33,17 @@ def tmp_path(*parts: str) -> str:
     return os.path.join(ROOT, *parts)
 
 
+def dir_tag(sf_dir: str) -> str:
+    """Path-unique artifact tag for a corpus directory. Derived from
+    the FULL sf_dir, not its basename: memoization keys on the full
+    path (session_key(spark, sf_dir)), so the artifact path must too —
+    with a basename tag, two corpora sharing a basename in one session
+    silently overwrite each other's stored artifact while both memos
+    claim it is built, and the second reader gets the wrong corpus's
+    data with no error (r8 ADVICE)."""
+    return sf_dir.strip("/").replace("/", "_")
+
+
 def session_key(spark, *extra: str) -> tuple:
     """Memoization key stable for the lifetime of a SparkSession."""
     return (spark.sparkContext.applicationId, *extra)

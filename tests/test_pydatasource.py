@@ -74,3 +74,44 @@ def test_stream_reader_offsets_are_replayable():
     assert all(
         a["pos"] < b["pos"] for a, b in zip(offsets, offsets[1:])
     )
+
+
+def test_pstream_reader_partition_contract():
+    """Partition-based stream reader (the executor-side scale twin):
+    latestOffset plans one batch-range per micro-batch up to the
+    fixpoint; partitions(start, end) ceil-splits the range into the
+    configured shard count (each read(partition) runs on an executor);
+    the shards tile each batch exactly — no gap, no overlap."""
+    from document_query_system_spark.sources.pydatasource import (
+        _PSTREAM_BATCH_ROWS,
+        _PSTREAM_MAX_ROWS,
+        _PSTREAM_PARTS,
+        pstream_classes,
+    )
+
+    Reader, _ = pstream_classes()
+    r = Reader({})
+    o0 = r.initialOffset()
+    assert o0 == {"pos": 0}
+    o1, o2, o3 = r.latestOffset(), r.latestOffset(), r.latestOffset()
+    assert o1 == {"pos": _PSTREAM_BATCH_ROWS}
+    assert o2 == {"pos": _PSTREAM_MAX_ROWS}
+    assert o3 == {"pos": _PSTREAM_MAX_ROWS}, "fixpoint must not advance"
+
+    all_rows = []
+    for start, end in ((o0, o1), (o1, o2)):
+        parts = r.partitions(start, end)
+        assert len(parts) == _PSTREAM_PARTS
+        spans = [(p.start, p.end) for p in parts]
+        # shards tile [start, end) exactly
+        assert spans[0][0] == start["pos"] and spans[-1][1] == end["pos"]
+        assert all(a[1] == b[0] for a, b in zip(spans, spans[1:]))
+        for p in parts:
+            all_rows.extend(r.read(p))
+    assert [row[0] for row in all_rows] == list(range(_PSTREAM_MAX_ROWS))
+    assert all_rows[17] == (17, "c", (17 * _FEED_MULT) % _FEED_MOD)
+    # An empty batch (restart race: head <= committed) plans one no-op
+    # partition, never a negative range.
+    (empty,) = r.partitions(o2, o3)
+    assert (empty.start, empty.end) == (o2["pos"], o3["pos"])
+    assert list(r.read(empty)) == []
