@@ -254,8 +254,6 @@ def q_stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     API design — the documented low-volume variant); the executor-side
     shape for a real high-volume feed is
     q_stream_python_source_partitioned below."""
-    import time
-
     register_feed_stream(spark)
     sdf = (
         spark.readStream.format("synthetic_feed_stream")
@@ -266,14 +264,47 @@ def q_stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = sdf.groupBy("bucket").agg(
         F.count("*").alias("n"), F.sum("score").alias("total_score")
     )
-    name = "pyfeed_stream_sink"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(processingTime="50 milliseconds")
-        .start()
+    return _drive_to_fixpoint(
+        spark, agg, "pyfeed_stream_sink", _STREAM_MAX_ROWS
     )
+
+
+_STREAM_STATE_PARTITIONS = 4
+
+
+def _drive_to_fixpoint(spark, agg, name: str, max_rows: int):
+    """Start the complete-mode memory sink, poll until the aggregate
+    accounts for every feed row, stop, return the memory table —
+    deterministic final state however the micro-batches interleave
+    (integer sums, commutative). Fails loud on stream exception or a
+    120 s stall, never returns a partial table.
+
+    The streaming aggregate's STATE partition count is scoped to 4 for
+    the stream's lifetime (saved/restored around start): state-store
+    partitioning is locked per query at first start and is a per-job
+    deployment sizing decision — the session's 32 scan-sized shuffle
+    partitions would run 6× empty state tasks per micro-batch for a
+    5-key aggregate, pure stage-latency overhead (measured ~2× on this
+    fixpoint drive). Batch queries are unaffected: the conf is
+    restored before this returns."""
+    import time
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(_STREAM_STATE_PARTITIONS)
+    )
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(processingTime="10 milliseconds")
+            .start()
+        )
+    finally:
+        # Restore immediately: the partition count is captured at
+        # stream start; nothing later reads the conf.
+        spark.conf.set("spark.sql.shuffle.partitions", old)
     try:
         deadline = time.time() + 120
         got = 0
@@ -283,11 +314,11 @@ def q_stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             got = spark.sql(
                 f"SELECT coalesce(sum(n), 0) FROM {name}"
             ).first()[0]
-            if got >= _STREAM_MAX_ROWS:
+            if got >= max_rows:
                 break
             if time.time() >= deadline:
                 raise TimeoutError(
-                    f"feed stream stalled: {got}/{_STREAM_MAX_ROWS} rows "
+                    f"feed stream stalled: {got}/{max_rows} rows "
                     "aggregated within the 120 s deadline"
                 )
             time.sleep(0.05)
@@ -415,8 +446,6 @@ def q_stream_python_source_partitioned(
     real queue/log wrapper at 100 TB needs. min/max event_id in the
     aggregate prove no range was dropped or double-read across the
     batch splits (exactly-once across partitions)."""
-    import time
-
     register_feed_pstream(spark)
     sdf = (
         spark.readStream.format("synthetic_feed_pstream")
@@ -431,31 +460,6 @@ def q_stream_python_source_partitioned(
         F.min("event_id").alias("first_event"),
         F.max("event_id").alias("last_event"),
     )
-    name = "pyfeed_pstream_sink"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(processingTime="50 milliseconds")
-        .start()
+    return _drive_to_fixpoint(
+        spark, agg, "pyfeed_pstream_sink", _PSTREAM_MAX_ROWS
     )
-    try:
-        deadline = time.time() + 120
-        while True:
-            if q.exception() is not None:
-                raise q.exception()  # fail loud, not an empty table
-            got = spark.sql(
-                f"SELECT coalesce(sum(n), 0) FROM {name}"
-            ).first()[0]
-            if got >= _PSTREAM_MAX_ROWS:
-                break
-            if time.time() >= deadline:
-                raise TimeoutError(
-                    f"partitioned feed stream stalled: {got}/"
-                    f"{_PSTREAM_MAX_ROWS} rows within the 120 s deadline"
-                )
-            time.sleep(0.05)
-    finally:
-        q.stop()
-        q.awaitTermination(30)
-    return spark.table(name)
