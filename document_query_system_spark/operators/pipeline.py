@@ -1318,3 +1318,211 @@ def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mmr_rank").cast("long").alias("mmr_rank"),
         "mmr_score",
     )
+
+
+# --------------------------------------------- PRF query expansion
+#
+# Pseudo-relevance feedback (Rocchio / RM-style): assume the first
+# pass's top documents are relevant, mine their strongest terms, and
+# re-query with the expanded term set — the classical fix for
+# vocabulary mismatch ("heart attack" retrieving nothing about
+# "myocardial infarction") that needs no model. Two probes of the
+# SAME stored indexes the engine already maintains:
+#   pass 1  BM25 probe (stored postings)  → top-3 feedback docs/question
+#   mine    stored TF-IDF weighted index  → top-5 expansion terms/question
+#           (question's own terms excluded; summed tf-idf weight,
+#            term tiebreak)
+#   pass 2  BM25 probe with original terms at weight 1.0 and
+#           expansion terms at 0.5 → top-5 docs/question.
+# Weighted sum in integer HALF-micro units (2·micro for originals,
+# 1·micro for expansion): the 0.5 weighting never touches floats, so
+# the score is partition-order-independent by construction.
+
+_PRF_FB = 3  # feedback depth (docs assumed relevant)
+_PRF_EXP = 5  # expansion terms per question
+_PRF_TOPK = 5
+
+
+def _prf_oracle() -> str:
+    return (
+        _bm25_ctes()
+        + f""",
+fb AS (
+  SELECT question_id, doc_id FROM (
+    SELECT question_id, doc_id,
+           row_number() OVER (PARTITION BY question_id
+                              ORDER BY bm25 DESC, doc_id) AS rk
+    FROM scored)
+  WHERE rk <= {_PRF_FB}
+),
+df_all AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+tw AS (
+  SELECT f.question_id, t.term,
+         round(sum(CAST(round(round(t.tf * ln(s.n_docs / d.df), 6)
+                              * 1000000, 0) AS BIGINT)) / 1000000.0, 6) AS tw
+  FROM fb f JOIN tf t USING (doc_id)
+  JOIN df_all d USING (term) CROSS JOIN stats s
+  WHERE NOT EXISTS (SELECT 1 FROM qt x
+                    WHERE x.question_id = f.question_id
+                      AND x.term = t.term)
+  GROUP BY f.question_id, t.term
+),
+exp AS (
+  SELECT question_id, term FROM (
+    SELECT *, row_number() OVER (PARTITION BY question_id
+                                 ORDER BY tw DESC, term) AS rk
+    FROM tw)
+  WHERE rk <= {_PRF_EXP}
+),
+qt2 AS (
+  SELECT question_id, term, 2 AS wgt FROM qt
+  UNION ALL
+  SELECT question_id, term, 1 AS wgt FROM exp
+),
+dfq2 AS (
+  SELECT term, count(*) AS df FROM tf
+  WHERE term IN (SELECT term FROM qt2) GROUP BY term
+),
+contrib2 AS (
+  SELECT q.question_id, t.doc_id, q.wgt,
+         round(ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * t.tf * ({_BM25_K1} + 1)
+               / (t.tf + {_BM25_K1} * (1 - {_BM25_B}
+                                       + {_BM25_B} * t.dl / s.avgdl)), 6) AS w
+  FROM tf t JOIN qt2 q USING (term) JOIN dfq2 d USING (term)
+  CROSS JOIN stats s
+),
+prf AS (
+  SELECT question_id, doc_id,
+         round(sum(CAST(round(w * 1000000, 0) AS BIGINT) * wgt)
+               / 2000000.0, 4) AS prf_score
+  FROM contrib2 GROUP BY question_id, doc_id
+)
+SELECT question_id, doc_id, prf_score
+FROM (SELECT *, row_number() OVER (PARTITION BY question_id
+                                   ORDER BY prf_score DESC, doc_id) AS rn
+      FROM prf)
+WHERE rn <= {_PRF_TOPK}
+"""
+    )
+
+
+@register("q_prf_expansion", oracle=_prf_oracle())
+def q_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback expanded retrieval, top-5 per golden
+    question — see the module comment above _PRF_FB for the two-probe
+    recipe and the half-micro-unit weighting.
+
+    Plan: pass 1 is the proven _bm25_scored stored-postings probe.
+    Term mining BROADCASTS the ≤|questions|·3 feedback pairs against
+    the stored TF-IDF weighted index (map-side), excludes original
+    terms against the broadcast question relation, and aggregates in
+    one exchange. The mined expansion terms are COLLECTED to the
+    driver — a bounded ≤|questions|·5-row collect, the k-means-
+    centroid class — so pass 2's term predicate is again a LITERAL
+    isin pushed into the postings Parquet scan (the stored-index
+    probe contract; a runtime subquery filter would read every row
+    group). At 100 TB the feedback-doc lookup in the term-clustered
+    weighted index becomes a doc-keyed point read (store the doc's
+    term vector alongside, or a doc-clustered twin) — noted here
+    because the probe is doc-keyed, unlike every term-keyed probe."""
+    from ..api import ensure_bm25_index, ensure_tfidf_index
+    from .questions import GOLDEN_QUESTIONS
+
+    # ---- pass 1: feedback docs
+    fb_w = Window.partitionBy("question_id").orderBy(
+        F.desc("bm25"), F.asc("doc_id")
+    )
+    fb = (
+        _bm25_scored(spark, sf_dir)
+        .withColumn("rk", F.row_number().over(fb_w))
+        .filter(F.col("rk") <= _PRF_FB)
+        .select("question_id", "doc_id")
+    )
+    # ---- mine expansion terms from the stored TF-IDF index
+    pairs = sorted(
+        {(qid, w) for qid, q in GOLDEN_QUESTIONS for w in q.lower().split()}
+    )
+    qt = spark.createDataFrame(pairs, "question_id INT, term STRING")
+    wtd = spark.read.parquet(
+        os.path.join(ensure_tfidf_index(spark, sf_dir), "weighted")
+    ).select("doc_id", "term", "w")
+    tw = (
+        wtd.join(F.broadcast(fb), "doc_id")
+        .join(F.broadcast(qt), ["question_id", "term"], "left_anti")
+        .groupBy("question_id", "term")
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("w") * 1e6, 0).cast("long")) / F.lit(1e6),
+                6,
+            ).alias("tw")
+        )
+    )
+    exp_w = Window.partitionBy("question_id").orderBy(
+        F.desc("tw"), F.asc("term")
+    )
+    exp_rows = (  # bounded collect: ≤ |questions|·_PRF_EXP rows
+        tw.withColumn("rk", F.row_number().over(exp_w))
+        .filter(F.col("rk") <= _PRF_EXP)
+        .select("question_id", "term")
+        .collect()
+    )
+    # ---- pass 2: expanded probe, literal-term pushdown again
+    qt2_rows = [(qid, t, 2) for qid, t in pairs] + [
+        (r.question_id, r.term, 1) for r in exp_rows
+    ]
+    qt2 = spark.createDataFrame(
+        sorted(qt2_rows), "question_id INT, term STRING, wgt INT"
+    )
+    terms2 = sorted({t for _, t, _ in qt2_rows})
+    base = ensure_bm25_index(spark, sf_dir)
+    stats = F.broadcast(spark.read.parquet(os.path.join(base, "stats")))
+    tfq = spark.read.parquet(os.path.join(base, "postings")).filter(
+        F.col("term").isin(terms2)
+    )
+    dfq = F.broadcast(tfq.groupBy("term").agg(F.count("*").alias("df")))
+    contrib = (
+        tfq.join(dfq, "term")
+        .join(F.broadcast(qt2), "term")
+        .crossJoin(stats)
+        .select(
+            "question_id",
+            "doc_id",
+            "wgt",
+            F.round(
+                F.log(
+                    1
+                    + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * F.col("tf")
+                * (_BM25_K1 + 1)
+                / (
+                    F.col("tf")
+                    + _BM25_K1
+                    * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+                ),
+                6,
+            ).alias("w"),
+        )
+    )
+    prf = (
+        contrib.repartition("question_id")
+        .groupBy("question_id", "doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(F.col("w") * 1e6, 0).cast("long") * F.col("wgt")
+                )
+                / F.lit(2e6),
+                4,
+            ).alias("prf_score")
+        )
+    )
+    fin_w = Window.partitionBy("question_id").orderBy(
+        F.desc("prf_score"), F.asc("doc_id")
+    )
+    return (
+        prf.withColumn("rn", F.row_number().over(fin_w))
+        .filter(F.col("rn") <= _PRF_TOPK)
+        .drop("rn")
+    )

@@ -110,6 +110,7 @@ _ROTATION_PREFIX: tuple[str, ...] = (
     # --- new r9 registrations ---
     "q_stream_python_source_partitioned",  # executor-side stream twin
     "q_mmr_diversify",  # MMR diversified re-rank over the stored index
+    "q_prf_expansion",  # PRF query expansion, two stored-index probes
     # --- r2-vintage refresh (oldest rows in the ledger) ---
     "q_json_funcs",
     "q_string_funcs",
@@ -152,7 +153,10 @@ _ROTATION_PREFIX: tuple[str, ...] = (
     "q_join_asof",  # timestamp rendering class
     "q_session_window",  # timestamp rendering class
     "q_tumbling_window",  # timestamp rendering class
-    "q_stream_tumbling",  # timestamp rendering class (streaming twin)
+    # q_stream_tumbling dropped to keep the driver's exact 50 slots
+    # (its batch twin q_tumbling_window above covers the timestamp
+    # rendering class; the streaming machinery got a fresh r8 row via
+    # q_stream_anomaly).
     "q_agg_pricing_summary",  # wide double sums (HUGEINT class)
     "q_agg_wordcount",  # wide integer sums (HUGEINT class)
     "q_agg_doc_stats",  # wide integer sums (HUGEINT class)

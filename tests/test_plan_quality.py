@@ -368,6 +368,7 @@ _RETRIEVAL_QUERIES = (
     "q_bm25_topk",
     "q_tfidf_topk",
     "q_mmr_diversify",
+    "q_prf_expansion",
 )
 # Deliberately NOT pinned: q_golden_vector_search — it is the
 # end-to-end embed-documents-then-search pipeline benchmark (the
