@@ -1264,16 +1264,21 @@ def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("v").alias("s_v"),
             )
         )
-        # F.first("v") within the (question, candidate) group is
-        # value-deterministic: every row of the group carries the
-        # same candidate vector.
+        # The aggregation carries only PRIMITIVE buffers (max over
+        # double/int): dragging the candidate vector through the
+        # groupBy (first(v)) would give the agg an array-typed buffer,
+        # which has no UnsafeRow hash path — every greedy round would
+        # plan as SortAggregate (the audit class test_no_sort_
+        # aggregates_anywhere exists to catch). The picked row's
+        # vector is fetched back by broadcasting the 1-row-per-
+        # question pick against the pool — a BroadcastHashJoin, no
+        # exchange, no co-partition planning at all.
         scored = (
             cand.join(sel_b, "question_id")
             .select(
                 "question_id",
                 "doc_id",
                 "rel",
-                "v",
                 F.round(dot(F.col("v"), F.col("s_v")), 6).alias("s"),
                 F.when(F.col("doc_id") == F.col("s_doc"), 1)
                 .otherwise(0)
@@ -1283,13 +1288,11 @@ def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(
                 F.max("s").alias("maxsim"),
                 F.max("is_sel").alias("is_sel"),
-                F.first("v").alias("v"),
             )
             .filter(F.col("is_sel") == 0)
             .select(
                 "question_id",
                 "doc_id",
-                "v",
                 F.round(
                     F.lit(lam) * F.col("rel") - F.lit(rest) * F.col("maxsim"),
                     6,
@@ -1299,19 +1302,31 @@ def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick_w = Window.partitionBy("question_id").orderBy(
             F.desc("mmr_score"), F.asc("doc_id")
         )
-        pick = (
-            scored.withColumn("rn", F.row_number().over(pick_w))
-            .filter(F.col("rn") == 1)
-            .drop("rn")
-            .select(
-                "question_id",
-                "doc_id",
-                "v",
-                F.lit(t).alias("mmr_rank"),
-                "mmr_score",
-            )
+        pick = cand.select("question_id", "doc_id", "v").join(
+            F.broadcast(
+                scored.withColumn("rn", F.row_number().over(pick_w))
+                .filter(F.col("rn") == 1)
+                .drop("rn")
+            ),
+            ["question_id", "doc_id"],
+        ).select(
+            "question_id",
+            "doc_id",
+            "v",
+            F.lit(t).alias("mmr_rank"),
+            "mmr_score",
         )
-        selected = selected.unionByName(pick)
+        # Per-round LAZY checkpoint (the q_kcore discipline for
+        # growing per-round state): selected_t's plan otherwise embeds
+        # selected_{t-1} TWICE (union leg + inside the broadcast
+        # round), doubling per round — 46 visible exchanges at k=5 and
+        # 2^k growth in general, and the broadcast copies recompute
+        # history at runtime (no exchange reuse inside broadcast
+        # subtrees): measured 5.0 → 2.75 s steady at sf0.1. The
+        # truncation means the audited plan shows only the final
+        # round's stage, as with the other per-round-checkpointed
+        # iterative ops.
+        selected = selected.unionByName(pick).localCheckpoint(eager=False)
     return selected.select(
         "question_id",
         "doc_id",

@@ -183,6 +183,22 @@ def test_tfidf_probes_stored_index(spark):
     assert any("In(term" in p for p in pushed), pushed
 
 
+def test_prf_second_probe_pushes_expanded_terms(spark):
+    """q_prf_expansion's returned plan is the SECOND probe (pass 1 and
+    the expansion mining run eagerly at build time — the bounded
+    collect). Pins: the EXPANDED term set (originals + mined) is still
+    a literal In(term, ...) pushed into the postings Parquet scan —
+    the point of collecting the ≤|questions|·5 mined terms is exactly
+    that the re-probe keeps the stored-index pushdown contract — and
+    the plan never re-derives postings (no explode)."""
+    import re
+
+    rep = _plan(spark, "q_prf_expansion")
+    assert "explode" not in rep.raw
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", rep.raw)
+    assert any("In(term" in p for p in pushed), pushed
+
+
 def test_graph_family_reads_stored_edges(spark):
     """The co-order graph queries must consume api.ensure_coorder_edges
     — no lineitem/orders scan (the edge derivation) may appear in any
