@@ -32,3 +32,13 @@ def test_local_factory_does_not_use_cluster_sizing(spark):
     # local[32] must run 32 shuffle partitions, not 16k.
     assert spark.conf.get("spark.sql.shuffle.partitions") == "32"
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
+def test_generated_class_cache_sized_for_full_suite(spark):
+    """Regression pin for the r6/r8 steady-slower-than-cold bench
+    inversions: Spark's STATIC generated-class cache defaults to 100
+    entries, and a 237-query × 2-pass bench cycles ~470 plans through
+    it — the giant classes get evicted between passes and re-compiled
+    mid-"steady". The session factory must keep every plan of a full
+    run resident (session.py rationale; fixed r9)."""
+    assert int(spark.conf.get("spark.sql.codegen.cache.maxEntries")) >= 2000
