@@ -132,9 +132,14 @@ def ensure_tfidf_index(spark: SparkSession, sf_dir: str) -> str:
     sorted by term (w = tf·idf rounded to 6; dnorm = the doc's vector
     norm riding as a column, NOT pre-divided, so probe rounding stays
     bit-identical to the oracle), ``terms/`` = (term, df, n_docs) for
-    probe-side idf weights. Same lifecycle contract as
-    ensure_vector_index / ensure_bm25_index: queries probe the stored
-    index with their term predicate pushed into the Parquet scan.
+    probe-side idf weights, and ``by_doc/`` = the same weighted rows
+    clustered and sorted by doc_id — the DOC-KEYED twin for lookups
+    that start from document ids (PRF feedback-term mining): a
+    doc-keyed read of the term-clustered copy would scan every row
+    group, while the twin makes it an In(doc_id, …) pushdown point
+    read. Same lifecycle contract as ensure_vector_index /
+    ensure_bm25_index: queries probe the stored index with their
+    term (or doc) predicate pushed into the Parquet scan.
 
     Determinism note: per-doc norms sum integer MICRO-units (a float
     sum of round-6 terms is partition-order-dependent — the
@@ -181,6 +186,15 @@ def ensure_tfidf_index(spark: SparkSession, sf_dir: str) -> str:
             .sortWithinPartitions("term")
             .write.mode("overwrite")
             .parquet(os.path.join(base, "weighted"))
+        )
+        # Doc-keyed twin: read back the term-clustered copy (cheaper
+        # than recomputing the join) and re-cluster by doc_id.
+        (
+            spark.read.parquet(os.path.join(base, "weighted"))
+            .repartition(F.col("doc_id"))
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite")
+            .parquet(os.path.join(base, "by_doc"))
         )
         _TFIDF_INDEX_READY.add(key)
     return base

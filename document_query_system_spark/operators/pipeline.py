@@ -1428,40 +1428,50 @@ def q_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     question — see the module comment above _PRF_FB for the two-probe
     recipe and the half-micro-unit weighting.
 
-    Plan: pass 1 is the proven _bm25_scored stored-postings probe.
-    Term mining BROADCASTS the ≤|questions|·3 feedback pairs against
-    the stored TF-IDF weighted index (map-side), excludes original
-    terms against the broadcast question relation, and aggregates in
-    one exchange. The mined expansion terms are COLLECTED to the
-    driver — a bounded ≤|questions|·5-row collect, the k-means-
-    centroid class — so pass 2's term predicate is again a LITERAL
-    isin pushed into the postings Parquet scan (the stored-index
-    probe contract; a runtime subquery filter would read every row
-    group). At 100 TB the feedback-doc lookup in the term-clustered
-    weighted index becomes a doc-keyed point read (store the doc's
-    term vector alongside, or a doc-clustered twin) — noted here
-    because the probe is doc-keyed, unlike every term-keyed probe."""
+    Plan: pass 1 is the proven _bm25_scored stored-postings probe,
+    COLLECTED — a bounded ≤|questions|·3-row collect (the k-means-
+    centroid class; the feedback set is query metadata, like the
+    question batch). Term mining then reads the DOC-KEYED twin of the
+    stored TF-IDF index (ensure_tfidf_index ``by_doc/``) with the
+    feedback doc ids as a LITERAL In(doc_id, …) pushed into the scan —
+    a point read; the term-clustered copy would scan every row group
+    for a doc-keyed lookup. Original terms are excluded against the
+    broadcast question relation and the weights aggregate in one
+    exchange. The mined expansion terms are likewise collected
+    (≤|questions|·5 rows) so pass 2's term predicate is again a
+    LITERAL isin pushed into the postings scan — both probes keep the
+    stored-index pushdown contract end-to-end."""
     from ..api import ensure_bm25_index, ensure_tfidf_index
     from .questions import GOLDEN_QUESTIONS
 
-    # ---- pass 1: feedback docs
+    # ---- pass 1: feedback docs (bounded collect: ≤ |questions|·_PRF_FB)
     fb_w = Window.partitionBy("question_id").orderBy(
         F.desc("bm25"), F.asc("doc_id")
     )
-    fb = (
+    fb_rows = (
         _bm25_scored(spark, sf_dir)
         .withColumn("rk", F.row_number().over(fb_w))
         .filter(F.col("rk") <= _PRF_FB)
         .select("question_id", "doc_id")
+        .collect()
     )
-    # ---- mine expansion terms from the stored TF-IDF index
+    fb = spark.createDataFrame(
+        sorted((r.question_id, r.doc_id) for r in fb_rows),
+        "question_id INT, doc_id BIGINT",
+    )
+    fb_docs = sorted({r.doc_id for r in fb_rows})
+    # ---- mine expansion terms from the doc-keyed stored index twin
     pairs = sorted(
         {(qid, w) for qid, q in GOLDEN_QUESTIONS for w in q.lower().split()}
     )
     qt = spark.createDataFrame(pairs, "question_id INT, term STRING")
-    wtd = spark.read.parquet(
-        os.path.join(ensure_tfidf_index(spark, sf_dir), "weighted")
-    ).select("doc_id", "term", "w")
+    wtd = (
+        spark.read.parquet(
+            os.path.join(ensure_tfidf_index(spark, sf_dir), "by_doc")
+        )
+        .filter(F.col("doc_id").isin(fb_docs))
+        .select("doc_id", "term", "w")
+    )
     tw = (
         wtd.join(F.broadcast(fb), "doc_id")
         .join(F.broadcast(qt), ["question_id", "term"], "left_anti")
