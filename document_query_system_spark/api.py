@@ -132,14 +132,12 @@ def ensure_tfidf_index(spark: SparkSession, sf_dir: str) -> str:
     sorted by term (w = tf·idf rounded to 6; dnorm = the doc's vector
     norm riding as a column, NOT pre-divided, so probe rounding stays
     bit-identical to the oracle), ``terms/`` = (term, df, n_docs) for
-    probe-side idf weights, and ``by_doc/`` = the same weighted rows
-    clustered and sorted by doc_id — the DOC-KEYED twin for lookups
-    that start from document ids (PRF feedback-term mining): a
-    doc-keyed read of the term-clustered copy would scan every row
-    group, while the twin makes it an In(doc_id, …) pushdown point
-    read. Same lifecycle contract as ensure_vector_index /
-    ensure_bm25_index: queries probe the stored index with their
-    term (or doc) predicate pushed into the Parquet scan.
+    probe-side idf weights. A DOC-KEYED twin for lookups that start
+    from document ids lives in its own lazily-built memo
+    (ensure_tfidf_by_doc below). Same lifecycle contract as
+    ensure_vector_index / ensure_bm25_index: queries probe the stored
+    index with their term (or doc) predicate pushed into the Parquet
+    scan.
 
     Determinism note: per-doc norms sum integer MICRO-units (a float
     sum of round-6 terms is partition-order-dependent — the
@@ -187,17 +185,35 @@ def ensure_tfidf_index(spark: SparkSession, sf_dir: str) -> str:
             .write.mode("overwrite")
             .parquet(os.path.join(base, "weighted"))
         )
-        # Doc-keyed twin: read back the term-clustered copy (cheaper
-        # than recomputing the join) and re-cluster by doc_id.
+        _TFIDF_INDEX_READY.add(key)
+    return base
+
+
+_TFIDF_BYDOC_READY: set[tuple] = set()
+
+
+def ensure_tfidf_by_doc(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the DOC-KEYED twin of the TF-IDF index ONCE per
+    (session, sf_dir) and return its path: the same weighted rows
+    re-clustered and sorted by doc_id, read back from the
+    term-clustered copy (cheaper than recomputing the join). Its own
+    memo, separate from ensure_tfidf_index: only doc-keyed readers
+    (PRF feedback-term mining) trigger it, so term-keyed consumers
+    (q_tfidf_topk, the driver gate) never pay a second full-index
+    rewrite for an artifact they don't read (r9 review)."""
+    base = ensure_tfidf_index(spark, sf_dir)
+    path = os.path.join(base, "by_doc")
+    key = session_key(spark, sf_dir)
+    if key not in _TFIDF_BYDOC_READY:
         (
             spark.read.parquet(os.path.join(base, "weighted"))
             .repartition(F.col("doc_id"))
             .sortWithinPartitions("doc_id")
             .write.mode("overwrite")
-            .parquet(os.path.join(base, "by_doc"))
+            .parquet(path)
         )
-        _TFIDF_INDEX_READY.add(key)
-    return base
+        _TFIDF_BYDOC_READY.add(key)
+    return path
 
 
 _COORDER_EDGES_READY: set[tuple] = set()

@@ -1432,7 +1432,7 @@ def q_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     COLLECTED — a bounded ≤|questions|·3-row collect (the k-means-
     centroid class; the feedback set is query metadata, like the
     question batch). Term mining then reads the DOC-KEYED twin of the
-    stored TF-IDF index (ensure_tfidf_index ``by_doc/``) with the
+    stored TF-IDF index (api.ensure_tfidf_by_doc) with the
     feedback doc ids as a LITERAL In(doc_id, …) pushed into the scan —
     a point read; the term-clustered copy would scan every row group
     for a doc-keyed lookup. Original terms are excluded against the
@@ -1441,7 +1441,7 @@ def q_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     (≤|questions|·5 rows) so pass 2's term predicate is again a
     LITERAL isin pushed into the postings scan — both probes keep the
     stored-index pushdown contract end-to-end."""
-    from ..api import ensure_bm25_index, ensure_tfidf_index
+    from ..api import ensure_bm25_index, ensure_tfidf_by_doc
     from .questions import GOLDEN_QUESTIONS
 
     # ---- pass 1: feedback docs (bounded collect: ≤ |questions|·_PRF_FB)
@@ -1466,9 +1466,7 @@ def q_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qt = spark.createDataFrame(pairs, "question_id INT, term STRING")
     wtd = (
-        spark.read.parquet(
-            os.path.join(ensure_tfidf_index(spark, sf_dir), "by_doc")
-        )
+        spark.read.parquet(ensure_tfidf_by_doc(spark, sf_dir))
         .filter(F.col("doc_id").isin(fb_docs))
         .select("doc_id", "term", "w")
     )

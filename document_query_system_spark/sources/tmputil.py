@@ -40,8 +40,23 @@ def dir_tag(sf_dir: str) -> str:
     with a basename tag, two corpora sharing a basename in one session
     silently overwrite each other's stored artifact while both memos
     claim it is built, and the second reader gets the wrong corpus's
-    data with no error (r8 ADVICE)."""
-    return sf_dir.strip("/").replace("/", "_")
+    data with no error (r8 ADVICE).
+
+    Two hardening properties (r9 review):
+    - INJECTIVE: '/'→'_' alone maps distinct paths ('/a/b_c', '/a_b/c')
+      to one tag — the same silent-collision bug one level up. A sha1
+      suffix of the (trailing-slash-normalized) path makes collisions
+      impossible; the readable prefix stays for debuggability.
+    - IDENTIFIER-SAFE: the tag feeds SQL table names (sinks.py
+      bucketed tables) as well as paths, so everything outside
+      [A-Za-z0-9_.] is folded to '_' (a hyphenated checkout dir would
+      otherwise break the unquoted DDL)."""
+    import hashlib
+    import re
+
+    norm = sf_dir.rstrip("/")
+    base = re.sub(r"[^A-Za-z0-9_.]", "_", norm.strip("/"))
+    return f"{base}_{hashlib.sha1(norm.encode()).hexdigest()[:8]}"
 
 
 def session_key(spark, *extra: str) -> tuple:
@@ -59,7 +74,7 @@ def ensure_materialized(spark, kind: str, sf_dir: str, leaf: str, build) -> str:
     write-once guard every side-effect query (bucketed tables,
     fragmented/compacted/z-ordered copies, evolved generations)
     otherwise re-implements."""
-    tag = sf_dir.strip("/").replace("/", "_")
+    tag = dir_tag(sf_dir)
     path = tmp_path(kind, tag, leaf)
     key = session_key(spark, kind, sf_dir)
     if key not in _MATERIALIZED:

@@ -118,7 +118,16 @@ def main() -> None:
         "sf_dir": SF_DIR,
         "widths": list(WIDTHS),
         "n_queries": len(names),
-        "n_identical": len(names) - len(mismatches),
+        # Identical ERRORS are not evidence of determinism — a wrong
+        # SF_DIR errors every query identically on both legs (r9
+        # review). Only error-free hash matches count as identical,
+        # and any error fails the sweep.
+        "n_identical": sum(
+            1
+            for n in names
+            if a.get(n) == b.get(n)
+            and not str(a.get(n, "")).startswith("!")
+        ),
         "mismatches": mismatches,
         "errors": errors,
     }
@@ -128,8 +137,8 @@ def main() -> None:
     print(json.dumps({k: report[k] for k in
                       ("n_queries", "n_identical", "errors")}))
     print(f"wrote {out}")
-    if mismatches:
-        print("MISMATCHES:", sorted(mismatches))
+    if mismatches or errors:
+        print("MISMATCHES:", sorted(mismatches), "ERRORS:", errors)
         raise SystemExit(1)
 
 
