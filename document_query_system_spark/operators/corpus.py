@@ -672,3 +672,75 @@ def q_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
+
+
+_VOCAB_CUTS = (100, 1_000, 10_000)
+
+
+@register(
+    "q_vocab_coverage",
+    oracle=f"""
+WITH tok AS (SELECT {tokens_sql('lower(text)')} AS tk FROM documents),
+tf AS (
+  SELECT term, count(*) AS c
+  FROM (SELECT unnest(tk) AS term FROM tok) GROUP BY term
+),
+ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, term) AS rnk FROM tf
+),
+total AS (SELECT CAST(sum(c) AS BIGINT) AS total_tokens FROM tf),
+cuts(cut) AS (VALUES {", ".join(f"({n})" for n in _VOCAB_CUTS)})
+SELECT CAST(cut AS BIGINT) AS cut,
+       CAST(count(*) AS BIGINT) AS n_types_cut,
+       CAST(sum(c) AS BIGINT) AS covered_tokens,
+       CAST(max(total_tokens) AS BIGINT) AS total_tokens,
+       round(CAST(sum(c) AS DOUBLE) / max(total_tokens), 6) AS coverage
+FROM ranked JOIN cuts ON rnk <= cut CROSS JOIN total
+GROUP BY cut
+""",
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: what fraction of all token
+    occurrences the top-N most frequent types cover, at N = 100 / 1k /
+    10k — the first number a tokenizer-design or vocab-sizing pass
+    asks for (a 32k BPE vocab is sized against exactly this curve),
+    and the companion to q_zipf_slope's shape diagnostic.
+
+    Plan: ONE term-count aggregate (shuffle ∝ tokens — the vocabulary
+    pass any index build already pays), a global rank window over
+    |vocab| rows (vocabulary-bound, not corpus-bound — the same
+    accepted shape as q_zipf_slope), then a 3-row broadcast theta-join
+    of the cuts against the ranked table and a 3-group aggregate.
+    Counts are integer end-to-end; the single float (coverage) is a
+    ratio of two exact longs, rounded to 6."""
+    docs = spread(load(spark, sf_dir, "documents").select("text"))
+    tf = (
+        docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.orderBy(F.desc("c"), F.asc("term"))
+    ranked = tf.withColumn("rnk", F.row_number().over(w))
+    total = F.broadcast(tf.agg(F.sum("c").alias("total_tokens")))
+    cuts = F.broadcast(
+        spark.createDataFrame([(n,) for n in _VOCAB_CUTS], "cut INT")
+    )
+    return (
+        ranked.join(cuts, F.col("rnk") <= F.col("cut"))
+        .groupBy("cut")
+        .agg(
+            F.count("*").alias("n_types_cut"),
+            F.sum("c").alias("covered_tokens"),
+        )
+        .crossJoin(total)
+        .select(
+            F.col("cut").cast("long").alias("cut"),
+            F.col("n_types_cut").cast("long").alias("n_types_cut"),
+            F.col("covered_tokens").cast("long").alias("covered_tokens"),
+            F.col("total_tokens").cast("long").alias("total_tokens"),
+            F.round(
+                F.col("covered_tokens").cast("double") / F.col("total_tokens"),
+                6,
+            ).alias("coverage"),
+        )
+    )

@@ -111,6 +111,7 @@ _ROTATION_PREFIX: tuple[str, ...] = (
     "q_stream_python_source_partitioned",  # executor-side stream twin
     "q_mmr_diversify",  # MMR diversified re-rank over the stored index
     "q_prf_expansion",  # PRF query expansion, two stored-index probes
+    "q_vocab_coverage",  # tokenizer-design coverage curve
     # --- r2-vintage refresh (oldest rows in the ledger) ---
     "q_json_funcs",
     "q_string_funcs",
@@ -159,7 +160,8 @@ _ROTATION_PREFIX: tuple[str, ...] = (
     # q_stream_anomaly).
     "q_agg_pricing_summary",  # wide double sums (HUGEINT class)
     "q_agg_wordcount",  # wide integer sums (HUGEINT class)
-    "q_agg_doc_stats",  # wide integer sums (HUGEINT class)
+    # q_agg_doc_stats dropped to keep the driver's exact 50 slots (its
+    # integer-sum class keeps two members above).
     "q_cross_score",  # flagship keyword scorer (B3's plan family)
     "q_topk_per_question",  # B3 itself
     "q_api_run_vector",  # flagship facade, vector path
