@@ -35,6 +35,44 @@ from pyspark.sql.datasource import (
 
 from ..registry import register
 
+
+def _register_source(spark: SparkSession, cls) -> None:
+    """Register ``cls`` on THIS session; same-session re-registration
+    silently replaces (runtime layer), so unconditional calls are safe
+    — the r8 ADVICE fix (a memo keyed on applicationId skipped
+    registration for brand-new sessions).
+
+    VERIFIED ENGINE LIMITATION (r9, Spark 4.1.2): once ANY session in
+    the JVM has registered a Python data source name, a
+    spark.newSession() SIBLING can neither re-register it
+    (DATA_SOURCE_ALREADY_EXISTS from a JVM-wide exists-check) nor
+    resolve it (DATA_SOURCE_NOT_FOUND from the per-session lookup) —
+    the two checks consult different layers. Measured directly:
+    sibling dataSourceExists()=False while registerPython throws
+    ALREADY_EXISTS. Nothing a library can do makes the sibling read
+    work, so this surfaces the condition as one clear error at
+    registration time instead of a mystery NOT_FOUND at read time.
+    Use the session that first registered the source (or cloneSession,
+    which copies session state)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        spark.dataSource.register(cls)
+    except AnalysisException as exc:
+        if "DATA_SOURCE_ALREADY_EXISTS" not in str(exc):
+            raise
+        dsm = spark._jsparkSession.sessionState().dataSourceManager()
+        if not dsm.dataSourceExists(cls.name()):
+            raise RuntimeError(
+                f"Python data source {cls.name()!r} was registered by a "
+                "different session in this JVM; this session (a "
+                "newSession() sibling) can neither re-register nor "
+                "resolve it on this engine version — run the read on "
+                "the registering session, or derive sessions with "
+                "cloneSession() so registrations copy over."
+            ) from exc
+
+
 _FEED_PARTITIONS = 8
 _FEED_ROWS_PER_PARTITION = 1000
 # Knuth multiplicative hash constant and a prime modulus: a score
@@ -84,15 +122,15 @@ class SyntheticFeed(DataSource):
 def register_feed(spark: SparkSession) -> None:
     """Register the custom source on THIS session, unconditionally:
     spark.dataSource.register is SparkSession-scoped, so any memo
-    keyed on applicationId would skip a spark.newSession() sibling
-    (same app id, empty source registry) and its reads would fail
-    with 'data source not found' (r8 ADVICE). Registration is a
-    cheap idempotent dict put; ensure_worker_imports memoizes itself
-    per SparkContext."""
+    keyed on applicationId would skip a brand-new session with the
+    same app id (r8 ADVICE). Registration is a cheap runtime-layer
+    put; see _register_source for the verified newSession-sibling
+    engine limitation it surfaces. ensure_worker_imports memoizes
+    itself per SparkContext."""
     from ..session import ensure_worker_imports
 
     ensure_worker_imports(spark)  # workers unpickle classes by ref
-    spark.dataSource.register(SyntheticFeed)
+    _register_source(spark, SyntheticFeed)
 
 
 @register(
@@ -221,7 +259,7 @@ def register_feed_stream(spark: SparkSession) -> None:
     a memo keyed on applicationId would skip a spark.newSession()
     sibling, whose source registry starts empty)."""
     _, SyntheticFeedStream = stream_classes()
-    spark.dataSource.register(SyntheticFeedStream)
+    _register_source(spark, SyntheticFeedStream)
 
 
 @register(
@@ -413,7 +451,7 @@ def pstream_classes():
 def register_feed_pstream(spark: SparkSession) -> None:
     """Session-scoped registration, unconditional (see register_feed)."""
     _, SyntheticFeedPStream = pstream_classes()
-    spark.dataSource.register(SyntheticFeedPStream)
+    _register_source(spark, SyntheticFeedPStream)
 
 
 @register(

@@ -76,6 +76,35 @@ def test_stream_reader_offsets_are_replayable():
     )
 
 
+def test_register_feed_unconditional_and_sibling_behavior(spark):
+    """Two pins on the r8 ADVICE fix (no applicationId memo):
+
+    1. Same-session re-registration is safe — register_feed twice on
+       the session that owns the source, reads still work (the memo
+       removal must not have made repeat calls throw).
+    2. The VERIFIED engine limitation on newSession() siblings
+       (Spark 4.1.2: a sibling can neither re-register a name another
+       session registered — JVM-wide exists-check — nor resolve it —
+       per-session lookup) surfaces as register_feed's one CLEAR
+       RuntimeError, never as a mystery DATA_SOURCE_NOT_FOUND at
+       read time."""
+    register_feed(spark)
+    register_feed(spark)  # idempotent on the owning session
+    df = (
+        spark.read.format("synthetic_feed")
+        .option("rows_per_partition", 5)
+        .option("partitions", 2)
+        .load()
+    )
+    assert df.count() == 10
+
+    import pytest
+
+    sibling = spark.newSession()
+    with pytest.raises(RuntimeError, match="cloneSession"):
+        register_feed(sibling)
+
+
 def test_pstream_reader_partition_contract():
     """Partition-based stream reader (the executor-side scale twin):
     latestOffset plans one batch-range per micro-batch up to the
