@@ -59,6 +59,9 @@ HEAVY = [
     "q_heavy_hitters_cms",
     "q_phrase_search",
     "q_proximity_search",
+    "q_mmr_diversify",
+    "q_prf_expansion",
+    "q_vocab_coverage",
     "q_scene_changes",
     "q_corpus_refresh",
     "q_tfidf_topk",
