@@ -65,25 +65,58 @@ def main() -> None:
     try:
         from document_query_system_spark.api import ensure_vector_index
 
+        # The index build IS the corpus embed warm pass now: r10 moved
+        # the corpus-scale embed onto the Arrow path (embed_pandas —
+        # 19× the SQL fold at the B1 workload, and no giant generated
+        # plan to JIT), so ensure_vector_index both materializes the
+        # stored index the retrieval queries probe AND warms the exact
+        # path q_golden_vector_search / B1 measure. The separate
+        # untimed embed_df pass the r4-r9 benches carried (C2 warmup
+        # for the interpreted HOF fold) is gone with its cause.
         ensure_vector_index(spark, sf_dir)
-        # One more UNTIMED embed pass: the embedder's generated code is
-        # a wide HOF expression whose C2 compilation finishes seconds
-        # after first use — without this, whichever embed query runs
-        # first absorbs a 2-15 s JIT warmup that bench order then
-        # shuffles between rounds (the r3→r4 "regression" on
-        # q_golden_vector_search was partly this, partly box load —
-        # see BENCH_NOTES.md).
-        from document_query_system_spark.functions.embed import embed_df
-        from document_query_system_spark.sources.tables import load, spread
-
-        _force(
-            embed_df(
-                spread(load(spark, sf_dir, "documents").select("doc_id", "text")),
-                "text",
-            ).select("doc_id", "embedding")
-        )
     except Exception as exc:  # pragma: no cover
         print(f"BENCH-ERROR index warmup: {exc}", file=sys.stderr)
+
+    # Attribution counters (r9 verdict #1): the driver box ran
+    # q_golden_vector_search at ~16 s in BOTH suite passes vs 1.9 s
+    # pre-suite in the same process, and the cause could only be
+    # guessed at (codegen-cache eviction? GC pressure? megamorphic
+    # interpreted eval?). Snapshot the JVM's cumulative JIT-compilation
+    # and GC times around every timed run of that query so the sidecar
+    # ATTRIBUTES any elevation: a big jit_ms delta = recompilation, a
+    # big gc_ms delta = memory pressure, neither = profile-polluted
+    # interpreted eval (or plain box load).
+    _ATTRIB_QUERY = "q_golden_vector_search"
+    golden_attrib: dict[str, dict] = {}
+
+    def _jvm_counters() -> dict[str, int]:
+        mf = spark._jvm.java.lang.management.ManagementFactory
+        jit = int(mf.getCompilationMXBean().getTotalCompilationTime())
+        gc_ms = 0
+        it = mf.getGarbageCollectorMXBeans().iterator()
+        while it.hasNext():
+            gc_ms += int(it.next().getCollectionTime())
+        return {"jit_ms": jit, "gc_ms": gc_ms}
+
+    def _attrib_run(tag: str, thunk) -> float:
+        """Run thunk(), record wall + JIT/GC deltas under tag."""
+        try:
+            before = _jvm_counters()
+        except Exception:  # pragma: no cover - exotic JVMs
+            before = None
+        t0 = time.perf_counter()
+        thunk()
+        wall = time.perf_counter() - t0
+        rec: dict[str, float] = {"wall_sec": round(wall, 3)}
+        if before is not None:
+            try:
+                after = _jvm_counters()
+                rec["jit_ms_delta"] = after["jit_ms"] - before["jit_ms"]
+                rec["gc_ms_delta"] = after["gc_ms"] - before["gc_ms"]
+            except Exception:  # pragma: no cover
+                pass
+        golden_attrib[tag] = rec
+        return wall
 
     # BASELINE.md headline benches — measured BEFORE the two full
     # suite passes (r8 verdict #1): B1/B2/B3 are reference-envelope
@@ -99,7 +132,7 @@ def main() -> None:
     try:
         from pyspark.sql import functions as F
 
-        from document_query_system_spark.functions.vector import embed_df
+        from document_query_system_spark.functions.vector import embed_pandas
         from document_query_system_spark.sources.tables import load, spread
         from document_query_system_spark.sources.tmputil import tmp_path
 
@@ -122,8 +155,11 @@ def main() -> None:
             )
         )
         n_docs = docs.count()
+        # B1 embeds via the engine's production index-build path (the
+        # Arrow embedder — what ensure_vector_index runs; bit-identical
+        # to the SQL fold, measured 19× at exactly this workload).
         t0 = time.perf_counter()
-        embed_df(docs, "text").select("doc_id", "embedding").write.mode(
+        embed_pandas(docs, "text").select("doc_id", "embedding").write.mode(
             "overwrite"
         ).parquet(tmp_path("bench_embeddings.parquet"))
         b1 = time.perf_counter() - t0
@@ -135,10 +171,16 @@ def main() -> None:
             fn = specs[name].fn
             _force(fn(spark, sf_dir))  # untimed: codegen + JIT warm
             best = float("inf")
-            for _ in range(2):
-                t0 = time.perf_counter()
-                _force(fn(spark, sf_dir))
-                best = min(best, time.perf_counter() - t0)
+            for i in range(2):
+                if name == _ATTRIB_QUERY:
+                    wall = _attrib_run(
+                        f"b2_run{i}", lambda: _force(fn(spark, sf_dir))
+                    )
+                else:
+                    t0 = time.perf_counter()
+                    _force(fn(spark, sf_dir))
+                    wall = time.perf_counter() - t0
+                best = min(best, wall)
             return best
 
         # B2/B3 divide by the 10-question batch: the reference runs
@@ -185,10 +227,16 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0":
         t_cold0 = time.perf_counter()
         for i, name in enumerate(sorted(specs)):
-            t0 = time.perf_counter()
             try:
-                _force(specs[name].fn(spark, sf_dir))
-                cold_timings[name] = round(time.perf_counter() - t0, 3)
+                if name == _ATTRIB_QUERY:
+                    wall = _attrib_run(
+                        "cold", lambda: _force(specs[name].fn(spark, sf_dir))
+                    )
+                else:
+                    t0 = time.perf_counter()
+                    _force(specs[name].fn(spark, sf_dir))
+                    wall = time.perf_counter() - t0
+                cold_timings[name] = round(wall, 3)
             except Exception:
                 pass  # the timed loop below reports the failure
             _maybe_gc(i)
@@ -197,10 +245,16 @@ def main() -> None:
     timings: dict[str, float] = {}
     t_total0 = time.perf_counter()
     for i, name in enumerate(sorted(specs)):
-        t0 = time.perf_counter()
         try:
-            _force(specs[name].fn(spark, sf_dir))
-            timings[name] = round(time.perf_counter() - t0, 3)
+            if name == _ATTRIB_QUERY:
+                wall = _attrib_run(
+                    "steady", lambda: _force(specs[name].fn(spark, sf_dir))
+                )
+            else:
+                t0 = time.perf_counter()
+                _force(specs[name].fn(spark, sf_dir))
+                wall = time.perf_counter() - t0
+            timings[name] = round(wall, 3)
         except Exception as exc:  # record failures, keep benching
             timings[name] = -1.0
             print(f"BENCH-ERROR {name}: {exc}", file=sys.stderr)
@@ -222,6 +276,7 @@ def main() -> None:
         "n_queries": len(timings),
         "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
         "baseline": baseline,
+        "golden_attrib": golden_attrib,
     }
     # Subset probes (SPARK_GRAFT_BENCH_ONLY) divert their sidecar so a
     # quick bisection never clobbers the committed full-suite timings.
@@ -254,6 +309,7 @@ def main() -> None:
                 "n_failed": sum(1 for t in timings.values() if t < 0),
                 "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
                 "baseline": baseline,
+                "golden_attrib": golden_attrib,
                 "full_timings_file": sidecar,
             }
         )

@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from .registry import register
 from .sources.tables import load, spread
 from .sources.tmputil import dir_tag, session_key, tmp_path
-from .functions.embed import dot, embed_df
+from .functions.embed import dot, embed_df, embed_pandas
 from .operators.questions import GOLDEN_QUESTIONS, SNIPPET_LEN, TOP_K
 
 _VECTOR_INDEX_READY: set[tuple] = set()
@@ -55,13 +55,18 @@ def ensure_vector_index(spark: SparkSession, sf_dir: str) -> str:
     query is the difference between a seconds-scale probe and a
     full-corpus pass. Kept fresh incrementally by the anti-join
     delta pattern (q_incremental_index, sources/sinks.py) + the
-    last-writer-wins upsert (upsert_parquet)."""
+    last-writer-wins upsert (upsert_parquet).
+
+    The build embeds via the Arrow path (functions/embed.embed_pandas
+    — bit-identical to the SQL fold, measured 19× faster at the B1
+    workload and stable under suite-long JVM profiles; see its
+    docstring). Probes never notice: they scan the stored Parquet."""
     tag = dir_tag(sf_dir)
     path = tmp_path("vector_index", tag)
     key = session_key(spark, sf_dir)
     if key not in _VECTOR_INDEX_READY:
         docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
-        idx = embed_df(docs, "text", out_col="dv").select(
+        idx = embed_pandas(docs, "text", out_col="dv").select(
             "doc_id",
             F.substring("text", 1, SNIPPET_LEN).alias("snippet"),
             "dv",

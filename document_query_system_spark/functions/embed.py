@@ -159,23 +159,43 @@ def _hash_embed_py(text: str) -> list[float]:
     return [round(c / norm, 6) for c in counts]
 
 
-def embed_pandas(df: DataFrame, text_col: str = "text") -> DataFrame:
+def embed_pandas(
+    df: DataFrame, text_col: str = "text", out_col: str = "embedding"
+) -> DataFrame:
     """U1 Arrow path: mapInPandas embedder — the executor-side batch
     shape of the reference's encode loop (ref:
     embedding_generator.py:119-157, batch 32 + per-process model lock;
     here: one Arrow batch per call, model state would live in a
-    module-level singleton per executor process)."""
+    module-level singleton per executor process).
+
+    This is the engine's DEFAULT path for corpus-scale embedding
+    (q_golden_vector_search's document leg, api.ensure_vector_index,
+    the B1 index-build bench). Measured at the B1 workload (100k docs,
+    sf0.1 × 20 replicas, local[32]): 77k docs/s vs 4k docs/s for the
+    embed_df SQL fold — 19×. The SQL fold produces NO whole-stage
+    codegen unit at all (probed r10: higher-order functions are
+    CodegenFallback, so Spark excludes the embed Projects from every
+    WholeStageCodegen span) and therefore runs on the interpreted
+    expression path, whose throughput is allocation-heavy and
+    JVM-profile-sensitive — the r9 driver artifact showed the same
+    plan at 1.9 s pre-suite and 16 s in-suite. The Arrow path's cost
+    lives in reused Python workers and is immune to that class.
+    embed_df stays the oracle-verifiable twin (bit-identical by
+    construction; q_embed_hash/q_embed_pandas share one oracle)."""
     import pandas as pd
 
+    from ..session import ensure_worker_imports
+
+    ensure_worker_imports(df.sparkSession)
     schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
 
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             pdf = pdf.copy()
-            pdf["embedding"] = pdf[text_col].map(_hash_embed_py)
+            pdf[out_col] = pdf[text_col].map(_hash_embed_py)
             yield pdf
 
-    return df.mapInPandas(gen, schema=schema + ", embedding array<double>")
+    return df.mapInPandas(gen, schema=f"{schema}, {out_col} array<double>")
 
 
 # ---------------------------------------------- optional torch path (U1)

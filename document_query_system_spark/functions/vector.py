@@ -347,11 +347,21 @@ def q_golden_vector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     embed questions + documents with the deterministic embedder,
     broadcast the question vectors, cosine top-3 per question. The
     embeddings are unit vectors, so cosine = dot — one fold per pair.
-    BASELINE.md B2 analog, end-to-end oracle-checked."""
+    BASELINE.md B2 analog, end-to-end oracle-checked.
+
+    The corpus leg embeds via the Arrow path (embed_pandas — see its
+    docstring for the r10 measurement: 19× over the SQL fold at the
+    B1 workload, and immune to the in-suite JVM-interpreter slowdown
+    that put the r9 driver run at 16 s in-suite vs 1.9 s pre-suite on
+    this exact query). The 10-row question batch stays on the SQL
+    fold: it is literal data Catalyst folds at plan time, and a
+    10-row mapInPandas would pay a Python round-trip for nothing.
+    Both paths are bit-identical (shared oracle of q_embed_hash /
+    q_embed_pandas)."""
     from ..operators.questions import questions_df
 
     docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
-    dv = embed_df(docs, "text", out_col="doc_v").select("doc_id", "doc_v")
+    dv = embed_pandas(docs, "text", out_col="doc_v").select("doc_id", "doc_v")
     qv = F.broadcast(
         embed_df(
             questions_df(spark), "question_text", out_col="q_v"
