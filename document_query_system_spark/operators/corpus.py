@@ -707,20 +707,27 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the companion to q_zipf_slope's shape diagnostic.
 
     Plan: ONE term-count aggregate (shuffle ∝ tokens — the vocabulary
-    pass any index build already pays), a global rank window over
-    |vocab| rows (vocabulary-bound, not corpus-bound — the same
-    accepted shape as q_zipf_slope), then a 3-row broadcast theta-join
-    of the cuts against the ranked table and a 3-group aggregate.
-    Counts are integer end-to-end; the single float (coverage) is a
-    ratio of two exact longs, rounded to 6."""
+    pass any index build already pays), checkpointed so its two
+    consumers (the ranked head and the total) don't re-tokenize; then
+    — because only ranks ≤ max(cut)=10k are ever consumed — an
+    ``orderBy(desc(c)).limit(max_cut)`` that plans as
+    TakeOrderedAndProject (per-partition top-10k heaps + one bounded
+    merge, r9 verdict #3) BEFORE the rank window, so the single-
+    partition sort ranks ≤10k rows instead of the entire type
+    inventory (billions of rows at 100 TB); finally a 3-row broadcast
+    theta-join of the cuts and a 3-group aggregate. Counts are
+    integer end-to-end; the single float (coverage) is a ratio of two
+    exact longs, rounded to 6."""
     docs = spread(load(spark, sf_dir, "documents").select("text"))
     tf = (
         docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("term"))
         .groupBy("term")
         .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
     )
+    head = tf.orderBy(F.desc("c"), F.asc("term")).limit(max(_VOCAB_CUTS))
     w = Window.orderBy(F.desc("c"), F.asc("term"))
-    ranked = tf.withColumn("rnk", F.row_number().over(w))
+    ranked = head.withColumn("rnk", F.row_number().over(w))
     total = F.broadcast(tf.agg(F.sum("c").alias("total_tokens")))
     cuts = F.broadcast(
         spark.createDataFrame([(n,) for n in _VOCAB_CUTS], "cut INT")

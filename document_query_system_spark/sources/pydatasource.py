@@ -61,8 +61,19 @@ def _register_source(spark: SparkSession, cls) -> None:
     except AnalysisException as exc:
         if "DATA_SOURCE_ALREADY_EXISTS" not in str(exc):
             raise
-        dsm = spark._jsparkSession.sessionState().dataSourceManager()
-        if not dsm.dataSourceExists(cls.name()):
+        try:
+            # Private-JVM-internals probe: distinguishes "this session
+            # already owns the source" (benign) from the sibling
+            # limitation above. On Spark Connect (no _jsparkSession) or
+            # a future engine that moves dataSourceManager, the probe
+            # itself fails — re-raise the ORIGINAL AnalysisException
+            # then, so registration failures always surface with the
+            # engine's own message (r9 ADVICE).
+            dsm = spark._jsparkSession.sessionState().dataSourceManager()
+            session_has_it = bool(dsm.dataSourceExists(cls.name()))
+        except Exception:
+            raise exc from None
+        if not session_has_it:
             raise RuntimeError(
                 f"Python data source {cls.name()!r} was registered by a "
                 "different session in this JVM; this session (a "
@@ -191,14 +202,17 @@ def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DataSourceStreamReader below (pstream_classes): the driver plans
 # only OFFSETS; executors read their own partitions.
 #
-# Two batches of 250, not five of 100: per-micro-batch overhead (offset
-# planning + runner round-trip + sink commit) dominates a demo-sized
-# feed, and two batches already exercise everything a fifth does —
-# offset advance, mid-stream replay spans, and the fixpoint (r8
-# verdict #4; the replay test covers multi-batch spans independently
-# of batch count).
+# ONE batch of 500, not two of 250 (r9 verdict #4, after r8's 5→2):
+# per-micro-batch overhead (offset planning + runner round-trip + sink
+# commit) dominates a demo-sized feed and is pure fixed cost on a slow
+# box — the driver artifact measured 4.49 s where the plan itself is
+# milliseconds. A single batch still exercises initialOffset → read →
+# fixpoint; multi-batch offset advance and replay SPANS are pinned by
+# tests/test_pydatasource.py driving the real reader directly with
+# small batch_rows (the contract is option-driven, not constant-
+# driven).
 
-_STREAM_BATCH_ROWS = 250
+_STREAM_BATCH_ROWS = 500
 _STREAM_MAX_ROWS = 500
 
 
@@ -278,9 +292,11 @@ FROM feed GROUP BY bucket
 """,
 )
 def q_stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The custom Python STREAM source driven to its fixpoint: 2
-    offset-tracked micro-batches of 250 rows into a complete-mode
-    memory aggregate. availableNow snapshots only the first batch for
+    """The custom Python STREAM source driven to its fixpoint: one
+    offset-tracked 500-row micro-batch into a complete-mode
+    memory aggregate (multi-batch offset advance + replay spans are
+    pinned by tests driving the reader directly — the micro-batch
+    count here is fixed cost, not coverage). availableNow snapshots only the first batch for
     Python simple stream readers, so the drive loop uses a fast
     processingTime trigger and stops once the aggregate accounts for
     every feed row — deterministic final state however the batches
@@ -378,8 +394,8 @@ def _drive_to_fixpoint(spark, agg, name: str, max_rows: int):
 # Reference analog: the ingestion fan-out at ingestion_service.py:
 # 376-416 (N workers each pulling its own shard of the upload batch).
 
-_PSTREAM_BATCH_ROWS = 300  # rows ADMITTED per micro-batch (driver plan)
-_PSTREAM_MAX_ROWS = 600
+_PSTREAM_BATCH_ROWS = 600  # rows ADMITTED per micro-batch (driver plan)
+_PSTREAM_MAX_ROWS = 600  # one batch: fixed micro-batch cost, see above
 _PSTREAM_PARTS = 4  # InputPartitions per micro-batch (executor tasks)
 
 
@@ -411,14 +427,26 @@ def pstream_classes():
         def latestOffset(self):
             # A real wrapper asks the external system for its head
             # offset; this synthetic feed "arrives" one batch per
-            # micro-batch, capped at the fixpoint. Monotonic by
-            # construction, so a restart replays committed ranges via
-            # partitions(start, end) below, never through this cursor.
+            # micro-batch, capped at the fixpoint. NOTE (r9 ADVICE):
+            # the cursor is IN-MEMORY, not recovered from the
+            # streaming checkpoint — after a restart a fresh reader
+            # starts at _pos=0 and would briefly report a head BEHIND
+            # the committed offset. partitions() below therefore
+            # clamps the cursor forward to every offset range Spark
+            # hands it (Spark replays committed ranges through
+            # partitions(start, end) first), so a restarted reader
+            # catches up in one call instead of burning empty
+            # micro-batches; the hi<=lo no-op-partition guard keeps
+            # any remaining race correct.
             self._pos = min(self._pos + self.batch, self.max_rows)
             return {"pos": self._pos}
 
         def partitions(self, start, end):
             lo, hi = start["pos"], end["pos"]
+            # Restart catch-up: never let the in-memory head cursor
+            # report behind an offset Spark has already planned
+            # (latestOffset docstring).
+            self._pos = max(self._pos, hi)
             if hi <= lo:  # empty batch (restart races) — one no-op task
                 return [RangePartition(lo, lo)]
             step = -(-(hi - lo) // self.parts)  # ceil-split the range
@@ -475,7 +503,7 @@ def q_stream_python_source_partitioned(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """The PARTITION-BASED Python stream source driven to its
-    fixpoint: 2 micro-batches of 300 rows, each split into 4
+    fixpoint: one 600-row micro-batch split into 4
     InputPartitions read executor-side, into a complete-mode memory
     aggregate — the high-volume twin of q_stream_python_source (whose
     simple reader reads on the driver by API design). The driver plans

@@ -50,12 +50,20 @@ def dir_tag(sf_dir: str) -> str:
     - IDENTIFIER-SAFE: the tag feeds SQL table names (sinks.py
       bucketed tables) as well as paths, so everything outside
       [A-Za-z0-9_.] is folded to '_' (a hyphenated checkout dir would
-      otherwise break the unquoted DDL)."""
+      otherwise break the unquoted DDL).
+
+    The readable prefix is CAPPED to the last two path components
+    (r9 ADVICE): uniqueness is carried entirely by the sha1 suffix,
+    and embedding a deeply nested absolute path yields identifiers
+    long enough to hit catalog/metastore name-length limits (Hive's
+    default column/table cap is 128-767 chars depending on the
+    metastore backend)."""
     import hashlib
     import re
 
     norm = sf_dir.rstrip("/")
-    base = re.sub(r"[^A-Za-z0-9_.]", "_", norm.strip("/"))
+    tail = "/".join(norm.strip("/").split("/")[-2:])
+    base = re.sub(r"[^A-Za-z0-9_.]", "_", tail)[:48]
     return f"{base}_{hashlib.sha1(norm.encode()).hexdigest()[:8]}"
 
 

@@ -70,6 +70,18 @@ def test_pagerank_final_topk_is_take_ordered(spark):
     assert outs and set(outs) == {"src"}, set(outs)
 
 
+def test_vocab_coverage_rank_window_is_bounded(spark):
+    """The coverage curve consumes only ranks ≤ max(cut)=10k, so the
+    plan must take the top-10k types via TakeOrderedAndProject
+    (per-partition heaps, bounded merge) BEFORE the single-partition
+    rank window — ranking the entire type inventory through one
+    global sort is the r9 verdict #3 scale hole (billions of types at
+    100 TB). The Window's input is the 10k-row GlobalLimit, never the
+    raw aggregate."""
+    rep = _plan(spark, "q_vocab_coverage")
+    assert "TakeOrderedAndProject" in rep.raw, "top-cut must be a heap take"
+
+
 def test_bucketed_join_has_no_join_exchange(spark):
     """Both sides bucketed on the join key → the SortMergeJoin reads
     co-located buckets with NO shuffle before it; only the final

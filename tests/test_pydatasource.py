@@ -42,7 +42,10 @@ def test_stream_reader_offsets_are_replayable():
     from document_query_system_spark.sources.pydatasource import stream_classes
 
     FeedStreamReader, _ = stream_classes()
-    reader = FeedStreamReader({})
+    # The registered QUERY runs one 500-row batch (fixed micro-batch
+    # cost, r9 verdict #4); the multi-batch contract is pinned HERE by
+    # driving the real reader with a smaller batch_rows option.
+    reader = FeedStreamReader({"batch_rows": "100"})
 
     served = []
     offsets = [reader.initialOffset()]
@@ -56,7 +59,9 @@ def test_stream_reader_offsets_are_replayable():
         offsets.append(nxt)
     flat = [r for _, _, b in served for r in b]
     assert len(flat) == _STREAM_MAX_ROWS
-    assert len(served) == _STREAM_MAX_ROWS // _STREAM_BATCH_ROWS
+    assert len(served) == _STREAM_MAX_ROWS // 100
+    # The registered query's default config is a SINGLE batch.
+    assert _STREAM_MAX_ROWS // _STREAM_BATCH_ROWS == 1
     # Every served batch must replay identically from its offsets...
     for start, end, rows in served:
         assert list(reader.readBetweenOffsets(start, end)) == rows
@@ -119,11 +124,15 @@ def test_pstream_reader_partition_contract():
     )
 
     Reader, _ = pstream_classes()
-    r = Reader({})
+    # The registered query admits the whole feed in ONE batch (fixed
+    # micro-batch cost, r9 verdict #4); drive the multi-batch offset
+    # advance here with an explicit half-feed batch_rows.
+    half = _PSTREAM_MAX_ROWS // 2
+    r = Reader({"batch_rows": str(half)})
     o0 = r.initialOffset()
     assert o0 == {"pos": 0}
     o1, o2, o3 = r.latestOffset(), r.latestOffset(), r.latestOffset()
-    assert o1 == {"pos": _PSTREAM_BATCH_ROWS}
+    assert o1 == {"pos": half}
     assert o2 == {"pos": _PSTREAM_MAX_ROWS}
     assert o3 == {"pos": _PSTREAM_MAX_ROWS}, "fixpoint must not advance"
 
@@ -144,3 +153,27 @@ def test_pstream_reader_partition_contract():
     (empty,) = r.partitions(o2, o3)
     assert (empty.start, empty.end) == (o2["pos"], o3["pos"])
     assert list(r.read(empty)) == []
+    # The registered query's default config is a SINGLE batch.
+    assert _PSTREAM_MAX_ROWS // _PSTREAM_BATCH_ROWS == 1
+
+
+def test_pstream_restarted_reader_never_reports_behind_committed():
+    """The in-memory head cursor is not checkpoint-recovered (r9
+    ADVICE): a restarted reader's _pos starts at 0 while Spark replays
+    committed offset ranges through partitions(start, end). The reader
+    must clamp its cursor forward to every planned range, so the next
+    latestOffset() is never BEHIND the committed offset (which would
+    burn empty catch-up micro-batches)."""
+    from document_query_system_spark.sources.pydatasource import (
+        _PSTREAM_MAX_ROWS,
+        pstream_classes,
+    )
+
+    Reader, _ = pstream_classes()
+    restarted = Reader({"batch_rows": "100"})
+    # Simulate restart replay: Spark hands the committed range first.
+    committed = {"pos": 400}
+    restarted.partitions({"pos": 250}, committed)
+    nxt = restarted.latestOffset()
+    assert nxt["pos"] >= committed["pos"], nxt
+    assert nxt["pos"] <= _PSTREAM_MAX_ROWS
