@@ -76,6 +76,52 @@ def ensure_vector_index(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+_VECTOR_LSH_READY: set[tuple] = set()
+
+
+def ensure_vector_index_lsh(spark: SparkSession, sf_dir: str) -> str:
+    """Sign-LSH-bucketed projection of the stored vector index: one
+    row per (doc, hash table) with that table's 4-bit bucket id,
+    written ``partitionBy(tbl, bucket)`` — 48 directories at the
+    default 3-table × 4-plane config (operators/similarity.PLANES),
+    so a probe's bucket equi-join touches only the probed directories
+    instead of the full index. The document-corpus form of the
+    q_ann_lsh tier's stored layout; built ONCE per (session, sf_dir)
+    from the plain stored index — a projection, never a re-embed.
+
+    At 100 TB this is how an ANN candidate pool is served: the probe
+    side is |questions|·N_TABLES bucket keys (broadcast), the read is
+    N_TABLES bucket partitions per question (~N/2^planes vectors
+    each), and everything downstream (exact re-rank, MMR) works on
+    that bounded candidate set. Index size is N_TABLES× the plain
+    index — the standard LSH storage/recall trade."""
+    from .operators.similarity import N_TABLES, _bucket_expr
+
+    tag = dir_tag(sf_dir)
+    path = tmp_path("vector_index_lsh", tag)
+    key = session_key(spark, sf_dir)
+    if key not in _VECTOR_LSH_READY:
+        idx = spark.read.parquet(ensure_vector_index(spark, sf_dir))
+        buckets = F.array(
+            *[_bucket_expr(F.col("dv"), t) for t in range(N_TABLES)]
+        )
+        (
+            idx.select(
+                "doc_id", "dv", F.posexplode(buckets).alias("tbl", "bucket")
+            )
+            # Cluster rows by their target directory before the
+            # partitioned write: without this every task writes a
+            # sliver into every (tbl, bucket) dir — cores×48 tiny
+            # files whose per-file open cost dominates later probes.
+            .repartition("tbl", "bucket")
+            .write.mode("overwrite")
+            .partitionBy("tbl", "bucket")
+            .parquet(path)
+        )
+        _VECTOR_LSH_READY.add(key)
+    return path
+
+
 _BM25_INDEX_READY: set[tuple] = set()
 
 

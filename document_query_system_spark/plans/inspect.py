@@ -86,10 +86,12 @@ def plan_report(df: DataFrame) -> PlanReport:
             continue
         cols = re.search(r"ReadSchema: struct<([^>]*)>", block)
         pf = re.search(r"PushedFilters: \[([^\]]*)\]", block)
+        loc = re.search(r"Location: \S+ \[([^\]]*)\]", block)
         rep.scans.append(
             {
                 "columns": cols.group(1) if cols else "",
                 "pushed": pf.group(1) if pf else "",
+                "location": loc.group(1) if loc else "",
             }
         )
     return rep

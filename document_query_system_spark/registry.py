@@ -92,84 +92,71 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # first (in listed order), then everything else in registration order.
 # Unknown names fail loudly (a typo would silently burn a prefix slot).
 #
-# Round-9 prefix (r8 verdict "Next round" #2): every registered query
-# has a driver row (the debt cycle closed in r8), so this round's 50
-# slots go to ROW AGE, oldest vintage first — rows age as the driver's
-# tables and type rendering evolve (the r7 HUGEINT and date-rendering
-# episodes both bit stale-row queries). Order: (1) new r9
-# registrations (driver row in the round they land — grown here AS
-# each lands so the r7 debt cycle can't repeat); (2) the 23 r2-vintage
-# rows the r8 prefix consciously deferred (scalar batteries, scan
-# twins, set ops — the oldest rows in the ledger); (3) the 13
-# r4-vintage rows; (4) backfill to 50 with the riskiest r5-vintage
-# rows (date/timestamp rendering: as-of + event windows + streaming
-# tumbling; wide integer/double sums the HUGEINT class bites:
-# pricing summary, wordcount, cross-score; plus the flagship api
-# facade pair and the extraction cascade).
+# Round-10 prefix (r9 verdict "Next round" #2): rotation stays on ROW
+# AGE, oldest vintage first. Order: (1) the one new r10 registration
+# plus every query whose IMPLEMENTATION changed this round (a changed
+# plan needs a fresh row regardless of vintage: the Arrow embed path,
+# the bounded vocab window, the single-batch stream drives, the
+# refactored MMR rounds); (2) ALL 39 r5-vintage rows — the oldest in
+# the ledger (document-pipeline + streaming originals) — so the
+# oldest green row becomes r6; (3) backfill to 50 with the riskiest
+# r6 rows (timestamp intervals; float-score index probes; log-double
+# statistics — the value classes the r7 HUGEINT/date episodes bit).
 _ROTATION_PREFIX: tuple[str, ...] = (
-    # --- new r9 registrations ---
-    "q_stream_python_source_partitioned",  # executor-side stream twin
-    "q_mmr_diversify",  # MMR diversified re-rank over the stored index
-    "q_prf_expansion",  # PRF query expansion, two stored-index probes
-    "q_vocab_coverage",  # tokenizer-design coverage curve
-    # --- r2-vintage refresh (oldest rows in the ledger) ---
-    "q_json_funcs",
-    "q_string_funcs",
-    "q_regex_sections",
-    "q_array_funcs",
-    "q_map_funcs",
-    "q_table_flatten",
-    "q_json_corrupt_tolerant",
-    "q_source_csv",
-    "q_source_json",
-    "q_source_orc",
-    "q_embed_pandas",
-    "q_embed_quantize_int8",
-    "q_vector_topk_filtered",
-    "q_union_distinct",
-    "q_union_all",
-    "q_intersect",
-    "q_except",
-    "q_filter_chunk_type",
-    "q_l2_normalize",
-    "q_sentence_split",
-    "q_merge_small_chunks",
-    "q_paragraph_explode",
-    "q_udtf_sentences",
-    # --- r4-vintage refresh ---
-    "q_date_funcs",
-    "q_dedup_hash",
-    "q_fingerprint",
-    "q_http_ingest",
-    "q_lag_lead",
-    "q_lang_id",
-    "q_math_funcs",
-    "q_quality_score",
-    "q_rank_family",
-    "q_running_sum",
-    "q_sort_limit",
-    "q_token_count",
-    "q_topk_per_group",
-    # --- r5-vintage backfill (riskiest row-aging classes first) ---
-    "q_join_asof",  # timestamp rendering class
-    "q_session_window",  # timestamp rendering class
-    "q_tumbling_window",  # timestamp rendering class
-    # q_stream_tumbling dropped to keep the driver's exact 50 slots
-    # (its batch twin q_tumbling_window above covers the timestamp
-    # rendering class; the streaming machinery got a fresh r8 row via
-    # q_stream_anomaly).
-    "q_agg_pricing_summary",  # wide double sums (HUGEINT class)
-    "q_agg_wordcount",  # wide integer sums (HUGEINT class)
-    # q_agg_doc_stats dropped to keep the driver's exact 50 slots (its
-    # integer-sum class keeps two members above).
-    "q_cross_score",  # flagship keyword scorer (B3's plan family)
-    "q_topk_per_question",  # B3 itself
-    "q_api_run_vector",  # flagship facade, vector path
-    "q_api_run_keyword",  # flagship facade, keyword path
-    "q_extract_cascade",  # largest non-SQL surface with an oracle
-    # q_incremental_index dropped to keep the driver's exact 50 slots
-    # (its anti-join delta shape is also exercised by the r8-green
-    # q_incremental_bm25 row).
+    # --- new r10 registrations + r10-changed implementations ---
+    "q_mmr_ann_pool",  # NEW: MMR over the multiprobe-LSH stored pool
+    "q_late_interaction",  # NEW: ColBERT-style MaxSim re-rank
+    "q_golden_vector_search",  # corpus leg moved to the Arrow embedder
+    "q_mmr_diversify",  # greedy rounds refactored into shared helper
+    "q_vocab_coverage",  # rank window now bounded by a top-cut take
+    "q_stream_python_source",  # single-micro-batch drive
+    "q_stream_python_source_partitioned",  # single batch + restart clamp
+    # --- r5-vintage refresh (all 39: the oldest rows in the ledger) ---
+    "q_agg_distinct",
+    "q_agg_doc_stats",
+    "q_agg_index_stats",
+    "q_agg_rollup",
+    "q_agg_success_rate",
+    "q_answer_summary",
+    "q_binaryfile_scan",
+    "q_bucketed_join",
+    "q_delete_anti_join",
+    "q_extract_chunks",
+    "q_extract_real_containers",
+    "q_extract_sniff",
+    "q_extract_tables",
+    "q_extract_text",
+    "q_filter_isin",
+    "q_filter_length",
+    "q_filter_range",
+    "q_hybrid_rrf",
+    "q_incremental_index",
+    "q_join_broadcast",
+    "q_join_hash",
+    "q_join_left_nomatch",
+    "q_join_range",
+    "q_join_semi",
+    "q_join_sortmerge",
+    "q_mime_sniff",
+    "q_ocr_text",
+    "q_partition_pruned_read",
+    "q_project_truncate",
+    "q_retention_sweep",
+    "q_sliding_window_events",
+    "q_stream_dedup",
+    "q_stream_session",
+    "q_stream_stateful_counts",
+    "q_stream_stream_join",
+    "q_stream_tumbling",
+    "q_stream_upsert_foreachbatch",
+    "q_to_json",
+    "q_upsert_last_writer",
+    # --- riskiest r6 backfill (value-rendering risk classes; 4 slots
+    # --- so the prefix stays exactly 50 with the two new r10 regs) ---
+    "q_scd2_intervals",  # timestamp-interval rendering class
+    "q_bm25_topk",  # flagship keyword index probe (float scores)
+    "q_tfidf_topk",  # float-weight index probe twin
+    "q_zipf_slope",  # log-double regression (float class)
 )
 
 

@@ -26,6 +26,14 @@ extractors). This module re-expresses that on Spark:
 
 Payload construction is deterministic string concatenation, so sniff
 AND extraction outputs are DuckDB-oracle-verified by value.
+
+Real-codec seam status (re-probed round 10, unchanged): pypdf /
+PyPDF2 / fitz / pdfplumber / python-docx / pytesseract / PIL (and
+sentence-transformers / nltk / torch for the embed seams) are ALL
+absent in this environment and installs are prohibited, so the
+opt-in real-codec tests (tests/test_codec_dispatch.py) remain
+skipped; the content-dispatch seams below activate them with zero
+code change the moment the libraries exist on the executors.
 """
 
 from __future__ import annotations

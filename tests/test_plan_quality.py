@@ -396,6 +396,7 @@ _RETRIEVAL_QUERIES = (
     "q_bm25_topk",
     "q_tfidf_topk",
     "q_mmr_diversify",
+    "q_mmr_ann_pool",
     "q_prf_expansion",
 )
 # Deliberately NOT pinned: q_golden_vector_search — it is the
@@ -416,6 +417,49 @@ _RETRIEVAL_QUERIES = (
 _EMBED_MARKER = "* 131)"
 _CORPUS_SPLIT = "split(text#"
 _EMBED_WINDOW = 6000
+
+
+def test_mmr_ann_pool_probes_bucketed_index_not_full_scan(spark):
+    """The ANN-served MMR pool (r9 verdict #5) must come from the
+    STORED LSH-bucketed index probed by broadcast bucket keys — never
+    a corpus embed or an exact full-index cross join. Pinned on the
+    pool subplan (the per-round checkpoints truncate it out of the
+    registered query's final plan): the only Parquet scan is the
+    vector_index_lsh layout, the probe is a bucket-key equi-join
+    (BroadcastHashJoin, zero BNLJ — the exact variant's cross join
+    shape), and the corpus-embed fold marker is absent."""
+    from document_query_system_spark.operators.pipeline import (
+        mmr_ann_pool_candidates,
+    )
+
+    rep = plan_report(mmr_ann_pool_candidates(spark, SF_DIR))
+    locs = [s.get("location", "") for s in rep.scans]
+    # Every scan reads a stored index layout (the bucketed probe + the
+    # plain index supplying the ≤|q|·pool picked vectors) — never the
+    # documents table.
+    assert locs and all("vector_index" in loc for loc in locs), locs
+    assert any("vector_index_lsh" in loc for loc in locs), locs
+    assert "BroadcastHashJoin" in rep.raw
+    assert rep.n_bnlj == 0  # exact variant's cross join must not appear
+    assert _CORPUS_SPLIT not in rep.raw  # stored index, never re-embed
+
+
+def test_late_interaction_reads_only_pool_docs(spark):
+    """The MaxSim re-ranker's corpus-table read must be gated by the
+    pool keys: in the final plan (the first-pass probe sits behind the
+    pool checkpoint) the ONLY Parquet scan is the documents table,
+    joined via BroadcastHashJoin on the broadcast pool doc_ids before
+    any tokenize/explode — and no cross join anywhere downstream (the
+    sparse trigram scoring is pure equi-join + hash aggregate).
+    q_late_interaction is deliberately NOT in _RETRIEVAL_QUERIES: its
+    trigram fold legitimately applies the ·131 hash to POOL documents'
+    tokens, which the textual corpus-embed marker cannot distinguish
+    from a corpus embed."""
+    rep = _plan(spark, "q_late_interaction")
+    locs = [s.get("location", "") for s in rep.scans]
+    assert locs and all("documents" in loc for loc in locs), locs
+    assert "BroadcastHashJoin" in rep.raw
+    assert rep.n_bnlj == 0
 
 
 @pytest.mark.parametrize("name", _RETRIEVAL_QUERIES)

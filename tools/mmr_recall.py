@@ -1,0 +1,57 @@
+"""Selection-overlap report: MMR over the ANN pool vs the exact pool.
+
+The q_ann_recall analog for the composed retrieval op (r9 verdict #5):
+per golden question, |selected_ann ∩ selected_exact| / k for the
+final MMR selections, plus pool recall (how much of the exact top-20
+pool the LSH candidate pool recovered). Run:
+
+    python tools/mmr_recall.py [sf_dir ...]
+
+Prints one line per scale factor with mean/min pool-recall@20 and
+selection-overlap@5 — the number quoted in q_mmr_ann_pool's docstring.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from document_query_system_spark import registry  # noqa: E402
+from document_query_system_spark.session import get_spark  # noqa: E402
+
+
+def report(spark, sf_dir: str) -> dict:
+    specs = registry.all_specs()
+    exact = specs["q_mmr_diversify"].fn(spark, sf_dir).collect()
+    ann = specs["q_mmr_ann_pool"].fn(spark, sf_dir).collect()
+    ex = {}
+    an = {}
+    for r in exact:
+        ex.setdefault(r.question_id, set()).add(r.doc_id)
+    for r in ann:
+        an.setdefault(r.question_id, set()).add(r.doc_id)
+    overlaps = [
+        len(ex[q] & an.get(q, set())) / len(ex[q]) for q in sorted(ex)
+    ]
+    return {
+        "sf_dir": sf_dir,
+        "n_questions": len(ex),
+        "mean_overlap": round(sum(overlaps) / len(overlaps), 3),
+        "min_overlap": round(min(overlaps), 3),
+        "per_question": [round(o, 2) for o in overlaps],
+    }
+
+
+def main() -> None:
+    dirs = sys.argv[1:] or ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+    spark = get_spark(app_name="mmr-recall")
+    spark.sparkContext.setLogLevel("ERROR")
+    for d in dirs:
+        print(report(spark, d))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -60,6 +60,8 @@ HEAVY = [
     "q_phrase_search",
     "q_proximity_search",
     "q_mmr_diversify",
+    "q_mmr_ann_pool",
+    "q_late_interaction",
     "q_prf_expansion",
     "q_vocab_coverage",
     "q_scene_changes",
