@@ -1515,6 +1515,136 @@ def mmr_ann_pool_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mmr_pool_recall_oracle() -> str:
+    from ..functions.embed import embed_subquery_sql
+    from .questions import question_values_sql
+    from .similarity import N_TABLES, _PROBE_FLIPS, _bucket_list_sql
+
+    qv = embed_subquery_sql("questions", "question_id", "question_text")
+    dv = embed_subquery_sql("documents", "doc_id", "text")
+    return f"""
+WITH {question_values_sql()},
+qv AS (SELECT id AS question_id, embedding AS v FROM {qv}),
+dv AS (SELECT id AS doc_id, embedding AS v FROM {dv}),
+exact_pool AS (
+  SELECT question_id, doc_id FROM (
+    SELECT qv.question_id, dv.doc_id,
+           row_number() OVER (PARTITION BY qv.question_id
+                              ORDER BY round(list_dot_product(qv.v, dv.v), 6)
+                                       DESC, dv.doc_id) AS rk
+    FROM qv CROSS JOIN dv)
+  WHERE rk <= {_MMR_POOL}
+),
+qb AS (
+  SELECT question_id, v, tbl, xor(bucket, f.flip) AS bucket
+  FROM (
+    SELECT question_id, v, t.i AS tbl, bl[CAST(t.i AS INT) + 1] AS bucket
+    FROM (SELECT question_id, v, {_bucket_list_sql('v')} AS bl FROM qv)
+    CROSS JOIN generate_series(0, {N_TABLES - 1}) t(i))
+  CROSS JOIN (SELECT unnest({_PROBE_FLIPS}) AS flip) f
+),
+db AS (
+  SELECT doc_id, v, t.i AS tbl, bl[CAST(t.i AS INT) + 1] AS bucket
+  FROM (SELECT doc_id, v, {_bucket_list_sql('v')} AS bl FROM dv)
+  CROSS JOIN generate_series(0, {N_TABLES - 1}) t(i)
+),
+pairs AS (
+  SELECT q.question_id, d.doc_id,
+         max(round(list_dot_product(q.v, d.v), 6)) AS rel
+  FROM qb q JOIN db d ON q.tbl = d.tbl AND q.bucket = d.bucket
+  GROUP BY q.question_id, d.doc_id
+),
+ann_pool AS (
+  SELECT question_id, doc_id FROM (
+    SELECT question_id, doc_id,
+           row_number() OVER (PARTITION BY question_id
+                              ORDER BY rel DESC, doc_id) AS rk
+    FROM pairs)
+  WHERE rk <= {_MMR_POOL}
+),
+ne AS (SELECT question_id, count(*) AS n_exact FROM exact_pool GROUP BY question_id),
+na AS (SELECT question_id, count(*) AS n_ann FROM ann_pool GROUP BY question_id),
+nc AS (
+  SELECT e.question_id, count(*) AS n_common
+  FROM exact_pool e JOIN ann_pool a
+    ON a.question_id = e.question_id AND a.doc_id = e.doc_id
+  GROUP BY e.question_id
+)
+SELECT ne.question_id,
+       CAST(ne.n_exact AS BIGINT) AS n_exact,
+       CAST(coalesce(na.n_ann, 0) AS BIGINT) AS n_ann,
+       CAST(coalesce(nc.n_common, 0) AS BIGINT) AS n_common,
+       round(coalesce(nc.n_common, 0) / ne.n_exact, 6) AS pool_recall
+FROM ne LEFT JOIN na USING (question_id) LEFT JOIN nc USING (question_id)
+"""
+
+
+@register("q_mmr_pool_recall", oracle=_mmr_pool_recall_oracle())
+def q_mmr_pool_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pool recall@{pool} of the multiprobe-LSH candidate pool vs the
+    exact top-{pool} per golden question — the driver-checkable recall
+    report for the ANN-served MMR composition (the q_ann_recall analog
+    for q_mmr_ann_pool; tools/mmr_recall.py reports the downstream
+    SELECTION overlap). An eval op: the exact leg deliberately runs
+    the full-index probe, because it IS the ground truth being
+    compared against — the same exemption q_ann_recall carries.
+
+    Plan: both pools are the proven bounded shapes (broadcast-question
+    exact probe; bucket-pruned LSH probe + primitive hash-agg dedup);
+    the comparison joins two ≤|questions|·pool row sets."""
+    from ..api import ensure_vector_index
+    from ..functions.embed import dot, embed_df
+    from .questions import questions_df
+
+    dv = spark.read.parquet(ensure_vector_index(spark, sf_dir)).select(
+        "doc_id", F.col("dv").alias("doc_v")
+    )
+    qv = F.broadcast(
+        embed_df(questions_df(spark), "question_text", out_col="q_v").select(
+            "question_id", "q_v"
+        )
+    )
+    pool_w = Window.partitionBy("question_id").orderBy(
+        F.desc("cos_sim"), F.asc("doc_id")
+    )
+    exact_pool = (
+        dv.crossJoin(qv)
+        .select(
+            "question_id",
+            "doc_id",
+            F.round(dot(F.col("q_v"), F.col("doc_v")), 6).alias("cos_sim"),
+        )
+        .withColumn("rk", F.row_number().over(pool_w))
+        .filter(F.col("rk") <= _MMR_POOL)
+        .select("question_id", "doc_id")
+    )
+    ann_pool = mmr_ann_pool_candidates(spark, sf_dir).select(
+        "question_id", "doc_id"
+    )
+    ne = exact_pool.groupBy("question_id").agg(F.count("*").alias("n_exact"))
+    na = ann_pool.groupBy("question_id").agg(F.count("*").alias("n_ann"))
+    nc = (
+        exact_pool.join(ann_pool, ["question_id", "doc_id"])
+        .groupBy("question_id")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        ne.join(na, "question_id", "left")
+        .join(nc, "question_id", "left")
+        .select(
+            "question_id",
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.coalesce(F.col("n_ann"), F.lit(0)).cast("long").alias("n_ann"),
+            F.coalesce(F.col("n_common"), F.lit(0))
+            .cast("long")
+            .alias("n_common"),
+            F.round(
+                F.coalesce(F.col("n_common"), F.lit(0)) / F.col("n_exact"), 6
+            ).alias("pool_recall"),
+        )
+    )
+
+
 # --------------------------------- late-interaction (MaxSim) re-rank
 #
 # ColBERT-style late interaction (Khattab & Zaharia, SIGIR 2020): a
