@@ -1448,33 +1448,65 @@ def q_mmr_ann_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mmr_ann_pool_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ANN-served MMR candidate pool BEFORE the checkpoint barrier
     — exposed so the plan-quality test can pin the structural claim
-    (stored-LSH-index scan + broadcast bucket probe, no corpus embed)
-    that the per-round checkpoints truncate out of the final plan."""
+    (stored-LSH-index scan with STATIC partition pruning + broadcast
+    bucket probe, no corpus embed) that the per-round checkpoints
+    truncate out of the final plan.
+
+    The question side is LITERAL data, so the embed + plane-sign
+    buckets + flip fan-out are folded in driver-side with the exact
+    engine arithmetic (_hash_embed_py is bit-identical to embed_df;
+    the plane dot replicates the zip_with left fold op-for-op) — the
+    PRF literal-pushdown class. That makes the probed (tbl, bucket)
+    keys PLAN-TIME literals, so the filter on the partitioned layout
+    becomes a static PartitionFilter: the scan LISTS only the probed
+    directories — ≤ |q|·tables·flips of the 48 — instead of relying
+    on runtime DPP (probed r10: Spark does not insert DPP for this
+    broadcast shape). At 100 TB this is the difference between
+    reading nprobe cells and reading the index. (At the demo config
+    the 10-question × 5-probe batch happens to cover all 2^4 buckets
+    per table, so nothing is skipped HERE — the pinned property is
+    that the keys reach PartitionFilters as literals; a single
+    query probes 5 of 2^planes directories at any real plane
+    count.)"""
     from ..api import ensure_vector_index, ensure_vector_index_lsh
-    from ..functions.embed import dot, embed_df
-    from .questions import questions_df
-    from .similarity import N_TABLES, _PROBE_FLIPS, _bucket_expr
+    from ..functions.embed import _hash_embed_py, dot
+    from .questions import GOLDEN_QUESTIONS
+    from .similarity import N_PLANES, N_TABLES, PLANES, _PROBE_FLIPS
 
     db = spark.read.parquet(ensure_vector_index_lsh(spark, sf_dir)).select(
         "doc_id", F.col("dv").alias("v"), "tbl", "bucket"
     )
-    q = embed_df(questions_df(spark), "question_text", out_col="q_v")
-    qbuckets = F.array(
-        *[_bucket_expr(F.col("q_v"), t) for t in range(N_TABLES)]
-    )
-    flips = F.array(*[F.lit(x) for x in _PROBE_FLIPS])
+    qb_rows = []
+    probe_keys: dict[int, set[int]] = {t: set() for t in range(N_TABLES)}
+    for qid, qtext in GOLDEN_QUESTIONS:
+        q_v = _hash_embed_py(qtext)
+        for t in range(N_TABLES):
+            b0 = 0
+            for i, plane in enumerate(PLANES[t]):
+                acc = 0.0  # replicate the zip_with left fold exactly
+                for x, y in zip(q_v, plane):
+                    acc += x * y
+                if acc > 0:
+                    b0 += 2 ** (N_PLANES - 1 - i)
+            for flip in _PROBE_FLIPS:
+                qb_rows.append((qid, q_v, t, b0 ^ flip))
+                probe_keys[t].add(b0 ^ flip)
     qb = F.broadcast(
-        q.select(
-            "question_id", "q_v", F.posexplode(qbuckets).alias("qtbl", "b0")
-        ).select(
-            "question_id",
-            "q_v",
-            "qtbl",
-            F.explode(
-                F.transform(flips, lambda fl: F.col("b0").bitwiseXOR(fl))
-            ).alias("qbucket"),
+        spark.createDataFrame(
+            qb_rows,
+            "question_id LONG, q_v ARRAY<DOUBLE>, qtbl INT, qbucket INT",
         )
     )
+    # Literal probe-key filter → static PartitionFilters on the
+    # (tbl, bucket)-partitioned layout; the join below re-checks the
+    # same keys row-wise, so the filter is pure pruning, not logic.
+    prune = None
+    for t in range(N_TABLES):
+        leg = (F.col("tbl") == t) & F.col("bucket").isin(
+            *sorted(probe_keys[t])
+        )
+        prune = leg if prune is None else (prune | leg)
+    db = db.filter(prune)
     # Score every bucket collision, then dedup (a pair can collide in
     # up to N_TABLES tables) with max(rel) — rel is identical across a
     # pair's collisions, and a PRIMITIVE-buffer hash aggregate gets

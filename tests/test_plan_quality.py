@@ -272,6 +272,15 @@ _SHUFFLE_BUDGET_EXEMPT = {
     # edge/label-sized and the bidirected edge list is the single
     # materialized RDD.
     "q_communities_lp": 7,
+    # Composed eval harness (the q_dedup_tier_eval class): the exact
+    # ground-truth pool (probe rank window) + the full LSH candidate
+    # pipeline (bucket-join dedup agg + rank window + vector refetch)
+    # + three per-question count aggregates + the overlap and report
+    # joins. Both pools are individually pinned by their own queries
+    # (q_golden_vector_search's probe; q_mmr_ann_pool's 4-budget
+    # pool); everything the harness ADDS moves ≤|questions|·pool
+    # rows.
+    "q_mmr_pool_recall": 12,
     # One k-core peel pass = two endpoint semi-joins of the (eagerly
     # checkpointed, strictly shrinking) edge list against the
     # survivor set + a degree groupBy + the degree rejoin — the
@@ -442,6 +451,18 @@ def test_mmr_ann_pool_probes_bucketed_index_not_full_scan(spark):
     assert "BroadcastHashJoin" in rep.raw
     assert rep.n_bnlj == 0  # exact variant's cross join must not appear
     assert _CORPUS_SPLIT not in rep.raw  # stored index, never re-embed
+    # The literal probe keys must reach the partitioned layout as
+    # STATIC PartitionFilters (directory-level pruning — r10 probed
+    # that DPP is not inserted for this broadcast shape, so the
+    # driver-side literal fold-in is what buys nprobe-style reads).
+    import re
+
+    pfs = [
+        m
+        for m in re.findall(r"PartitionFilters: \[([^\]]*)\]", rep.raw)
+        if "bucket" in m
+    ]
+    assert pfs and any("INSET" in m or " IN " in m for m in pfs), pfs
 
 
 def test_late_interaction_reads_only_pool_docs(spark):
