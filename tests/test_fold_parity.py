@@ -1,0 +1,94 @@
+"""Cross-implementation parity pins for the driver-side literal
+fold-ins (r10): q_late_interaction and mmr_ann_pool_candidates compute
+the QUESTION side of their probes in Python (so the probe keys become
+plan-time literals / static partition filters), while the DOCUMENT
+side runs the same arithmetic as Spark column expressions. The oracle
+tests catch divergence on the golden data; these pin the folds
+directly over a wider input space — including the non-ASCII range the
+corpus could contain but the golden questions don't."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from document_query_system_spark.functions.hashing import MULT, P
+
+
+def _py_tri_hashes(t: str) -> list[int]:
+    return [
+        ((ord(t[i]) * MULT + ord(t[i + 1])) % P * MULT + ord(t[i + 2])) % P
+        for i in range(len(t) - 2)
+    ]
+
+
+def test_li_trigram_spark_fold_matches_python_twin(spark):
+    """_li_tri_hashes (the doc-side Spark expression) must agree with
+    the Python loop q_late_interaction uses for the literal question
+    side — same fold, same guard for len<3 — across ASCII, digits,
+    punctuation, accented Latin, and CJK (Spark's ascii() returns the
+    Unicode code point of the first char, i.e. ord())."""
+    from document_query_system_spark.operators.pipeline import _li_tri_hashes
+
+    rng = random.Random(7)
+    alphabet = "abcdefghijklmnopqrstuvwxyz0123456789éñüßαβγ日本語-_'#%"
+    toks = ["", "a", "ab", "abc", "abcd", "héllo", "ñandú", "日本語テスト"]
+    toks += [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 12)))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame([(t,) for t in toks], "tok STRING").select(
+        "tok", _li_tri_hashes(F.col("tok")).alias("h")
+    )
+    got = {}
+    for r in df.collect():
+        got.setdefault(r.tok, r.h)
+    for t in set(toks):
+        assert got[t] == _py_tri_hashes(t), repr(t)
+
+
+def test_mmr_literal_buckets_match_spark_bucket_expr(spark):
+    """The Python plane-sign fold in mmr_ann_pool_candidates (literal
+    probe keys → static PartitionFilters) must reproduce the Spark
+    _bucket_expr the stored LSH index was BUILT with, for every golden
+    question — a one-sided divergence would silently drop the
+    question's own bucket from the probe set."""
+    from document_query_system_spark.functions.embed import (
+        _hash_embed_py,
+        embed_df,
+    )
+    from document_query_system_spark.operators.questions import (
+        GOLDEN_QUESTIONS,
+        questions_df,
+    )
+    from document_query_system_spark.operators.similarity import (
+        N_PLANES,
+        N_TABLES,
+        PLANES,
+        _bucket_expr,
+    )
+
+    q = embed_df(questions_df(spark), "question_text", out_col="q_v")
+    spark_buckets = {
+        r.question_id: r.bl
+        for r in q.select(
+            "question_id",
+            F.array(
+                *[_bucket_expr(F.col("q_v"), t) for t in range(N_TABLES)]
+            ).alias("bl"),
+        ).collect()
+    }
+    for qid, qtext in GOLDEN_QUESTIONS:
+        q_v = _hash_embed_py(qtext)
+        py_buckets = []
+        for t in range(N_TABLES):
+            b0 = 0
+            for i, plane in enumerate(PLANES[t]):
+                acc = 0.0
+                for x, y in zip(q_v, plane):
+                    acc += x * y
+                if acc > 0:
+                    b0 += 2 ** (N_PLANES - 1 - i)
+            py_buckets.append(b0)
+        assert py_buckets == list(spark_buckets[qid]), qid
