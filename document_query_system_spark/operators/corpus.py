@@ -751,3 +751,86 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage"),
         )
     )
+
+
+@register(
+    "q_corpus_datacard",
+    oracle=f"""
+WITH tok AS (
+  SELECT source, lang, md5(text) AS h,
+         CAST(len({tokens_sql('text')}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+per_lang AS (
+  SELECT source, lang, count(*) AS c FROM tok GROUP BY source, lang
+),
+top_lang AS (
+  SELECT source, lang AS top_lang FROM (
+    SELECT *, row_number() OVER (PARTITION BY source
+                                 ORDER BY c DESC, lang) AS rn
+    FROM per_lang)
+  WHERE rn = 1
+),
+base AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         round(avg(n_tokens), 2) AS avg_doc_tokens,
+         CAST(count(DISTINCT h) AS BIGINT) AS n_unique,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+  FROM tok GROUP BY source
+)
+SELECT b.source, b.n_docs, b.total_tokens, b.avg_doc_tokens,
+       round(1.0 - b.n_unique / b.n_docs, 6) AS exact_dup_rate,
+       b.n_langs, t.top_lang
+FROM base b JOIN top_lang t USING (source)
+""",
+)
+def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus datacard: doc count, token volume, mean doc
+    length, exact-duplicate rate (1 − distinct md5 / docs), language
+    inventory and majority language — the one-row-per-source
+    datasheet every corpus release ships (Gebru et al., "Datasheets
+    for Datasets") and the first report a mixing/budgeting pass
+    (q_domain_mix, q_token_budget_cap) is parameterized from.
+
+    Plan: ONE corpus scan feeding a lazily-checkpointed (source,
+    lang, md5, n_tokens) projection consumed by two bounded
+    aggregates — a (source, lang) count with a per-source argmax
+    window (|sources|·|langs| rows) and the per-source stats agg
+    (two-distinct-aggregate hash agg; count(DISTINCT md5) expands
+    but stays ∝ corpus with map-side partials). Output is
+    |sources| rows; every float is a ratio of exact integers,
+    rounded in both engines."""
+    docs = spread(load(spark, sf_dir, "documents").select("source", "lang", "text"))
+    tok = docs.select(
+        "source",
+        "lang",
+        F.md5("text").alias("h"),
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    ).localCheckpoint(eager=False)  # two aggregate consumers
+    per_lang = tok.groupBy("source", "lang").agg(F.count("*").alias("c"))
+    top_w = Window.partitionBy("source").orderBy(F.desc("c"), F.asc("lang"))
+    top_lang = (
+        per_lang.withColumn("rn", F.row_number().over(top_w))
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("top_lang"))
+    )
+    base = tok.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 2).alias("avg_doc_tokens"),
+        F.countDistinct("h").alias("n_unique"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+    return base.join(top_lang, "source").select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        "avg_doc_tokens",
+        F.round(
+            F.lit(1.0) - F.col("n_unique") / F.col("n_docs"), 6
+        ).alias("exact_dup_rate"),
+        F.col("n_langs").cast("long").alias("n_langs"),
+        "top_lang",
+    )

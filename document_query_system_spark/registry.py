@@ -107,6 +107,7 @@ _ROTATION_PREFIX: tuple[str, ...] = (
     "q_mmr_ann_pool",  # NEW: MMR over the multiprobe-LSH stored pool
     "q_late_interaction",  # NEW: ColBERT-style MaxSim re-rank
     "q_mmr_pool_recall",  # NEW: driver-checkable ANN-pool recall report
+    "q_corpus_datacard",  # NEW: per-source datasheet aggregate
     "q_golden_vector_search",  # corpus leg moved to the Arrow embedder
     "q_mmr_diversify",  # greedy rounds refactored into shared helper
     "q_vocab_coverage",  # rank window now bounded by a top-cut take
@@ -152,11 +153,10 @@ _ROTATION_PREFIX: tuple[str, ...] = (
     "q_stream_upsert_foreachbatch",
     "q_to_json",
     "q_upsert_last_writer",
-    # --- riskiest r6 backfill (value-rendering risk classes; 3 slots
-    # --- so the prefix stays exactly 50 with the three new r10 regs) ---
+    # --- riskiest r6 backfill (value-rendering risk classes; 2 slots
+    # --- so the prefix stays exactly 50 with the four new r10 regs) ---
     "q_scd2_intervals",  # timestamp-interval rendering class
     "q_bm25_topk",  # flagship keyword index probe (float scores)
-    "q_tfidf_topk",  # float-weight index probe twin
 )
 
 
