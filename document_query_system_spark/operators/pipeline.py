@@ -588,6 +588,83 @@ def q_incremental_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------ incremental LSH maintenance
+
+_INC_LSH_MOD = 13  # doc_id % 13 == 0 plays the incoming batch
+
+
+def _inc_lsh_oracle() -> str:
+    from ..functions.embed import embed_subquery_sql
+    from .similarity import N_TABLES, _bucket_list_sql
+
+    dv = embed_subquery_sql("documents", "doc_id", "text")
+    return f"""
+WITH dv AS (SELECT id AS doc_id, embedding AS v FROM {dv}),
+db AS (
+  SELECT doc_id, v, t.i AS tbl, bl[CAST(t.i AS INT) + 1] AS bucket
+  FROM (SELECT doc_id, v, {_bucket_list_sql('v')} AS bl FROM dv)
+  CROSS JOIN generate_series(0, {N_TABLES - 1}) t(i)
+)
+SELECT CAST(tbl AS BIGINT) AS tbl, CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       CAST(sum(CAST(round(v[1] * 1000000) AS BIGINT)) AS BIGINT) AS v1_micros
+FROM db GROUP BY tbl, bucket
+"""
+
+
+@register("q_incremental_lsh", oracle=_inc_lsh_oracle())
+def q_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of the BUCKETED vector layout: the
+    stored LSH index (api.ensure_vector_index_lsh) minus the incoming
+    batch plays the 'index as of yesterday'; the batch (doc_id % 13
+    == 0) pays embed→bucket→explode on ITS rows only; merged = base ∪
+    delta. Output: per (table, bucket) doc count, id checksum, and a
+    first-component vector checksum over the merged index — which the
+    oracle computes from a FULL-corpus rebuild, proving delta-merge ≡
+    rebuild for the ANN serving layout exactly as q_incremental_bm25
+    does for the postings and q_dedup_incremental for MinHash state.
+
+    Scale: the delta leg's cost tracks the BATCH (Arrow embed ∝ batch
+    rows); the base leg is a stored-layout scan (at 100 TB, appending
+    the delta's bucket rows into the partitioned directories — the
+    same partitionBy write the builder uses — costs ∝ batch, and
+    probes see the merged index with no rebuild)."""
+    from ..api import ensure_vector_index_lsh
+    from ..functions.embed import embed_pandas
+    from .similarity import N_TABLES, _bucket_expr
+
+    base = (
+        spark.read.parquet(ensure_vector_index_lsh(spark, sf_dir))
+        .filter(F.col("doc_id") % _INC_LSH_MOD != 0)
+        .select("doc_id", "dv", "tbl", "bucket")
+    )
+    batch = spread(
+        load(spark, sf_dir, "documents").select("doc_id", "text")
+    ).filter(F.col("doc_id") % _INC_LSH_MOD == 0)
+    emb = embed_pandas(batch, "text", out_col="dv").select("doc_id", "dv")
+    buckets = F.array(
+        *[_bucket_expr(F.col("dv"), t) for t in range(N_TABLES)]
+    )
+    delta = emb.select(
+        "doc_id", "dv", F.posexplode(buckets).alias("tbl", "bucket")
+    )
+    merged = base.unionByName(delta)
+    return merged.groupBy("tbl", "bucket").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+        F.sum(
+            F.round(F.element_at(F.col("dv"), 1) * 1_000_000).cast("long")
+        ).cast("long").alias("v1_micros"),
+    ).select(
+        F.col("tbl").cast("long").alias("tbl"),
+        F.col("bucket").cast("long").alias("bucket"),
+        "n_docs",
+        "id_sum",
+        "v1_micros",
+    )
+
+
 # --------------------------------------------------- hybrid retrieval fusion
 #
 # Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of the

@@ -93,7 +93,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # Unknown names fail loudly (a typo would silently burn a prefix slot).
 #
 # Round-10 prefix (r9 verdict "Next round" #2): rotation stays on ROW
-# AGE, oldest vintage first. Order: (1) the one new r10 registration
+# AGE, oldest vintage first. Order: (1) the five new r10 registrations
 # plus every query whose IMPLEMENTATION changed this round (a changed
 # plan needs a fresh row regardless of vintage: the Arrow embed path,
 # the bounded vocab window, the single-batch stream drives, the
@@ -108,6 +108,7 @@ _ROTATION_PREFIX: tuple[str, ...] = (
     "q_late_interaction",  # NEW: ColBERT-style MaxSim re-rank
     "q_mmr_pool_recall",  # NEW: driver-checkable ANN-pool recall report
     "q_corpus_datacard",  # NEW: per-source datasheet aggregate
+    "q_incremental_lsh",  # NEW: delta-merge ≡ rebuild for the ANN layout
     "q_golden_vector_search",  # corpus leg moved to the Arrow embedder
     "q_mmr_diversify",  # greedy rounds refactored into shared helper
     "q_vocab_coverage",  # rank window now bounded by a top-cut take
@@ -153,10 +154,10 @@ _ROTATION_PREFIX: tuple[str, ...] = (
     "q_stream_upsert_foreachbatch",
     "q_to_json",
     "q_upsert_last_writer",
-    # --- riskiest r6 backfill (value-rendering risk classes; 2 slots
-    # --- so the prefix stays exactly 50 with the four new r10 regs) ---
+    # --- riskiest r6 backfill (value-rendering risk class; 1 slot
+    # --- so the prefix stays exactly 50 with the five new r10 regs —
+    # --- new registrations MUST hold prefix slots, the r6-debt lesson) ---
     "q_scd2_intervals",  # timestamp-interval rendering class
-    "q_bm25_topk",  # flagship keyword index probe (float scores)
 )
 
 
