@@ -498,3 +498,124 @@ def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall")
         )
     )
+
+
+# ------------------------------------------------- training-triplet export
+
+_TRIPLET_NEGS = 3  # hard negatives per anchor
+
+_TRIPLET_SQL = f"""
+WITH q AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS anchor_id, q.label AS anchor_label,
+         c.vec_id AS cand_id, c.label AS cand_label,
+         round(list_dot_product(q.v, c.v)
+               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))),
+               6) AS cos_sim
+  FROM q CROSS JOIN c
+  WHERE q.vec_id <> c.vec_id
+),
+pos AS (
+  SELECT anchor_id, cand_id AS positive_id, cos_sim AS pos_sim FROM (
+    SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                 ORDER BY cos_sim DESC, cand_id) AS rn
+    FROM scored WHERE cand_label = anchor_label)
+  WHERE rn = 1
+),
+neg AS (
+  SELECT anchor_id, cand_id AS negative_id, cos_sim AS neg_sim,
+         CAST(rn AS BIGINT) AS neg_rank
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                 ORDER BY cos_sim DESC, cand_id) AS rn
+    FROM scored WHERE cand_label <> anchor_label)
+  WHERE rn <= {_TRIPLET_NEGS}
+)
+SELECT p.anchor_id, p.positive_id, n.negative_id, n.neg_rank,
+       p.pos_sim, n.neg_sim, round(p.pos_sim - n.neg_sim, 6) AS margin
+FROM pos p JOIN neg n USING (anchor_id)
+"""
+
+
+@register("q_training_triplets", oracle=_TRIPLET_SQL)
+def q_training_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training triplet export: per anchor, the hardest
+    positive (most-similar SAME-label vector — excluding self) paired
+    with the top-3 hardest negatives (most-similar DIFFERENT-label
+    vectors) and the per-pair margin — the (anchor, positive,
+    negative) rows a triplet / InfoNCE training job consumes directly,
+    composing q_hard_negatives' mining pass with its positive twin in
+    one plan. A negative margin flags the anchors whose nearest
+    wrong-label neighbor outranks their best positive — the examples
+    the loss learns most from.
+
+    Plan: ONE broadcast-anchors ⨯ streamed-scan scoring pass (the
+    proven q_vector_topk shape) feeds both legs; each leg is a
+    per-anchor rank window, and both windows plus the final join are
+    hash(anchor)-partitioned, so the join adds no exchange
+    (subset-key co-partition reuse). At 100 TB the scan swaps for an
+    ANN tier exactly as in q_mmr_ann_pool; the export semantics don't
+    change."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("label").alias("anchor_label"),
+            F.col("embedding").cast("array<double>").alias("qv"),
+        )
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("cand_label"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    scored = (
+        c.crossJoin(q)
+        .filter(F.col("anchor_id") != F.col("cand_id"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "cand_id",
+            "cand_label",
+            F.round(
+                dot(F.col("qv"), F.col("cv"))
+                / (l2_norm(F.col("qv")) * l2_norm(F.col("cv"))),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cos_sim"), F.asc("cand_id")
+    )
+    pos = (
+        scored.filter(F.col("cand_label") == F.col("anchor_label"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "anchor_id",
+            F.col("cand_id").alias("positive_id"),
+            F.col("cos_sim").alias("pos_sim"),
+        )
+    )
+    neg = (
+        scored.filter(F.col("cand_label") != F.col("anchor_label"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TRIPLET_NEGS)
+        .select(
+            "anchor_id",
+            F.col("cand_id").alias("negative_id"),
+            F.col("cos_sim").alias("neg_sim"),
+            F.col("rn").cast("long").alias("neg_rank"),
+        )
+    )
+    return pos.join(neg, "anchor_id").select(
+        "anchor_id",
+        "positive_id",
+        "negative_id",
+        "neg_rank",
+        "pos_sim",
+        "neg_sim",
+        F.round(F.col("pos_sim") - F.col("neg_sim"), 6).alias("margin"),
+    )

@@ -109,6 +109,7 @@ _ROTATION_PREFIX: tuple[str, ...] = (
     "q_mmr_pool_recall",  # NEW: driver-checkable ANN-pool recall report
     "q_corpus_datacard",  # NEW: per-source datasheet aggregate
     "q_incremental_lsh",  # NEW: delta-merge ≡ rebuild for the ANN layout
+    "q_training_triplets",  # NEW: contrastive triplet export
     "q_golden_vector_search",  # corpus leg moved to the Arrow embedder
     "q_mmr_diversify",  # greedy rounds refactored into shared helper
     "q_vocab_coverage",  # rank window now bounded by a top-cut take
@@ -154,10 +155,10 @@ _ROTATION_PREFIX: tuple[str, ...] = (
     "q_stream_upsert_foreachbatch",
     "q_to_json",
     "q_upsert_last_writer",
-    # --- riskiest r6 backfill (value-rendering risk class; 1 slot
-    # --- so the prefix stays exactly 50 with the five new r10 regs —
-    # --- new registrations MUST hold prefix slots, the r6-debt lesson) ---
-    "q_scd2_intervals",  # timestamp-interval rendering class
+    # --- no r6 backfill: the six new r10 registrations fill the
+    # --- remaining slots (new registrations MUST hold checked prefix
+    # --- slots, the r6-debt lesson; the r6-vintage value-rendering
+    # --- rows head the r11 rotation instead) ---
 )
 
 

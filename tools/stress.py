@@ -54,6 +54,7 @@ HEAVY = [
     "q_dedup_tier_eval",
     "q_temperature_mix",
     "q_hard_negatives",
+    "q_training_triplets",
     "q_ndcg_eval",
     "q_classifier_calibration",
     "q_heavy_hitters_cms",
