@@ -159,7 +159,7 @@ def main() -> None:
         # Arrow embedder — what ensure_vector_index runs; bit-identical
         # to the SQL fold, measured 19× at exactly this workload).
         t0 = time.perf_counter()
-        embed_pandas(docs, "text").select("doc_id", "embedding").write.mode(
+        embed_pandas(docs, "text", keep=["doc_id"]).write.mode(
             "overwrite"
         ).parquet(tmp_path("bench_embeddings.parquet"))
         b1 = time.perf_counter() - t0

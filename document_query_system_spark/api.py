@@ -65,11 +65,17 @@ def ensure_vector_index(spark: SparkSession, sf_dir: str) -> str:
     path = tmp_path("vector_index", tag)
     key = session_key(spark, sf_dir)
     if key not in _VECTOR_INDEX_READY:
-        docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
-        idx = embed_pandas(docs, "text", out_col="dv").select(
-            "doc_id",
-            F.substring("text", 1, SNIPPET_LEN).alias("snippet"),
-            "dv",
+        # Snippet is computed BEFORE the embed so the full text never
+        # rides the Arrow return leg (embed_pandas keep-pruning).
+        docs = spread(
+            load(spark, sf_dir, "documents").select(
+                "doc_id",
+                F.substring("text", 1, SNIPPET_LEN).alias("snippet"),
+                "text",
+            )
+        )
+        idx = embed_pandas(
+            docs, "text", out_col="dv", keep=["doc_id", "snippet"]
         )
         idx.write.mode("overwrite").parquet(path)
         _VECTOR_INDEX_READY.add(key)

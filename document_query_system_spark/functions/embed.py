@@ -160,7 +160,10 @@ def _hash_embed_py(text: str) -> list[float]:
 
 
 def embed_pandas(
-    df: DataFrame, text_col: str = "text", out_col: str = "embedding"
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "embedding",
+    keep: list[str] | None = None,
 ) -> DataFrame:
     """U1 Arrow path: mapInPandas embedder — the executor-side batch
     shape of the reference's encode loop (ref:
@@ -181,19 +184,33 @@ def embed_pandas(
     plan at 1.9 s pre-suite and 16 s in-suite. The Arrow path's cost
     lives in reused Python workers and is immune to that class.
     embed_df stays the oracle-verifiable twin (bit-identical by
-    construction; q_embed_hash/q_embed_pandas share one oracle)."""
+    construction; q_embed_hash/q_embed_pandas share one oracle).
+
+    ``keep`` prunes the RETURN leg: Spark's column pruning cannot
+    reach inside mapInPandas, so without it the text column rides the
+    Arrow batch back to the JVM only to be dropped by the caller's
+    select — avoidable transfer ≈ the corpus size on the index-build
+    hot path (r10 review). Callers that only need (id, vector) pass
+    keep=["doc_id"]; None preserves every input column (the
+    append-a-column contract)."""
     import pandas as pd
 
     from ..session import ensure_worker_imports
 
     ensure_worker_imports(df.sparkSession)
-    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
+    out_fields = (
+        list(df.schema.fields)
+        if keep is None
+        else [df.schema[name] for name in keep]
+    )
+    cols = [f.name for f in out_fields]
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in out_fields)
 
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
-            pdf = pdf.copy()
-            pdf[out_col] = pdf[text_col].map(_hash_embed_py)
-            yield pdf
+            out = pdf[cols].copy()
+            out[out_col] = pdf[text_col].map(_hash_embed_py)
+            yield out
 
     return df.mapInPandas(gen, schema=f"{schema}, {out_col} array<double>")
 

@@ -267,7 +267,7 @@ def q_embed_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") < 100)
         .select("doc_id", "text")
     )
-    return explode_dims(embed_pandas(docs), "doc_id", "embedding")
+    return explode_dims(embed_pandas(docs, keep=["doc_id"]), "doc_id", "embedding")
 
 
 @register(
@@ -361,7 +361,7 @@ def q_golden_vector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.questions import questions_df
 
     docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
-    dv = embed_pandas(docs, "text", out_col="doc_v").select("doc_id", "doc_v")
+    dv = embed_pandas(docs, "text", out_col="doc_v", keep=["doc_id"])
     qv = F.broadcast(
         embed_df(
             questions_df(spark), "question_text", out_col="q_v"

@@ -642,7 +642,7 @@ def q_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = spread(
         load(spark, sf_dir, "documents").select("doc_id", "text")
     ).filter(F.col("doc_id") % _INC_LSH_MOD == 0)
-    emb = embed_pandas(batch, "text", out_col="dv").select("doc_id", "dv")
+    emb = embed_pandas(batch, "text", out_col="dv", keep=["doc_id"])
     buckets = F.array(
         *[_bucket_expr(F.col("dv"), t) for t in range(N_TABLES)]
     )
@@ -1274,6 +1274,47 @@ cand AS (
     return _mmr_round_ctes(prefix)
 
 
+def _stored_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-question probe of the STORED vector index, scored
+    but unranked: (question_id, doc_id, rel, v). The shared first
+    stage of every exact-pool consumer (MMR's candidate pool, the
+    late-interaction first pass, the pool-recall ground truth) — one
+    place owns the probe contract (stored index, rounded-6 dot,
+    doc_id tiebreak downstream); r10 review found it triplicated."""
+    from ..api import ensure_vector_index
+    from ..functions.embed import dot, embed_df
+    from .questions import questions_df
+
+    dv = spark.read.parquet(ensure_vector_index(spark, sf_dir)).select(
+        "doc_id", F.col("dv").alias("v")
+    )
+    qv = F.broadcast(
+        embed_df(questions_df(spark), "question_text", out_col="q_v").select(
+            "question_id", "q_v"
+        )
+    )
+    return dv.crossJoin(qv).select(
+        "question_id",
+        "doc_id",
+        F.round(dot(F.col("q_v"), F.col("v")), 6).alias("rel"),
+        "v",
+    )
+
+
+def exact_pool_topn(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
+    """Per-question top-n of the stored-index probe:
+    (question_id, doc_id, rel, v), ranked by (rel desc, doc_id)."""
+    w = Window.partitionBy("question_id").orderBy(
+        F.desc("rel"), F.asc("doc_id")
+    )
+    return (
+        _stored_index_probe(spark, sf_dir)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= n)
+        .drop("rk")
+    )
+
+
 @register("q_mmr_diversify", oracle=_mmr_oracle())
 def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR-diversified top-5 (_MMR_K) per golden question (λ = 0.7):
@@ -1301,33 +1342,8 @@ def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts) under subset-key co-partition reuse + AQE; the broadcast
     shape has no two-key join at all. The vectors ride the bounded
     pool rows, never a second corpus scan."""
-    from ..api import ensure_vector_index
-    from ..functions.embed import dot, embed_df
-    from .questions import questions_df
-
-    dv = spark.read.parquet(ensure_vector_index(spark, sf_dir)).select(
-        "doc_id", F.col("dv").alias("v")
-    )
-    qv = F.broadcast(
-        embed_df(questions_df(spark), "question_text", out_col="q_v").select(
-            "question_id", "q_v"
-        )
-    )
-    cand_w = Window.partitionBy("question_id").orderBy(
-        F.desc("rel"), F.asc("doc_id")
-    )
-    cand = (
-        dv.crossJoin(qv)
-        .select(
-            "question_id",
-            "doc_id",
-            F.round(dot(F.col("q_v"), F.col("v")), 6).alias("rel"),
-            "v",
-        )
-        .withColumn("rk", F.row_number().over(cand_w))
-        .filter(F.col("rk") <= _MMR_POOL)
-        .drop("rk")
-        .localCheckpoint(eager=False)  # all k rounds re-read the pool
+    cand = exact_pool_topn(spark, sf_dir, _MMR_POOL).localCheckpoint(
+        eager=False  # all k rounds re-read the pool
     )
     return _mmr_greedy_rounds(cand)
 
@@ -1523,11 +1539,29 @@ def q_mmr_ann_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def mmr_ann_pool_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The ANN-served MMR candidate pool BEFORE the checkpoint barrier
-    — exposed so the plan-quality test can pin the structural claim
-    (stored-LSH-index scan with STATIC partition pruning + broadcast
-    bucket probe, no corpus embed) that the per-round checkpoints
-    truncate out of the final plan.
+    """mmr_ann_pool_pairs with the pool VECTORS attached (the greedy
+    rounds need v): the ≤|questions|·pool picks broadcast against the
+    plain stored index. Kept separate from the pairs builder so
+    consumers that only need the (question, doc) pool — the recall
+    report — skip the vector fetch entirely (r10 review)."""
+    from ..api import ensure_vector_index
+
+    top = mmr_ann_pool_pairs(spark, sf_dir)
+    dv = spark.read.parquet(ensure_vector_index(spark, sf_dir)).select(
+        "doc_id", F.col("dv").alias("v")
+    )
+    return dv.join(F.broadcast(top), "doc_id").select(
+        "question_id", "doc_id", "rel", "v"
+    )
+
+
+def mmr_ann_pool_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN-served MMR candidate pool — (question_id, doc_id, rel),
+    no vectors — BEFORE the checkpoint barrier; exposed so the
+    plan-quality test can pin the structural claim (stored-LSH-index
+    scan with STATIC partition pruning + broadcast bucket probe, no
+    corpus embed) that the per-round checkpoints truncate out of the
+    final plan.
 
     The question side is LITERAL data, so the embed + plane-sign
     buckets + flip fan-out are folded in driver-side with the exact
@@ -1545,7 +1579,7 @@ def mmr_ann_pool_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     that the keys reach PartitionFilters as literals; a single
     query probes 5 of 2^planes directories at any real plane
     count.)"""
-    from ..api import ensure_vector_index, ensure_vector_index_lsh
+    from ..api import ensure_vector_index_lsh
     from ..functions.embed import _hash_embed_py, dot
     from .questions import GOLDEN_QUESTIONS
     from .similarity import N_PLANES, N_TABLES, PLANES, _PROBE_FLIPS
@@ -1607,20 +1641,10 @@ def mmr_ann_pool_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     pool_w = Window.partitionBy("question_id").orderBy(
         F.desc("rel"), F.asc("doc_id")
     )
-    top = (
+    return (
         pairs.withColumn("rk", F.row_number().over(pool_w))
         .filter(F.col("rk") <= _MMR_POOL)
         .drop("rk")
-    )
-    # Fetch the pool vectors by broadcasting the ≤|questions|·pool
-    # picks against the PLAIN stored index (the greedy rounds need v;
-    # shipping it through the dedup agg would force array buffers →
-    # SortAggregate).
-    dv = spark.read.parquet(ensure_vector_index(spark, sf_dir)).select(
-        "doc_id", F.col("dv").alias("v")
-    )
-    return dv.join(F.broadcast(top), "doc_id").select(
-        "question_id", "doc_id", "rel", "v"
     )
 
 
@@ -1698,36 +1722,15 @@ def q_mmr_pool_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the full-index probe, because it IS the ground truth being
     compared against — the same exemption q_ann_recall carries.
 
-    Plan: both pools are the proven bounded shapes (broadcast-question
-    exact probe; bucket-pruned LSH probe + primitive hash-agg dedup);
-    the comparison joins two ≤|questions|·pool row sets."""
-    from ..api import ensure_vector_index
-    from ..functions.embed import dot, embed_df
-    from .questions import questions_df
-
-    dv = spark.read.parquet(ensure_vector_index(spark, sf_dir)).select(
-        "doc_id", F.col("dv").alias("doc_v")
+    Plan: both pools are the proven bounded shapes (the shared
+    exact_pool_topn probe; bucket-pruned LSH probe + primitive
+    hash-agg dedup, WITHOUT the pool-vector fetch the MMR rounds need
+    — mmr_ann_pool_pairs); the comparison joins two
+    ≤|questions|·pool row sets."""
+    exact_pool = exact_pool_topn(spark, sf_dir, _MMR_POOL).select(
+        "question_id", "doc_id"
     )
-    qv = F.broadcast(
-        embed_df(questions_df(spark), "question_text", out_col="q_v").select(
-            "question_id", "q_v"
-        )
-    )
-    pool_w = Window.partitionBy("question_id").orderBy(
-        F.desc("cos_sim"), F.asc("doc_id")
-    )
-    exact_pool = (
-        dv.crossJoin(qv)
-        .select(
-            "question_id",
-            "doc_id",
-            F.round(dot(F.col("q_v"), F.col("doc_v")), 6).alias("cos_sim"),
-        )
-        .withColumn("rk", F.row_number().over(pool_w))
-        .filter(F.col("rk") <= _MMR_POOL)
-        .select("question_id", "doc_id")
-    )
-    ann_pool = mmr_ann_pool_candidates(spark, sf_dir).select(
+    ann_pool = mmr_ann_pool_pairs(spark, sf_dir).select(
         "question_id", "doc_id"
     )
     ne = exact_pool.groupBy("question_id").agg(F.count("*").alias("n_exact"))
@@ -1916,31 +1919,11 @@ def q_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition-order independent; rank ties break on doc_id."""
     import math
 
-    from ..api import ensure_vector_index
-    from ..functions.embed import dot, embed_df
     from ..functions.hashing import MULT, P, tokens
-    from .questions import GOLDEN_QUESTIONS, questions_df
+    from .questions import GOLDEN_QUESTIONS
 
-    dv = spark.read.parquet(ensure_vector_index(spark, sf_dir)).select(
-        "doc_id", F.col("dv").alias("doc_v")
-    )
-    qv = F.broadcast(
-        embed_df(questions_df(spark), "question_text", out_col="q_v").select(
-            "question_id", "q_v"
-        )
-    )
-    pool_w = Window.partitionBy("question_id").orderBy(
-        F.desc("cos_sim"), F.asc("doc_id")
-    )
     pool = (
-        dv.crossJoin(qv)
-        .select(
-            "question_id",
-            "doc_id",
-            F.round(dot(F.col("q_v"), F.col("doc_v")), 6).alias("cos_sim"),
-        )
-        .withColumn("rk", F.row_number().over(pool_w))
-        .filter(F.col("rk") <= _LI_POOL)
+        exact_pool_topn(spark, sf_dir, _LI_POOL)
         .select("question_id", "doc_id")
         .localCheckpoint(eager=False)  # consumed by 3 legs below
     )

@@ -93,7 +93,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # Unknown names fail loudly (a typo would silently burn a prefix slot).
 #
 # Round-10 prefix (r9 verdict "Next round" #2): rotation stays on ROW
-# AGE, oldest vintage first. Order: (1) the five new r10 registrations
+# AGE, oldest vintage first. Order: (1) the six new r10 registrations
 # plus every query whose IMPLEMENTATION changed this round (a changed
 # plan needs a fresh row regardless of vintage: the Arrow embed path,
 # the bounded vocab window, the single-batch stream drives, the

@@ -445,8 +445,12 @@ def pstream_classes():
             lo, hi = start["pos"], end["pos"]
             # Restart catch-up: never let the in-memory head cursor
             # report behind an offset Spark has already planned
-            # (latestOffset docstring).
-            self._pos = max(self._pos, hi)
+            # (latestOffset docstring). BOTH bounds clamp: after a
+            # clean commit (nothing to replay) the first planned range
+            # can be (committed_lo, fresh_hi) with fresh_hi <
+            # committed_lo — clamping on hi alone would still burn
+            # ceil(lo/batch) empty catch-up rounds (r10 review).
+            self._pos = max(self._pos, lo, hi)
             if hi <= lo:  # empty batch (restart races) — one no-op task
                 return [RangePartition(lo, lo)]
             step = -(-(hi - lo) // self.parts)  # ceil-split the range

@@ -438,16 +438,15 @@ def test_mmr_ann_pool_probes_bucketed_index_not_full_scan(spark):
     (BroadcastHashJoin, zero BNLJ — the exact variant's cross join
     shape), and the corpus-embed fold marker is absent."""
     from document_query_system_spark.operators.pipeline import (
-        mmr_ann_pool_candidates,
+        mmr_ann_pool_pairs,
     )
 
-    rep = plan_report(mmr_ann_pool_candidates(spark, SF_DIR))
+    rep = plan_report(mmr_ann_pool_pairs(spark, SF_DIR))
     locs = [s.get("location", "") for s in rep.scans]
-    # Every scan reads a stored index layout (the bucketed probe + the
-    # plain index supplying the ≤|q|·pool picked vectors) — never the
-    # documents table.
-    assert locs and all("vector_index" in loc for loc in locs), locs
-    assert any("vector_index_lsh" in loc for loc in locs), locs
+    # The pairs builder reads ONLY the bucketed layout (the vector
+    # fetch for the greedy rounds lives in mmr_ann_pool_candidates,
+    # and the recall report skips it) — never the documents table.
+    assert locs and all("vector_index_lsh" in loc for loc in locs), locs
     assert "BroadcastHashJoin" in rep.raw
     assert rep.n_bnlj == 0  # exact variant's cross join must not appear
     assert _CORPUS_SPLIT not in rep.raw  # stored index, never re-embed

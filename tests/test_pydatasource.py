@@ -177,3 +177,15 @@ def test_pstream_restarted_reader_never_reports_behind_committed():
     nxt = restarted.latestOffset()
     assert nxt["pos"] >= committed["pos"], nxt
     assert nxt["pos"] <= _PSTREAM_MAX_ROWS
+    # Clean-commit restart (nothing to replay): the fresh reader's
+    # first latestOffset precedes any replay, so Spark plans
+    # (committed, fresh_hi) with fresh_hi BEHIND committed — the
+    # no-op-partition guard keeps it correct, and the clamp must
+    # take the committed START bound so the next head is at or past
+    # it (one catch-up call, not ceil(committed/batch) empty rounds).
+    r2 = Reader({"batch_rows": "100"})
+    first_head = r2.latestOffset()
+    assert first_head == {"pos": 100}
+    (noop,) = r2.partitions({"pos": 400}, first_head)
+    assert list(r2.read(noop)) == []
+    assert r2.latestOffset()["pos"] >= 400

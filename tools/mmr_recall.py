@@ -35,12 +35,20 @@ def report(spark, sf_dir: str) -> dict:
     overlaps = [
         len(ex[q] & an.get(q, set())) / len(ex[q]) for q in sorted(ex)
     ]
+    # Pool recall@20 comes from the registered (driver-checkable)
+    # report, so the tool and the oracle gate read the same numbers.
+    pr = [
+        r.pool_recall
+        for r in specs["q_mmr_pool_recall"].fn(spark, sf_dir).collect()
+    ]
     return {
         "sf_dir": sf_dir,
         "n_questions": len(ex),
         "mean_overlap": round(sum(overlaps) / len(overlaps), 3),
         "min_overlap": round(min(overlaps), 3),
         "per_question": [round(o, 2) for o in overlaps],
+        "mean_pool_recall": round(sum(pr) / len(pr), 3),
+        "min_pool_recall": round(min(pr), 3),
     }
 
 
