@@ -23,6 +23,8 @@ its own slice).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.datasource import (
@@ -419,7 +421,28 @@ def pstream_classes():
             self.batch = int(options.get("batch_rows", str(batch_default)))
             self.max_rows = int(options.get("max_rows", str(max_default)))
             self.parts = int(options.get("partitions", str(parts_default)))
-            self._pos = 0  # head-offset cursor (see latestOffset)
+            # Head-offset cursor (see latestOffset). With cursor_path
+            # set, the head is RECOVERABLE: a fresh reader resumes
+            # from the last persisted head instead of 0, so
+            # latestOffset never reports behind an offset a previous
+            # incarnation already planned (r10 ADVICE — a real
+            # queue/log wrapper gets this for free because the
+            # external system's head offset IS persistent; the
+            # synthetic feed must persist its own).
+            self._cursor_path = options.get("cursor_path") or None
+            self._pos = 0
+            if self._cursor_path and os.path.exists(self._cursor_path):
+                with open(self._cursor_path) as f:
+                    self._pos = int(f.read().strip() or 0)
+
+        def _persist_head(self):
+            if not self._cursor_path:
+                return
+            tmp = self._cursor_path + ".tmp"
+            os.makedirs(os.path.dirname(self._cursor_path), exist_ok=True)
+            with open(tmp, "w") as f:
+                f.write(str(self._pos))
+            os.replace(tmp, self._cursor_path)
 
         def initialOffset(self):
             return {"pos": 0}
@@ -427,18 +450,25 @@ def pstream_classes():
         def latestOffset(self):
             # A real wrapper asks the external system for its head
             # offset; this synthetic feed "arrives" one batch per
-            # micro-batch, capped at the fixpoint. NOTE (r9 ADVICE):
-            # the cursor is IN-MEMORY, not recovered from the
-            # streaming checkpoint — after a restart a fresh reader
-            # starts at _pos=0 and would briefly report a head BEHIND
-            # the committed offset. partitions() below therefore
-            # clamps the cursor forward to every offset range Spark
-            # hands it (Spark replays committed ranges through
-            # partitions(start, end) first), so a restarted reader
-            # catches up in one call instead of burning empty
-            # micro-batches; the hi<=lo no-op-partition guard keeps
-            # any remaining race correct.
+            # micro-batch, capped at the fixpoint. The head is
+            # persisted BEFORE the batch runs (a died-then-restarted
+            # stream replays the uncommitted range via
+            # partitions(start, end) from Spark's own offset WAL; the
+            # feed is range-replayable, so nothing is lost or
+            # duplicated). WITHOUT cursor_path the cursor is
+            # in-memory only, and a restart from a CLEANLY COMMITTED
+            # checkpoint mid-feed double-reads: the fresh reader's
+            # first latestOffset() (called before any partitions()
+            # replay) reports a head behind the committed offset,
+            # Spark commits that regressed end, and the next batch
+            # re-reads [regressed_end, committed) into the stateful
+            # aggregate. The partitions() forward-clamp below narrows
+            # the window to that one regressed commit but cannot
+            # close it — only a persistent head (cursor_path, or a
+            # real external system) can, which is why the option
+            # exists.
             self._pos = min(self._pos + self.batch, self.max_rows)
+            self._persist_head()
             return {"pos": self._pos}
 
         def partitions(self, start, end):

@@ -57,14 +57,18 @@ def dir_tag(sf_dir: str) -> str:
     and embedding a deeply nested absolute path yields identifiers
     long enough to hit catalog/metastore name-length limits (Hive's
     default column/table cap is 128-767 chars depending on the
-    metastore backend)."""
+    metastore backend). Because the capped prefix no longer
+    disambiguates, the suffix is 16 hex chars (64 bits): birthday
+    collision odds for n same-tail corpora are ~n²/2^65 instead of
+    the ~n²/2^33 an 8-char suffix gave (r10 ADVICE); total identifier
+    stays ≤ 65 chars, far under any metastore cap."""
     import hashlib
     import re
 
     norm = sf_dir.rstrip("/")
     tail = "/".join(norm.strip("/").split("/")[-2:])
     base = re.sub(r"[^A-Za-z0-9_.]", "_", tail)[:48]
-    return f"{base}_{hashlib.sha1(norm.encode()).hexdigest()[:8]}"
+    return f"{base}_{hashlib.sha1(norm.encode()).hexdigest()[:16]}"
 
 
 def session_key(spark, *extra: str) -> tuple:

@@ -80,6 +80,26 @@ def test_vocab_coverage_rank_window_is_bounded(spark):
     raw aggregate."""
     rep = _plan(spark, "q_vocab_coverage")
     assert "TakeOrderedAndProject" in rep.raw, "top-cut must be a heap take"
+    # Structural pin (r10 ADVICE): "a TakeOrderedAndProject exists
+    # somewhere" would still pass if the rank Window re-ranked the
+    # full aggregate while some other subtree planned a take. Walk
+    # the tree section: the Window node's input chain must reach a
+    # TakeOrderedAndProject through at most bookkeeping nodes
+    # (Sort/Exchange/Project) — never a full-width aggregate or scan.
+    tree = rep.raw.split("\n\n")[0].splitlines()
+    win_at = [i for i, ln in enumerate(tree) if "Window (" in ln]
+    assert win_at, "rank Window missing from the plan tree"
+    for i in win_at:
+        ok = False
+        for ln in tree[i + 1 :]:
+            if "TakeOrderedAndProject" in ln:
+                ok = True
+                break
+            if not any(
+                node in ln for node in ("Sort (", "Exchange (", "Project (")
+            ):
+                break  # hit a real operator first — unbounded input
+        assert ok, "rank Window input is not the bounded top-cut take"
 
 
 def test_bucketed_join_has_no_join_exchange(spark):

@@ -189,3 +189,38 @@ def test_pstream_restarted_reader_never_reports_behind_committed():
     (noop,) = r2.partitions({"pos": 400}, first_head)
     assert list(r2.read(noop)) == []
     assert r2.latestOffset()["pos"] >= 400
+
+
+def test_pstream_cursor_path_makes_head_monotonic_across_restart(tmp_path):
+    """With cursor_path set, the head cursor is PERSISTENT (r10
+    ADVICE): a fresh reader after a cleanly committed checkpoint
+    resumes from the persisted head, so its very first latestOffset()
+    — called before any partitions() replay — is already at or past
+    the committed offset. Without it, that first call reports behind
+    the commit, Spark records the regressed batch end, and the next
+    batch re-reads [regressed_end, committed) (the documented
+    in-memory-cursor limitation)."""
+    from document_query_system_spark.sources.pydatasource import (
+        pstream_classes,
+    )
+
+    Reader, _ = pstream_classes()
+    cursor = str(tmp_path / "deep" / "feed.cursor")
+    opts = {"batch_rows": "100", "max_rows": "600", "cursor_path": cursor}
+    r1 = Reader(opts)
+    committed = None
+    for _ in range(4):  # 4 clean batches → committed head 400
+        committed = r1.latestOffset()
+    assert committed == {"pos": 400}
+    # Clean-commit restart: a brand-new reader (fresh process in real
+    # deployments) with the same options.
+    r2 = Reader(opts)
+    first_head = r2.latestOffset()
+    assert first_head["pos"] >= committed["pos"], first_head
+    # ... and it still advances toward the fixpoint, capped at max.
+    assert r2.latestOffset()["pos"] == 600
+    assert r2.latestOffset()["pos"] == 600
+    # Without cursor_path the same restart regresses (the documented
+    # double-read window this option exists to close).
+    r3 = Reader({"batch_rows": "100", "max_rows": "600"})
+    assert r3.latestOffset()["pos"] < committed["pos"]
