@@ -159,6 +159,81 @@ def _hash_embed_py(text: str) -> list[float]:
     return [round(c / norm, 6) for c in counts]
 
 
+# Per-process token→bucket memo for the batch kernel: corpus vocab is
+# Zipfian, so the char-fold hash — the dominant cost of the per-row
+# embedder — is computed once per TYPE instead of once per token
+# occurrence. Bounded: cleared when it would exceed _TOKEN_CACHE_MAX
+# entries (a 100 TB corpus's open vocabulary would otherwise grow the
+# worker's heap without limit; clearing only costs re-hashing).
+_TOKEN_CACHE_MAX = 1 << 20
+_TOKEN_BUCKETS: dict[str, int] = {}
+
+
+def _hash_embed_batch(texts) -> list[list[float]]:
+    """Batch twin of _hash_embed_py over an iterable of strings —
+    bit-identical by construction, vectorized where it matters
+    (r10 verdict #4; the hash embedder stands in for a real encoder,
+    so its throughput IS the B1 index-build number):
+
+    - token→bucket via the memo above (same integer char fold on a
+      miss — the arithmetic never changes, only how often it runs);
+    - bucket histograms for the WHOLE batch in one np.bincount over
+      row-offset bucket ids;
+    - norms as exact int64 sum-of-squares (no float accumulation
+      order to diverge) → np.sqrt, the same correctly-rounded IEEE
+      sqrt as Python's ** 0.5;
+    - decimal rounding: np.round's scale/rint/unscale can differ from
+      Python's correctly-rounded round() in the last ulp, so round()
+      runs on the batch's UNIQUE quotients (np.unique) and the
+      results scatter back — bit-identical to the per-row path at a
+      small fraction of the calls (distinct (count, norm) pairs per
+      batch ≪ nonzero cells). Parity is pinned corpus-wide and on
+      adversarial inputs by tests/test_fold_parity.py."""
+    import numpy as np
+
+    texts = list(texts)
+    n = len(texts)
+    if n == 0:
+        return []
+    cache = _TOKEN_BUCKETS
+    row_ids: list[int] = []
+    buckets: list[int] = []
+    for i, text in enumerate(texts):
+        for tok in text.split(" "):
+            if not tok:
+                continue
+            b = cache.get(tok)
+            if b is None:
+                if len(cache) >= _TOKEN_CACHE_MAX:
+                    cache.clear()
+                h = 0
+                for ch in tok:
+                    h = (h * MULT + ord(ch)) % P
+                b = h % DIM
+                cache[tok] = b
+            row_ids.append(i)
+            buckets.append(b)
+    counts = np.zeros((n, DIM), dtype=np.int64)
+    if buckets:
+        rid = np.asarray(row_ids, dtype=np.int64)
+        bk = np.asarray(buckets, dtype=np.int64)
+        counts = np.bincount(rid * DIM + bk, minlength=n * DIM).reshape(
+            n, DIM
+        )
+    sumsq = (counts * counts).sum(axis=1)  # int64: exact, order-free
+    norms = np.sqrt(sumsq.astype(np.float64))
+    out = np.zeros((n, DIM), dtype=np.float64)
+    rows, cols = counts.nonzero()
+    if rows.size:
+        q = counts[rows, cols] / norms[rows]  # IEEE divide == Python /
+        uq, inv = np.unique(q, return_inverse=True)
+        ur = np.fromiter(
+            (round(float(x), 6) for x in uq), dtype=np.float64, count=uq.size
+        )
+        out[rows, cols] = ur[inv]
+    return out.tolist()
+
+
 def embed_pandas(
     df: DataFrame,
     text_col: str = "text",
@@ -175,7 +250,11 @@ def embed_pandas(
     (q_golden_vector_search's document leg, api.ensure_vector_index,
     the B1 index-build bench). Measured at the B1 workload (100k docs,
     sf0.1 × 20 replicas, local[32]): 77k docs/s vs 4k docs/s for the
-    embed_df SQL fold — 19×. The SQL fold produces NO whole-stage
+    embed_df SQL fold — 19×. The kernel itself is the batched
+    _hash_embed_batch (r10 verdict #4): token-memoized hashing + one
+    bincount per Arrow batch + unique-quotient rounding, measured
+    3.3× the per-row map at the sf0.1 text profile, bit-identical by
+    tests/test_fold_parity.py. The SQL fold produces NO whole-stage
     codegen unit at all (probed r10: higher-order functions are
     CodegenFallback, so Spark excludes the embed Projects from every
     WholeStageCodegen span) and therefore runs on the interpreted
@@ -209,7 +288,7 @@ def embed_pandas(
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             out = pdf[cols].copy()
-            out[out_col] = pdf[text_col].map(_hash_embed_py)
+            out[out_col] = _hash_embed_batch(pdf[text_col])
             yield out
 
     return df.mapInPandas(gen, schema=f"{schema}, {out_col} array<double>")

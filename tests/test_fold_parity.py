@@ -92,3 +92,54 @@ def test_mmr_literal_buckets_match_spark_bucket_expr(spark):
                     b0 += 2 ** (N_PLANES - 1 - i)
             py_buckets.append(b0)
         assert py_buckets == list(spark_buckets[qid]), qid
+
+
+def test_hash_embed_batch_matches_per_row_twin_corpus_wide():
+    """_hash_embed_batch (the vectorized Arrow kernel, r10 verdict #4)
+    must be BIT-identical to _hash_embed_py on every document of the
+    sf0.01 corpus — the kernel's np.unique+round() scatter exists
+    precisely so decimal rounding is the same correctly-rounded
+    Python round() the per-row twin uses, never np.round's
+    scale/rint/unscale approximation."""
+    import pyarrow.parquet as pq
+
+    from document_query_system_spark.functions.embed import (
+        _hash_embed_batch,
+        _hash_embed_py,
+    )
+
+    texts = (
+        pq.read_table("/root/testdata/sf0.01/documents.parquet", columns=["text"])
+        .column("text")
+        .to_pylist()
+    )
+    got = _hash_embed_batch(texts)
+    assert len(got) == len(texts)
+    for t, g in zip(texts, got):
+        assert g == _hash_embed_py(t), t[:80]
+
+
+def test_hash_embed_batch_matches_per_row_twin_adversarial():
+    """Same pin over inputs the corpus may not exercise: empty text,
+    whitespace runs, single repeated token (count == sqrt pressure),
+    non-ASCII, and random token soup — plus cache-reuse across calls
+    (the token memo must never change a result, only its cost)."""
+    import random
+
+    from document_query_system_spark.functions.embed import (
+        _hash_embed_batch,
+        _hash_embed_py,
+    )
+
+    rng = random.Random(11)
+    vocab = ["alpha", "bê:ta", "γάμμα", "日本語", "x", "-", "word" * 30]
+    cases = ["", " ", "   ", "a", "a a a a a a a a", "日本語 日本語 ñ"]
+    cases += [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 200)))
+        for _ in range(300)
+    ]
+    for got, t in zip(_hash_embed_batch(cases), cases):
+        assert got == _hash_embed_py(t), t[:80]
+    # Second call: every token now hits the memo — results identical.
+    for got, t in zip(_hash_embed_batch(cases), cases):
+        assert got == _hash_embed_py(t), t[:80]
