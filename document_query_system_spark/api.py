@@ -128,6 +128,73 @@ def ensure_vector_index_lsh(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+_VECTOR_IVF_READY: set[tuple] = set()
+
+#: IVF geometry for the documents corpus. 16 cells at the demo scale
+#: keeps cells big enough that a 20-candidate pool survives nprobe=5
+#: at sf0.001 while the probe still prunes ~11/16 of the index; at
+#: 100 TB both knobs grow with the corpus (cells ~ sqrt(N), nprobe by
+#: the recall bar) without changing any plan shape below.
+IVF_CELLS = 16
+IVF_NPROBE = 5
+
+
+def ensure_vector_index_ivf(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """k-means-trained IVF layout of the stored document vector index
+    (r10 verdict #2): the engine's own deterministic Lloyd trainer
+    (operators/clustering.kmeans_fit_assign — the same 2-round seeded
+    pass q_cluster_kmeans runs on the embeddings table) learns
+    IVF_CELLS coarse centroids from the document hash-embeds, and the
+    index is rewritten ``partitionBy(cell)`` — one directory per
+    Voronoi cell. Returns (layout_path, centroids_path); the
+    centroids are stored next to the layout because every probe ranks
+    them to pick its nprobe cells (K rows — the bounded "index
+    metadata" a real IVF serving node keeps in memory).
+
+    vs the sign-LSH layout (ensure_vector_index_lsh): LSH needs no
+    training and replicates the index N_TABLES×; IVF stores each
+    vector ONCE and adapts its partitions to the corpus's actual
+    density at the cost of a training pass. Same serving shape either
+    way: literal probe keys → static partition pruning → bounded
+    candidate pool (q_mmr_ivf_pool). Trained ONCE per (session,
+    sf_dir); a production deployment retrains on drift and rewrites —
+    the delta path is the q_incremental_lsh pattern with cell in
+    place of (tbl, bucket)."""
+    from .functions.embed import dot as vdot
+    from .operators.clustering import kmeans_fit_assign
+
+    tag = dir_tag(sf_dir)
+    path = tmp_path("vector_index_ivf", tag)
+    cents_path = tmp_path("vector_index_ivf_cents", tag)
+    key = session_key(spark, sf_dir)
+    if key not in _VECTOR_IVF_READY:
+        idx = spark.read.parquet(ensure_vector_index(spark, sf_dir))
+        vx = idx.select(
+            F.col("doc_id").alias("vec_id"), F.col("dv").alias("x")
+        ).withColumn("xx", vdot(F.col("x"), F.col("x")))
+        assigned, cents = kmeans_fit_assign(spark, vx, IVF_CELLS)
+        spark.createDataFrame(
+            [(int(cid), [float(v) for v in cv], float(cc)) for cid, cv, cc in cents],
+            "cid LONG, cv ARRAY<DOUBLE>, cc DOUBLE",
+        ).write.mode("overwrite").parquet(cents_path)
+        (
+            assigned.select(
+                F.col("vec_id").alias("doc_id"),
+                F.col("x").alias("dv"),
+                F.col("cid").alias("cell"),
+            )
+            # Cluster rows by their target directory before the
+            # partitioned write (the LSH-layout lesson: without this
+            # every task writes a sliver into every cell dir).
+            .repartition("cell")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(path)
+        )
+        _VECTOR_IVF_READY.add(key)
+    return path, cents_path
+
+
 _BM25_INDEX_READY: set[tuple] = set()
 
 

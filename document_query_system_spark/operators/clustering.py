@@ -115,13 +115,24 @@ def _assign(vx: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-def _kmeans_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared 2-round Lloyd pass: seed → assign → update → assign."""
-    vx = _vx(spark, sf_dir)
+def kmeans_fit_assign(
+    spark: SparkSession, vx: DataFrame, k: int
+) -> tuple[DataFrame, list]:
+    """Deterministic 2-round Lloyd pass over ``vx(vec_id, x, xx)``:
+    seed (md5-order, first k) → assign → update → assign. Returns the
+    final assignment DataFrame (vec_id, x, xx, d2, cid) AND the
+    trained centroid rows [(cid, cv, cc), ...] — the coarse-quantizer
+    training shared by q_cluster_kmeans (embeddings table, k=8) and
+    the documents-corpus IVF serving layout
+    (api.ensure_vector_index_ivf, r10 verdict #2). Both collects are
+    bounded (k rows of DIM doubles); every float that influences
+    downstream comparisons is rounded to 6 inside the plan (seeded
+    values are raw inputs; updated centroids are round(avg, 6)), the
+    convention that keeps the DuckDB oracle bit-identical."""
     seeds = [
         (r["cid"], r["cv"], r["cc"])
         for r in vx.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-        .limit(K_CLUSTERS)
+        .limit(k)
         .select(
             F.col("vec_id").alias("cid"), F.col("x").alias("cv"), F.col("xx").alias("cc")
         )
@@ -141,15 +152,31 @@ def _kmeans_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cc", dot(F.col("cv"), F.col("cv")))
     )
     cents = [(r["cid"], r["cv"], r["cc"]) for r in upd.collect()]
-    return _assign(vx, _cents_df(spark, cents))
+    return _assign(vx, _cents_df(spark, cents)), cents
 
 
-def _sql_rounds() -> str:
-    """Shared oracle CTE chain mirroring _kmeans_assigned. DuckDB
-    arrays are 1-indexed; dims only need to agree within the oracle
+def _kmeans_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared 2-round Lloyd pass: seed → assign → update → assign."""
+    assigned, _ = kmeans_fit_assign(spark, _vx(spark, sf_dir), K_CLUSTERS)
+    return assigned
+
+
+def kmeans_sql_rounds(vx_body: str, k: int) -> str:
+    """Oracle CTE chain mirroring kmeans_fit_assign over any
+    ``vx(vec_id, x, xx)`` source — ``vx_body`` is the SELECT body of
+    the vx CTE. Emits CTEs seeds, a1, c1, a2 (a2 = final assignment,
+    c1 = the trained centroids a probe ranks against). DuckDB arrays
+    are 1-indexed; dims only need to agree within the oracle
     (centroids are rebuilt ordered by dim), so 1..DIM vs posexplode's
-    0..DIM-1 is immaterial."""
+    0..DIM-1 is immaterial. NOTE: returns text starting with
+    ``WITH`` — callers with their own leading CTEs append these as
+    continuation CTEs via kmeans_sql_rounds_ctes."""
+    return f"""
+WITH {kmeans_sql_rounds_ctes(vx_body, k)}
+"""
 
+
+def kmeans_sql_rounds_ctes(vx_body: str, k: int) -> str:
     def assign(prev: str, rnd: int) -> str:
         d2 = f"round(v.xx - 2*list_dot_product(v.x, c.cv) + c.cc, 6)"
         return f"""a{rnd} AS (
@@ -160,15 +187,10 @@ def _sql_rounds() -> str:
   WHERE rn = 1
 )"""
 
-    return f"""
-WITH vx AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x,
-         list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS xx
-  FROM embeddings
-),
+    return f"""vx AS ({vx_body}),
 seeds AS (
   SELECT vec_id AS cid, x AS cv, xx AS cc
-  FROM vx ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {K_CLUSTERS}
+  FROM vx ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k}
 ),
 {assign('seeds', 1)},
 c1 AS (
@@ -180,8 +202,19 @@ c1 AS (
     GROUP BY a.cid, d.i)
   GROUP BY cid
 ),
-{assign('c1', 2)}
+{assign('c1', 2)}"""
+
+
+_EMB_VX_BODY = """
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x,
+         list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS xx
+  FROM embeddings
 """
+
+
+def _sql_rounds() -> str:
+    """The embeddings-table instance (q_cluster_kmeans / SemDeDup)."""
+    return kmeans_sql_rounds(_EMB_VX_BODY, K_CLUSTERS)
 
 
 _KMEANS_SQL = (

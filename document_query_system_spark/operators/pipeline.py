@@ -1648,6 +1648,199 @@ def mmr_ann_pool_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------- IVF-served MMR (trained quantizer)
+
+_IVF_PROBE_CACHE: dict[tuple, tuple] = {}
+
+
+def _ivf_probe_literals(spark: SparkSession, sf_dir: str) -> tuple[list, list]:
+    """(qb_rows, probe_cells) for the IVF probe: each golden question's
+    IVF_NPROBE nearest trained cells, folded to PLAN-TIME literals so
+    the layout scan gets static PartitionFilters (the
+    mmr_ann_pool_pairs pattern). Unlike the LSH fold — whose plane
+    signs replicate in pure Python — the cell ranking depends on
+    TRAINED centroid doubles, so the fold runs as a bounded Spark
+    mini-job over |q|×IVF_CELLS rows using the exact engine
+    expressions the oracle mirrors (embed_df question vectors,
+    round(d2, 6) ranking, cid tiebreak): no third arithmetic
+    implementation to keep in parity. Collect is ≤ |q|·nprobe rows of
+    DIM doubles; memoized per (session, sf_dir) like the index
+    builds."""
+    from ..api import IVF_NPROBE, ensure_vector_index_ivf
+    from ..functions.embed import dot, embed_df
+    from ..sources.tmputil import session_key
+    from .questions import questions_df
+
+    key = session_key(spark, "ivf_probe", sf_dir)
+    if key in _IVF_PROBE_CACHE:
+        return _IVF_PROBE_CACHE[key]
+    _, cents_path = ensure_vector_index_ivf(spark, sf_dir)
+    cents = spark.read.parquet(cents_path)
+    qx = embed_df(questions_df(spark), "question_text", out_col="q_v").select(
+        "question_id", "q_v", dot(F.col("q_v"), F.col("q_v")).alias("qq")
+    )
+    d2 = F.round(
+        F.col("qq") - 2 * dot(F.col("q_v"), F.col("cv")) + F.col("cc"), 6
+    )
+    w = Window.partitionBy("question_id").orderBy("d2", "cid")
+    rows = (
+        qx.crossJoin(F.broadcast(cents))
+        .select("question_id", "q_v", "cid", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= IVF_NPROBE)
+        .select("question_id", "q_v", "cid")
+        .collect()
+    )
+    qb_rows = [
+        (int(r.question_id), [float(x) for x in r.q_v], int(r.cid))
+        for r in rows
+    ]
+    out = (qb_rows, sorted({c for _, _, c in qb_rows}))
+    _IVF_PROBE_CACHE[key] = out
+    return out
+
+
+def mmr_ivf_pool_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF-served MMR candidate pool — (question_id, doc_id, rel),
+    no vectors: literal probe cells prune the cell-partitioned stored
+    layout (static PartitionFilters — the scan lists ≤ the probed
+    union of nprobe·|q| of IVF_CELLS directories), broadcast question
+    rows score only collisions, and a per-question window takes the
+    top-{pool}. A document lives in exactly ONE cell, so — unlike the
+    LSH probe — a (question, doc) pair cannot collide twice and needs
+    no dedup aggregate. Candidate volume per question ≈
+    nprobe·N/cells vs the LSH probe's tables·flips·N/2^planes."""
+    from ..api import ensure_vector_index_ivf
+    from ..functions.embed import dot
+
+    layout, _ = ensure_vector_index_ivf(spark, sf_dir)
+    qb_rows, probe_cells = _ivf_probe_literals(spark, sf_dir)
+    db = spark.read.parquet(layout).select(
+        "doc_id", F.col("dv").alias("v"), "cell"
+    )
+    # Literal cell filter → static PartitionFilters; the join below
+    # re-checks the cells row-wise, so this is pure pruning.
+    db = db.filter(F.col("cell").isin(*probe_cells))
+    qb = F.broadcast(
+        spark.createDataFrame(
+            qb_rows, "question_id LONG, q_v ARRAY<DOUBLE>, qcell LONG"
+        )
+    )
+    hits = db.join(qb, F.col("cell") == F.col("qcell")).select(
+        "question_id",
+        "doc_id",
+        F.round(dot(F.col("q_v"), F.col("v")), 6).alias("rel"),
+    )
+    pool_w = Window.partitionBy("question_id").orderBy(
+        F.desc("rel"), F.asc("doc_id")
+    )
+    return (
+        hits.withColumn("rk", F.row_number().over(pool_w))
+        .filter(F.col("rk") <= _MMR_POOL)
+        .drop("rk")
+    )
+
+
+def mmr_ivf_pool_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mmr_ivf_pool_pairs with the pool VECTORS attached for the
+    greedy rounds — fetched by broadcasting the ≤|q|·pool picks
+    against the plain stored index, never dragged through the pool
+    window's sort exchange (the r10 LSH lesson: vector bytes ×
+    candidate volume through an exchange is the avoidable cost)."""
+    from ..api import ensure_vector_index
+
+    top = mmr_ivf_pool_pairs(spark, sf_dir)
+    dv = spark.read.parquet(ensure_vector_index(spark, sf_dir)).select(
+        "doc_id", F.col("dv").alias("v")
+    )
+    return dv.join(F.broadcast(top), "doc_id").select(
+        "question_id", "doc_id", "rel", "v"
+    )
+
+
+def _ivf_leg_ctes() -> str:
+    """Oracle CTEs for the IVF leg, given qv(question_id, v) and
+    dv(doc_id, v) CTEs in scope: k-means training (vx, seeds, a1, c1,
+    a2 — operators/clustering.kmeans_sql_rounds_ctes, the exact
+    q_cluster_kmeans arithmetic), per-question nprobe cell choice
+    (qprobe), and the bounded scored pool (ivf_hits)."""
+    from ..api import IVF_CELLS, IVF_NPROBE
+    from .clustering import kmeans_sql_rounds_ctes
+
+    vx_body = """
+  SELECT doc_id AS vec_id, v AS x, list_dot_product(v, v) AS xx FROM dv
+"""
+    d2 = "round(q.qq - 2*list_dot_product(q.v, c.cv) + c.cc, 6)"
+    return f"""{kmeans_sql_rounds_ctes(vx_body, IVF_CELLS)},
+qx AS (SELECT question_id, v, list_dot_product(v, v) AS qq FROM qv),
+qprobe AS (
+  SELECT question_id, cid FROM (
+    SELECT q.question_id, c.cid,
+           row_number() OVER (PARTITION BY q.question_id
+                              ORDER BY {d2}, c.cid) AS rn
+    FROM qx q CROSS JOIN c1 c)
+  WHERE rn <= {IVF_NPROBE}
+),
+ivf_hits AS (
+  SELECT p.question_id, a.vec_id AS doc_id,
+         round(list_dot_product(qv.v, a.x), 6) AS rel, a.x AS v
+  FROM qprobe p
+  JOIN a2 a ON a.cid = p.cid
+  JOIN qv ON qv.question_id = p.question_id
+)"""
+
+
+def _mmr_ivf_oracle() -> str:
+    from ..functions.embed import embed_subquery_sql
+    from .questions import question_values_sql
+
+    qv = embed_subquery_sql("questions", "question_id", "question_text")
+    dv = embed_subquery_sql("documents", "doc_id", "text")
+    prefix = f"""
+WITH {question_values_sql()},
+qv AS (SELECT id AS question_id, embedding AS v FROM {qv}),
+dv AS (SELECT id AS doc_id, embedding AS v FROM {dv}),
+{_ivf_leg_ctes()},
+cand AS (
+  SELECT question_id, doc_id, rel, v FROM (
+    SELECT *, row_number() OVER (PARTITION BY question_id
+                                 ORDER BY rel DESC, doc_id) AS rk
+    FROM ivf_hits)
+  WHERE rk <= {_MMR_POOL}
+)"""
+    return _mmr_round_ctes(prefix)
+
+
+@register("q_mmr_ivf_pool", oracle=_mmr_ivf_oracle())
+def q_mmr_ivf_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_mmr_ann_pool with the candidate pool served by a
+    k-means-TRAINED IVF layout instead of sign-LSH (r10 verdict #2 —
+    the LSH variant's docstring conceded the documents corpus had no
+    trained coarse quantizer; the engine's own deterministic Lloyd
+    trainer now provides one). Reference analog: the stored-index
+    probe lifecycle of pinecone_manager.py:61-103, with the quantizer
+    trained from the corpus itself.
+
+    Plan: ensure_vector_index_ivf trains IVF_CELLS centroids with the
+    q_cluster_kmeans arithmetic and rewrites the stored index
+    partitionBy(cell); the probe folds each question's IVF_NPROBE
+    nearest cells into plan-time literals via a bounded engine
+    mini-job (_ivf_probe_literals), so the scan carries static
+    PartitionFilters exactly like the LSH variant; exact cosine
+    re-rank runs only inside the ≤ nprobe·N/cells candidate set; the
+    SAME greedy rounds (_mmr_greedy_rounds) finish the composition.
+    vs LSH: one stored copy instead of N_TABLES, corpus-adaptive
+    cells, one fewer dedup aggregate (a doc has exactly one cell);
+    the trade is the training pass and recall that depends on how
+    clustered the corpus is — q_mmr_pool_recall reports both pools'
+    recall side by side, the driver-checkable comparison the r10
+    verdict asked for."""
+    cand = mmr_ivf_pool_candidates(spark, sf_dir).localCheckpoint(
+        eager=False  # all k rounds re-read the pool
+    )
+    return _mmr_greedy_rounds(cand)
+
+
 def _mmr_pool_recall_oracle() -> str:
     from ..functions.embed import embed_subquery_sql
     from .questions import question_values_sql
@@ -1695,6 +1888,15 @@ ann_pool AS (
     FROM pairs)
   WHERE rk <= {_MMR_POOL}
 ),
+{_ivf_leg_ctes()},
+ivf_pool AS (
+  SELECT question_id, doc_id FROM (
+    SELECT question_id, doc_id,
+           row_number() OVER (PARTITION BY question_id
+                              ORDER BY rel DESC, doc_id) AS rk
+    FROM ivf_hits)
+  WHERE rk <= {_MMR_POOL}
+),
 ne AS (SELECT question_id, count(*) AS n_exact FROM exact_pool GROUP BY question_id),
 na AS (SELECT question_id, count(*) AS n_ann FROM ann_pool GROUP BY question_id),
 nc AS (
@@ -1702,35 +1904,51 @@ nc AS (
   FROM exact_pool e JOIN ann_pool a
     ON a.question_id = e.question_id AND a.doc_id = e.doc_id
   GROUP BY e.question_id
+),
+ni AS (SELECT question_id, count(*) AS n_ivf FROM ivf_pool GROUP BY question_id),
+nci AS (
+  SELECT e.question_id, count(*) AS n_common_ivf
+  FROM exact_pool e JOIN ivf_pool i
+    ON i.question_id = e.question_id AND i.doc_id = e.doc_id
+  GROUP BY e.question_id
 )
 SELECT ne.question_id,
        CAST(ne.n_exact AS BIGINT) AS n_exact,
        CAST(coalesce(na.n_ann, 0) AS BIGINT) AS n_ann,
        CAST(coalesce(nc.n_common, 0) AS BIGINT) AS n_common,
-       round(coalesce(nc.n_common, 0) / ne.n_exact, 6) AS pool_recall
+       round(coalesce(nc.n_common, 0) / ne.n_exact, 6) AS pool_recall,
+       CAST(coalesce(ni.n_ivf, 0) AS BIGINT) AS n_ivf,
+       CAST(coalesce(nci.n_common_ivf, 0) AS BIGINT) AS n_common_ivf,
+       round(coalesce(nci.n_common_ivf, 0) / ne.n_exact, 6) AS pool_recall_ivf
 FROM ne LEFT JOIN na USING (question_id) LEFT JOIN nc USING (question_id)
+        LEFT JOIN ni USING (question_id) LEFT JOIN nci USING (question_id)
 """
 
 
 @register("q_mmr_pool_recall", oracle=_mmr_pool_recall_oracle())
 def q_mmr_pool_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pool recall@{pool} of the multiprobe-LSH candidate pool vs the
-    exact top-{pool} per golden question — the driver-checkable recall
-    report for the ANN-served MMR composition (the q_ann_recall analog
-    for q_mmr_ann_pool; tools/mmr_recall.py reports the downstream
-    SELECTION overlap). An eval op: the exact leg deliberately runs
-    the full-index probe, because it IS the ground truth being
-    compared against — the same exemption q_ann_recall carries.
+    """Pool recall@{pool} of BOTH ANN candidate pools — multiprobe-LSH
+    and the k-means-trained IVF layout (r11) — vs the exact top-{pool}
+    per golden question, side by side: the driver-checkable recall
+    report for the ANN-served MMR compositions (the q_ann_recall
+    analog for q_mmr_ann_pool / q_mmr_ivf_pool; tools/mmr_recall.py
+    reports the downstream SELECTION overlap). An eval op: the exact
+    leg deliberately runs the full-index probe, because it IS the
+    ground truth being compared against — the same exemption
+    q_ann_recall carries.
 
-    Plan: both pools are the proven bounded shapes (the shared
+    Plan: all three pools are the proven bounded shapes (the shared
     exact_pool_topn probe; bucket-pruned LSH probe + primitive
-    hash-agg dedup, WITHOUT the pool-vector fetch the MMR rounds need
-    — mmr_ann_pool_pairs); the comparison joins two
+    hash-agg dedup; cell-pruned IVF probe — each WITHOUT the
+    pool-vector fetch the MMR rounds need); the comparison joins
     ≤|questions|·pool row sets."""
     exact_pool = exact_pool_topn(spark, sf_dir, _MMR_POOL).select(
         "question_id", "doc_id"
     )
     ann_pool = mmr_ann_pool_pairs(spark, sf_dir).select(
+        "question_id", "doc_id"
+    )
+    ivf_pool = mmr_ivf_pool_pairs(spark, sf_dir).select(
         "question_id", "doc_id"
     )
     ne = exact_pool.groupBy("question_id").agg(F.count("*").alias("n_exact"))
@@ -1740,9 +1958,17 @@ def q_mmr_pool_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("question_id")
         .agg(F.count("*").alias("n_common"))
     )
+    ni = ivf_pool.groupBy("question_id").agg(F.count("*").alias("n_ivf"))
+    nci = (
+        exact_pool.join(ivf_pool, ["question_id", "doc_id"])
+        .groupBy("question_id")
+        .agg(F.count("*").alias("n_common_ivf"))
+    )
     return (
         ne.join(na, "question_id", "left")
         .join(nc, "question_id", "left")
+        .join(ni, "question_id", "left")
+        .join(nci, "question_id", "left")
         .select(
             "question_id",
             F.col("n_exact").cast("long").alias("n_exact"),
@@ -1753,6 +1979,15 @@ def q_mmr_pool_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.coalesce(F.col("n_common"), F.lit(0)) / F.col("n_exact"), 6
             ).alias("pool_recall"),
+            F.coalesce(F.col("n_ivf"), F.lit(0)).cast("long").alias("n_ivf"),
+            F.coalesce(F.col("n_common_ivf"), F.lit(0))
+            .cast("long")
+            .alias("n_common_ivf"),
+            F.round(
+                F.coalesce(F.col("n_common_ivf"), F.lit(0))
+                / F.col("n_exact"),
+                6,
+            ).alias("pool_recall_ivf"),
         )
     )
 

@@ -426,6 +426,7 @@ _RETRIEVAL_QUERIES = (
     "q_tfidf_topk",
     "q_mmr_diversify",
     "q_mmr_ann_pool",
+    "q_mmr_ivf_pool",
     "q_prf_expansion",
 )
 # Deliberately NOT pinned: q_golden_vector_search — it is the
@@ -480,6 +481,32 @@ def test_mmr_ann_pool_probes_bucketed_index_not_full_scan(spark):
         m
         for m in re.findall(r"PartitionFilters: \[([^\]]*)\]", rep.raw)
         if "bucket" in m
+    ]
+    assert pfs and any("INSET" in m or " IN " in m for m in pfs), pfs
+
+
+def test_mmr_ivf_pool_probes_cell_layout_not_full_scan(spark):
+    """The IVF-served MMR pool (r10 verdict #2) must come from the
+    STORED cell-partitioned layout probed by broadcast (question,
+    cell) keys — never a corpus embed or an exact full-index cross
+    join — with the literal probe cells reaching the scan as STATIC
+    PartitionFilters, exactly like the LSH variant's pin above."""
+    from document_query_system_spark.operators.pipeline import (
+        mmr_ivf_pool_pairs,
+    )
+
+    rep = plan_report(mmr_ivf_pool_pairs(spark, SF_DIR))
+    locs = [s.get("location", "") for s in rep.scans]
+    assert locs and all("vector_index_ivf" in loc for loc in locs), locs
+    assert "BroadcastHashJoin" in rep.raw
+    assert rep.n_bnlj == 0  # exact variant's cross join must not appear
+    assert _CORPUS_SPLIT not in rep.raw  # stored index, never re-embed
+    import re
+
+    pfs = [
+        m
+        for m in re.findall(r"PartitionFilters: \[([^\]]*)\]", rep.raw)
+        if "cell" in m
     ]
     assert pfs and any("INSET" in m or " IN " in m for m in pfs), pfs
 
