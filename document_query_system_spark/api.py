@@ -195,6 +195,50 @@ def ensure_vector_index_ivf(spark: SparkSession, sf_dir: str) -> tuple[str, str]
     return path, cents_path
 
 
+_EMB_IVF_READY: set[tuple] = set()
+
+
+def ensure_embeddings_index_ivf(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """IVF layout for the EMBEDDINGS table (vec_id, label, v),
+    trained with the same deterministic Lloyd pass as the documents
+    layout (ensure_vector_index_ivf) at the same IVF_CELLS geometry —
+    the stored serving layout the mining queries
+    (q_training_triplets_ann) pool from, replacing their full-table
+    scoring scan with a cell-pruned read. Labels ride the layout rows
+    because the consumers split candidates into positives/negatives
+    by label INSIDE the pool. Returns (layout_path, centroids_path);
+    built once per (session, sf_dir)."""
+    from .functions.embed import dot as vdot
+    from .operators.clustering import kmeans_fit_assign
+
+    tag = dir_tag(sf_dir)
+    path = tmp_path("emb_index_ivf", tag)
+    cents_path = tmp_path("emb_index_ivf_cents", tag)
+    key = session_key(spark, sf_dir)
+    if key not in _EMB_IVF_READY:
+        emb = load(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", F.col("embedding").cast("array<double>").alias("x")
+        )
+        vx = emb.select("vec_id", "x").withColumn(
+            "xx", vdot(F.col("x"), F.col("x"))
+        )
+        assigned, cents = kmeans_fit_assign(spark, vx, IVF_CELLS)
+        spark.createDataFrame(
+            [(int(cid), [float(v) for v in cv], float(cc)) for cid, cv, cc in cents],
+            "cid LONG, cv ARRAY<DOUBLE>, cc DOUBLE",
+        ).write.mode("overwrite").parquet(cents_path)
+        (
+            assigned.select("vec_id", F.col("x").alias("v"), F.col("cid").alias("cell"))
+            .join(emb.select("vec_id", "label"), "vec_id")
+            .repartition("cell")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(path)
+        )
+        _EMB_IVF_READY.add(key)
+    return path, cents_path
+
+
 _BM25_INDEX_READY: set[tuple] = set()
 
 

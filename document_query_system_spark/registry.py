@@ -92,73 +92,75 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # first (in listed order), then everything else in registration order.
 # Unknown names fail loudly (a typo would silently burn a prefix slot).
 #
-# Round-10 prefix (r9 verdict "Next round" #2): rotation stays on ROW
-# AGE, oldest vintage first. Order: (1) the six new r10 registrations
-# plus every query whose IMPLEMENTATION changed this round (a changed
-# plan needs a fresh row regardless of vintage: the Arrow embed path,
-# the bounded vocab window, the single-batch stream drives, the
-# refactored MMR rounds); (2) ALL 39 r5-vintage rows — the oldest in
-# the ledger (document-pipeline + streaming originals) — so the
-# oldest green row becomes r6; (3) backfill to 50 with the riskiest
-# r6 rows (timestamp intervals; float-score index probes; log-double
-# statistics — the value classes the r7 HUGEINT/date episodes bit).
+# Round-11 prefix (r10 verdict "Next round" #1): rotation stays on
+# ROW AGE, oldest vintage first. Order: (1) the two new r11
+# registrations (the trained-IVF MMR pool and the ANN-pooled triplet
+# export) plus q_mmr_pool_recall, whose schema CHANGED this round (it
+# now reports LSH and IVF pool recall side by side); (2) ALL 47
+# r6-vintage rows — the oldest in the ledger (dedup family, ANN
+# ladder, corpus-hygiene originals, sampling/scoring/session-3
+# batteries) — so the oldest green row becomes r7, exactly the r10
+# verdict bar. That fills all 50 slots. Implementations that changed
+# bit-identically this round deliberately do NOT take slots: the
+# vectorized Arrow embed kernel is parity-pinned to the per-row twin
+# over the full sf0.01 corpus (tests/test_fold_parity.py), and the
+# kmeans_fit_assign refactor leaves q_cluster_kmeans's plan and
+# oracle text byte-identical — burning r6-debt slots on proven-
+# identical outputs would miss the verdict's explicit "oldest green
+# row is r7" bar.
 _ROTATION_PREFIX: tuple[str, ...] = (
-    # --- new r10 registrations + r10-changed implementations ---
-    "q_mmr_ann_pool",  # NEW: MMR over the multiprobe-LSH stored pool
-    "q_late_interaction",  # NEW: ColBERT-style MaxSim re-rank
-    "q_mmr_pool_recall",  # NEW: driver-checkable ANN-pool recall report
-    "q_corpus_datacard",  # NEW: per-source datasheet aggregate
-    "q_incremental_lsh",  # NEW: delta-merge ≡ rebuild for the ANN layout
-    "q_training_triplets",  # NEW: contrastive triplet export
-    "q_golden_vector_search",  # corpus leg moved to the Arrow embedder
-    "q_mmr_diversify",  # greedy rounds refactored into shared helper
-    "q_vocab_coverage",  # rank window now bounded by a top-cut take
-    "q_stream_python_source",  # single-micro-batch drive
-    "q_stream_python_source_partitioned",  # single batch + restart clamp
-    # --- r5-vintage refresh (all 39: the oldest rows in the ledger) ---
-    "q_agg_distinct",
-    "q_agg_doc_stats",
-    "q_agg_index_stats",
-    "q_agg_rollup",
-    "q_agg_success_rate",
-    "q_answer_summary",
-    "q_binaryfile_scan",
-    "q_bucketed_join",
-    "q_delete_anti_join",
-    "q_extract_chunks",
-    "q_extract_real_containers",
-    "q_extract_sniff",
-    "q_extract_tables",
-    "q_extract_text",
-    "q_filter_isin",
-    "q_filter_length",
-    "q_filter_range",
-    "q_hybrid_rrf",
-    "q_incremental_index",
-    "q_join_broadcast",
-    "q_join_hash",
-    "q_join_left_nomatch",
-    "q_join_range",
-    "q_join_semi",
-    "q_join_sortmerge",
-    "q_mime_sniff",
-    "q_ocr_text",
-    "q_partition_pruned_read",
-    "q_project_truncate",
-    "q_retention_sweep",
-    "q_sliding_window_events",
-    "q_stream_dedup",
-    "q_stream_session",
-    "q_stream_stateful_counts",
-    "q_stream_stream_join",
-    "q_stream_tumbling",
-    "q_stream_upsert_foreachbatch",
-    "q_to_json",
-    "q_upsert_last_writer",
-    # --- no r6 backfill: the six new r10 registrations fill the
-    # --- remaining slots (new registrations MUST hold checked prefix
-    # --- slots, the r6-debt lesson; the r6-vintage value-rendering
-    # --- rows head the r11 rotation instead) ---
+    # --- new r11 registrations + r11-changed schemas ---
+    "q_mmr_ivf_pool",  # NEW: MMR over the k-means-trained IVF layout
+    "q_training_triplets_ann",  # NEW: triplet mining inside the ANN pool
+    "q_mmr_pool_recall",  # CHANGED: now reports LSH + IVF recall side by side
+    # --- r6-vintage refresh (all 47: the oldest rows in the ledger) ---
+    "q_ann_ivf",
+    "q_ann_ivfpq",
+    "q_ann_lsh",
+    "q_ann_multiprobe",
+    "q_ann_pq",
+    "q_ann_quantized",
+    "q_ann_recall",
+    "q_bloom_prefilter_join",
+    "q_bm25_topk",
+    "q_boilerplate_prefix",
+    "q_collocation_pmi",
+    "q_compact_roundtrip",
+    "q_contamination_ngram",
+    "q_dedup_clusters",
+    "q_dedup_embedding_cosine",
+    "q_dedup_embedding_lsh",
+    "q_dedup_incremental",
+    "q_dedup_keep_canonical",
+    "q_dedup_levenshtein",
+    "q_dedup_lines",
+    "q_dedup_minhash_pairs",
+    "q_dedup_minhash_sig",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_ngram_jaccard_capped",
+    "q_dedup_simhash",
+    "q_dedup_simhash_pairs",
+    "q_domain_mix",
+    "q_dup_span_frac",
+    "q_length_histogram",
+    "q_lm_perplexity",
+    "q_pii_redact",
+    "q_quality_classifier",
+    "q_quality_filter_chain",
+    "q_repetition_metrics",
+    "q_sample_hash",
+    "q_sample_per_stratum_topk",
+    "q_sample_quality_topfrac",
+    "q_sample_stratified",
+    "q_scd2_intervals",
+    "q_sequence_pack",
+    "q_split_assign",
+    "q_tfidf_topk",
+    "q_token_entropy",
+    "q_unpivot_source",
+    "q_url_normalize",
+    "q_zipf_slope",
+    "q_zorder_pruned_read",
 )
 
 

@@ -511,6 +511,31 @@ def test_mmr_ivf_pool_probes_cell_layout_not_full_scan(spark):
     assert pfs and any("INSET" in m or " IN " in m for m in pfs), pfs
 
 
+def test_triplet_ann_pool_probes_cell_layout_not_full_scan(spark):
+    """q_training_triplets_ann's mining pool must come from the
+    STORED embeddings IVF layout with static PartitionFilters on the
+    probed cells — never the full embeddings-table scoring scan the
+    exact variant runs (r10 verdict #3: "plan pin showing no
+    full-corpus scoring pass")."""
+    from document_query_system_spark.functions.vector import (
+        triplet_ann_pool,
+    )
+
+    rep = plan_report(triplet_ann_pool(spark, SF_DIR))
+    locs = [s.get("location", "") for s in rep.scans]
+    assert locs and all("emb_index_ivf" in loc for loc in locs), locs
+    assert "BroadcastHashJoin" in rep.raw
+    assert rep.n_bnlj == 0  # exact variant's cross join must not appear
+    import re
+
+    pfs = [
+        m
+        for m in re.findall(r"PartitionFilters: \[([^\]]*)\]", rep.raw)
+        if "cell" in m
+    ]
+    assert pfs and any("INSET" in m or " IN " in m for m in pfs), pfs
+
+
 def test_late_interaction_reads_only_pool_docs(spark):
     """The MaxSim re-ranker's corpus-table read must be gated by the
     pool keys: in the final plan (the first-pass probe sits behind the

@@ -55,6 +55,7 @@ HEAVY = [
     "q_temperature_mix",
     "q_hard_negatives",
     "q_training_triplets",
+    "q_training_triplets_ann",
     "q_ndcg_eval",
     "q_classifier_calibration",
     "q_heavy_hitters_cms",
@@ -62,6 +63,7 @@ HEAVY = [
     "q_proximity_search",
     "q_mmr_diversify",
     "q_mmr_ann_pool",
+    "q_mmr_ivf_pool",
     "q_late_interaction",
     "q_prf_expansion",
     "q_vocab_coverage",
