@@ -1504,13 +1504,15 @@ def q_mmr_ann_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-⨯-full-index probe (r9 verdict #5): the production
     serving shape, where the corpus-scale scan is replaced by a
     bucket-pruned read and the exact cosine + greedy MMR run only
-    inside the bounded candidate set. The tier is sign-LSH rather
-    than IVF because the documents corpus has no trained coarse
-    quantizer (the IVF/IVF-PQ tiers use the embeddings table's label
-    as their cell id); sign-LSH is the label-free deterministic
-    coarse quantizer, and its probe has the SAME bucket-pruned
-    equi-join shape as an IVF cell probe — swapping in trained
-    centroids changes the bucket expression, not the plan.
+    inside the bounded candidate set. sign-LSH is the training-free
+    tier: no learned state, the index is rebuildable from planes
+    alone, at the cost of N_TABLES stored copies. Its trained
+    counterpart is q_mmr_ivf_pool (r11 — the documents corpus now
+    HAS a k-means coarse quantizer via api.ensure_vector_index_ivf),
+    which stores one copy and adapts cells to corpus density; both
+    probes share the same literal-fold → static-partition-pruning →
+    bounded-pool plan shape, and q_mmr_pool_recall reports their
+    pool recall side by side.
 
     Plan: the STORED bucketed index (api.ensure_vector_index_lsh —
     partitionBy(tbl, bucket), 48 directories at the 3×4-bit config)

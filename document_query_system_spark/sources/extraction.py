@@ -27,7 +27,7 @@ extractors). This module re-expresses that on Spark:
 Payload construction is deterministic string concatenation, so sniff
 AND extraction outputs are DuckDB-oracle-verified by value.
 
-Real-codec seam status (re-probed round 10, unchanged): pypdf /
+Real-codec seam status (re-probed round 11, unchanged): pypdf /
 PyPDF2 / fitz / pdfplumber / python-docx / pytesseract / PIL (and
 sentence-transformers / nltk / torch for the embed seams) are ALL
 absent in this environment and installs are prohibited, so the

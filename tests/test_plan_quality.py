@@ -295,12 +295,14 @@ _SHUFFLE_BUDGET_EXEMPT = {
     # Composed eval harness (the q_dedup_tier_eval class): the exact
     # ground-truth pool (probe rank window) + the full LSH candidate
     # pipeline (bucket-join dedup agg + rank window + vector refetch)
-    # + three per-question count aggregates + the overlap and report
-    # joins. Both pools are individually pinned by their own queries
-    # (q_golden_vector_search's probe; q_mmr_ann_pool's 4-budget
-    # pool); everything the harness ADDS moves ≤|questions|·pool
+    # + — since r11 — the IVF candidate pipeline (cell-pruned probe +
+    # rank window ≈ 2) + five per-question count aggregates + the two
+    # overlap joins and the report join chain. All three pools are
+    # individually pinned by their own queries (q_golden_vector_
+    # search's probe; q_mmr_ann_pool's and q_mmr_ivf_pool's bounded
+    # pools); everything the harness ADDS moves ≤|questions|·pool
     # rows.
-    "q_mmr_pool_recall": 12,
+    "q_mmr_pool_recall": 17,
     # One k-core peel pass = two endpoint semi-joins of the (eagerly
     # checkpointed, strictly shrinking) edge list against the
     # survivor set + a degree groupBy + the degree rejoin — the
