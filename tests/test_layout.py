@@ -69,3 +69,54 @@ def test_zorder_keeps_both_dimensions_tight(spark):
     # and at least one of the two must be strongly clustered
     spans = {col: a / g for col, (a, g) in ranges.items()}
     assert min(spans.values()) < 0.45, spans
+
+
+def test_ivf_layouts_partition_each_vector_exactly_once(spark):
+    """Integrity of the two k-means-trained IVF serving layouts (r11):
+    every vector lands in EXACTLY one cell directory (an IVF index
+    that drops or duplicates a vector silently corrupts every recall
+    number downstream), the cell ids are a subset of the stored
+    centroid ids, the centroid count is bounded by IVF_CELLS (Lloyd
+    dropout may shrink it), and each probe's literal cell set is a
+    subset of the stored cells with |probe| = IVF_NPROBE per
+    question/anchor."""
+    import os
+
+    from document_query_system_spark.api import (
+        IVF_CELLS,
+        IVF_NPROBE,
+        ensure_embeddings_index_ivf,
+        ensure_vector_index_ivf,
+    )
+    from document_query_system_spark.functions.vector import (
+        _triplet_probe_literals,
+    )
+    from document_query_system_spark.operators.pipeline import (
+        _ivf_probe_literals,
+    )
+
+    for ensure, probe, base_tbl, id_col in (
+        (ensure_vector_index_ivf, _ivf_probe_literals, "documents", "doc_id"),
+        (ensure_embeddings_index_ivf, _triplet_probe_literals, "embeddings", "vec_id"),
+    ):
+        layout, cents_path = ensure(spark, SF_DIR)
+        cents = {r.cid for r in spark.read.parquet(cents_path).collect()}
+        assert 0 < len(cents) <= IVF_CELLS
+        rows = spark.read.parquet(layout).select(id_col, "cell").collect()
+        ids = [r[0] for r in rows]
+        assert len(ids) == len(set(ids)), "a vector landed in two cells"
+        base_n = spark.read.parquet(f"{SF_DIR}/{base_tbl}.parquet").count()
+        assert len(ids) == base_n, "layout dropped vectors"
+        cells_on_disk = {r.cell for r in rows}
+        assert cells_on_disk <= cents
+        # Physical partitioning: one directory per cell, nothing else.
+        dirs = {
+            d for d in os.listdir(layout) if d.startswith("cell=")
+        }
+        assert dirs == {f"cell={c}" for c in cells_on_disk}
+        probe_rows, probe_cells = probe(spark, SF_DIR)
+        assert set(probe_cells) <= cents
+        per_key: dict = {}
+        for row in probe_rows:
+            per_key.setdefault(row[0], set()).add(row[-1])
+        assert all(len(v) == IVF_NPROBE for v in per_key.values())

@@ -1,6 +1,7 @@
 """Selection-overlap report: MMR over the ANN pool vs the exact pool.
 
-The q_ann_recall analog for the composed retrieval op (r9 verdict #5):
+The q_ann_recall analog for the composed retrieval ops (r9 verdict #5,
+r10 verdict #2 — LSH and trained-IVF pools reported side by side):
 per golden question, |selected_ann ∩ selected_exact| / k for the
 final MMR selections, plus pool recall (how much of the exact top-20
 pool the LSH candidate pool recovered). Run:
@@ -22,25 +23,29 @@ from document_query_system_spark import registry  # noqa: E402
 from document_query_system_spark.session import get_spark  # noqa: E402
 
 
+def _selections(rows) -> dict:
+    out: dict = {}
+    for r in rows:
+        out.setdefault(r.question_id, set()).add(r.doc_id)
+    return out
+
+
 def report(spark, sf_dir: str) -> dict:
     specs = registry.all_specs()
-    exact = specs["q_mmr_diversify"].fn(spark, sf_dir).collect()
-    ann = specs["q_mmr_ann_pool"].fn(spark, sf_dir).collect()
-    ex = {}
-    an = {}
-    for r in exact:
-        ex.setdefault(r.question_id, set()).add(r.doc_id)
-    for r in ann:
-        an.setdefault(r.question_id, set()).add(r.doc_id)
+    ex = _selections(specs["q_mmr_diversify"].fn(spark, sf_dir).collect())
+    an = _selections(specs["q_mmr_ann_pool"].fn(spark, sf_dir).collect())
+    iv = _selections(specs["q_mmr_ivf_pool"].fn(spark, sf_dir).collect())
     overlaps = [
         len(ex[q] & an.get(q, set())) / len(ex[q]) for q in sorted(ex)
     ]
+    overlaps_ivf = [
+        len(ex[q] & iv.get(q, set())) / len(ex[q]) for q in sorted(ex)
+    ]
     # Pool recall@20 comes from the registered (driver-checkable)
     # report, so the tool and the oracle gate read the same numbers.
-    pr = [
-        r.pool_recall
-        for r in specs["q_mmr_pool_recall"].fn(spark, sf_dir).collect()
-    ]
+    recall_rows = specs["q_mmr_pool_recall"].fn(spark, sf_dir).collect()
+    pr = [r.pool_recall for r in recall_rows]
+    pri = [r.pool_recall_ivf for r in recall_rows]
     return {
         "sf_dir": sf_dir,
         "n_questions": len(ex),
@@ -49,6 +54,11 @@ def report(spark, sf_dir: str) -> dict:
         "per_question": [round(o, 2) for o in overlaps],
         "mean_pool_recall": round(sum(pr) / len(pr), 3),
         "min_pool_recall": round(min(pr), 3),
+        "mean_overlap_ivf": round(sum(overlaps_ivf) / len(overlaps_ivf), 3),
+        "min_overlap_ivf": round(min(overlaps_ivf), 3),
+        "per_question_ivf": [round(o, 2) for o in overlaps_ivf],
+        "mean_pool_recall_ivf": round(sum(pri) / len(pri), 3),
+        "min_pool_recall_ivf": round(min(pri), 3),
     }
 
 
