@@ -139,6 +139,40 @@ IVF_CELLS = 16
 IVF_NPROBE = 5
 
 
+def _build_ivf_layout(
+    spark: SparkSession,
+    vx: DataFrame,
+    keep: tuple[str, ...],
+    out_cols: list,
+    path: str,
+    cents_path: str,
+) -> None:
+    """Shared IVF build core (r11 review: the documents and embeddings
+    builders are the same train→store-centroids→partitioned-write
+    sequence): train IVF_CELLS centroids with the deterministic Lloyd
+    pass over ``vx(vec_id, x, xx, *keep)``, store them as a K-row
+    parquet at cents_path, and rewrite the vectors partitionBy(cell)
+    at path. ``out_cols`` maps the assignment's columns to the
+    layout's schema (the cell column must be aliased from cid)."""
+    from .operators.clustering import kmeans_fit_assign
+
+    assigned, cents = kmeans_fit_assign(spark, vx, IVF_CELLS, keep=keep)
+    spark.createDataFrame(
+        [(int(cid), [float(v) for v in cv], float(cc)) for cid, cv, cc in cents],
+        "cid LONG, cv ARRAY<DOUBLE>, cc DOUBLE",
+    ).write.mode("overwrite").parquet(cents_path)
+    (
+        assigned.select(*out_cols)
+        # Cluster rows by their target directory before the
+        # partitioned write (the LSH-layout lesson: without this
+        # every task writes a sliver into every cell dir).
+        .repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+
+
 def ensure_vector_index_ivf(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """k-means-trained IVF layout of the stored document vector index
     (r10 verdict #2): the engine's own deterministic Lloyd trainer
@@ -161,7 +195,6 @@ def ensure_vector_index_ivf(spark: SparkSession, sf_dir: str) -> tuple[str, str]
     the delta path is the q_incremental_lsh pattern with cell in
     place of (tbl, bucket)."""
     from .functions.embed import dot as vdot
-    from .operators.clustering import kmeans_fit_assign
 
     tag = dir_tag(sf_dir)
     path = tmp_path("vector_index_ivf", tag)
@@ -172,24 +205,17 @@ def ensure_vector_index_ivf(spark: SparkSession, sf_dir: str) -> tuple[str, str]
         vx = idx.select(
             F.col("doc_id").alias("vec_id"), F.col("dv").alias("x")
         ).withColumn("xx", vdot(F.col("x"), F.col("x")))
-        assigned, cents = kmeans_fit_assign(spark, vx, IVF_CELLS)
-        spark.createDataFrame(
-            [(int(cid), [float(v) for v in cv], float(cc)) for cid, cv, cc in cents],
-            "cid LONG, cv ARRAY<DOUBLE>, cc DOUBLE",
-        ).write.mode("overwrite").parquet(cents_path)
-        (
-            assigned.select(
+        _build_ivf_layout(
+            spark,
+            vx,
+            keep=(),
+            out_cols=[
                 F.col("vec_id").alias("doc_id"),
                 F.col("x").alias("dv"),
                 F.col("cid").alias("cell"),
-            )
-            # Cluster rows by their target directory before the
-            # partitioned write (the LSH-layout lesson: without this
-            # every task writes a sliver into every cell dir).
-            .repartition("cell")
-            .write.mode("overwrite")
-            .partitionBy("cell")
-            .parquet(path)
+            ],
+            path=path,
+            cents_path=cents_path,
         )
         _VECTOR_IVF_READY.add(key)
     return path, cents_path
@@ -209,31 +235,32 @@ def ensure_embeddings_index_ivf(spark: SparkSession, sf_dir: str) -> tuple[str, 
     by label INSIDE the pool. Returns (layout_path, centroids_path);
     built once per (session, sf_dir)."""
     from .functions.embed import dot as vdot
-    from .operators.clustering import kmeans_fit_assign
 
     tag = dir_tag(sf_dir)
     path = tmp_path("emb_index_ivf", tag)
     cents_path = tmp_path("emb_index_ivf_cents", tag)
     key = session_key(spark, sf_dir)
     if key not in _EMB_IVF_READY:
-        emb = load(spark, sf_dir, "embeddings").select(
-            "vec_id", "label", F.col("embedding").cast("array<double>").alias("x")
-        )
-        vx = emb.select("vec_id", "x").withColumn(
-            "xx", vdot(F.col("x"), F.col("x"))
-        )
-        assigned, cents = kmeans_fit_assign(spark, vx, IVF_CELLS)
-        spark.createDataFrame(
-            [(int(cid), [float(v) for v in cv], float(cc)) for cid, cv, cc in cents],
-            "cid LONG, cv ARRAY<DOUBLE>, cc DOUBLE",
-        ).write.mode("overwrite").parquet(cents_path)
-        (
-            assigned.select("vec_id", F.col("x").alias("v"), F.col("cid").alias("cell"))
-            .join(emb.select("vec_id", "label"), "vec_id")
-            .repartition("cell")
-            .write.mode("overwrite")
-            .partitionBy("cell")
-            .parquet(path)
+        vx = load(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            "label",
+            F.col("embedding").cast("array<double>").alias("x"),
+        ).withColumn("xx", vdot(F.col("x"), F.col("x")))
+        # label rides THROUGH the assignment map (keep=) — joining it
+        # back on vec_id afterwards would shuffle every vector twice
+        # at build time for a column the scan already had (r11 review).
+        _build_ivf_layout(
+            spark,
+            vx,
+            keep=("label",),
+            out_cols=[
+                "vec_id",
+                F.col("x").alias("v"),
+                "label",
+                F.col("cid").alias("cell"),
+            ],
+            path=path,
+            cents_path=cents_path,
         )
         _EMB_IVF_READY.add(key)
     return path, cents_path

@@ -193,8 +193,10 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector table with the label-inequality predicate evaluated
     BEFORE scoring (Catalyst folds it into the join condition, so
     same-label pairs are never scored), then a per-anchor top-k
-    window. At 100 TB the exact scan swaps for an ANN tier exactly
-    as in the recall report; the mining semantics don't change."""
+    window. The ANN-served form of this mining pass is EXECUTED in
+    q_training_triplets_ann (r11), whose negative leg is exactly
+    this op over the stored cell-pruned IVF pool; this exact scan
+    stays as the oracle-checkable ground truth."""
     emb = load(spark, sf_dir, "embeddings")
     q = F.broadcast(
         emb.filter(F.col("vec_id") < 5).select(
@@ -586,6 +588,18 @@ def q_training_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos_sim"),
         )
     )
+    return _triplets_from_scored(scored)
+
+
+def _triplets_from_scored(scored: DataFrame) -> DataFrame:
+    """Shared mining tail over ``scored(anchor_id, anchor_label,
+    cand_id, cand_label, cos_sim)``: hardest same-label positive +
+    top-{negs} different-label negatives + per-pair margin — the
+    identical expressions in the exact (q_training_triplets) and
+    ANN-pool (q_training_triplets_ann) variants, extracted so the
+    triplet semantics can never silently diverge between them (r11
+    review). Both rank windows and the final join share one
+    hash(anchor) partitioning, so the join adds no exchange."""
     w = Window.partitionBy("anchor_id").orderBy(
         F.desc("cos_sim"), F.asc("cand_id")
     )
@@ -810,39 +824,4 @@ def q_training_triplets_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     outside the pool export the pool's best same-label positive
     instead (or no triplet if none collides) — the real trade an
     ANN-pooled miner makes, reported rather than hidden."""
-    from ..api import IVF_CELLS, IVF_NPROBE
-
-    pool = triplet_ann_pool(spark, sf_dir)
-    w = Window.partitionBy("anchor_id").orderBy(
-        F.desc("cos_sim"), F.asc("cand_id")
-    )
-    pos = (
-        pool.filter(F.col("cand_label") == F.col("anchor_label"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "anchor_id",
-            F.col("cand_id").alias("positive_id"),
-            F.col("cos_sim").alias("pos_sim"),
-        )
-    )
-    neg = (
-        pool.filter(F.col("cand_label") != F.col("anchor_label"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _TRIPLET_NEGS)
-        .select(
-            "anchor_id",
-            F.col("cand_id").alias("negative_id"),
-            F.col("cos_sim").alias("neg_sim"),
-            F.col("rn").cast("long").alias("neg_rank"),
-        )
-    )
-    return pos.join(neg, "anchor_id").select(
-        "anchor_id",
-        "positive_id",
-        "negative_id",
-        "neg_rank",
-        "pos_sim",
-        "neg_sim",
-        F.round(F.col("pos_sim") - F.col("neg_sim"), 6).alias("margin"),
-    )
+    return _triplets_from_scored(triplet_ann_pool(spark, sf_dir))

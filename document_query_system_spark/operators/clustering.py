@@ -94,11 +94,17 @@ def _cents_df(spark: SparkSession, rows) -> DataFrame:
     return spark.createDataFrame(data, schema)
 
 
-def _assign(vx: DataFrame, cents: DataFrame) -> DataFrame:
+def _assign(
+    vx: DataFrame, cents: DataFrame, keep: tuple[str, ...] = ()
+) -> DataFrame:
     """Nearest-centroid assignment as a pure map: argmin over the
     broadcast centroid array via array_min on (rounded d2, cid)
     structs — struct ordering gives the d2-then-cid tiebreak for
-    free."""
+    free. ``keep`` passes extra vx columns through the assignment
+    (the map is column-agnostic), so a consumer that needs metadata
+    next to the cell id — the embeddings IVF layout's label — never
+    joins it back on vec_id afterwards (an avoidable vector-wide
+    shuffle at index-build time, r11 review)."""
     best = F.array_min(
         F.transform(
             F.col("__cents"),
@@ -111,12 +117,17 @@ def _assign(vx: DataFrame, cents: DataFrame) -> DataFrame:
         )
     )
     return vx.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "x", "xx", best["d2"].alias("d2"), best["cid"].alias("cid")
+        "vec_id",
+        "x",
+        "xx",
+        *keep,
+        best["d2"].alias("d2"),
+        best["cid"].alias("cid"),
     )
 
 
 def kmeans_fit_assign(
-    spark: SparkSession, vx: DataFrame, k: int
+    spark: SparkSession, vx: DataFrame, k: int, keep: tuple[str, ...] = ()
 ) -> tuple[DataFrame, list]:
     """Deterministic 2-round Lloyd pass over ``vx(vec_id, x, xx)``:
     seed (md5-order, first k) → assign → update → assign. Returns the
@@ -152,7 +163,7 @@ def kmeans_fit_assign(
         .withColumn("cc", dot(F.col("cv"), F.col("cv")))
     )
     cents = [(r["cid"], r["cv"], r["cc"]) for r in upd.collect()]
-    return _assign(vx, _cents_df(spark, cents)), cents
+    return _assign(vx, _cents_df(spark, cents), keep), cents
 
 
 def _kmeans_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -428,7 +428,13 @@ def pstream_classes():
             # incarnation already planned (r10 ADVICE — a real
             # queue/log wrapper gets this for free because the
             # external system's head offset IS persistent; the
-            # synthetic feed must persist its own).
+            # synthetic feed must persist its own). The cursor file's
+            # lifecycle is tied to the CHECKPOINT's: deleting the
+            # checkpoint but keeping a stale cursor makes the first
+            # micro-batch span (0, stale_head+batch] — exactly like
+            # restarting a fresh subscription against a real queue
+            # whose head has moved on; delete both together to replay
+            # the paced arrival sequence.
             self._cursor_path = options.get("cursor_path") or None
             self._pos = 0
             if self._cursor_path and os.path.exists(self._cursor_path):
@@ -439,7 +445,9 @@ def pstream_classes():
             if not self._cursor_path:
                 return
             tmp = self._cursor_path + ".tmp"
-            os.makedirs(os.path.dirname(self._cursor_path), exist_ok=True)
+            parent = os.path.dirname(self._cursor_path)
+            if parent:  # bare filename -> cwd, nothing to create
+                os.makedirs(parent, exist_ok=True)
             with open(tmp, "w") as f:
                 f.write(str(self._pos))
             os.replace(tmp, self._cursor_path)

@@ -35,13 +35,20 @@ def report(spark, sf_dir: str) -> dict:
         (r.anchor_id, r.positive_id, r.negative_id): r.margin
         for r in specs["q_training_triplets_ann"].fn(spark, sf_dir).collect()
     }
+    def mean(vals) -> float | None:
+        return round(statistics.mean(vals), 4) if vals else None
+
     return {
         "sf_dir": sf_dir,
         "n_exact": len(exact),
         "n_ann": len(ann),
-        "triplet_overlap": round(len(set(exact) & set(ann)) / len(exact), 2),
-        "mean_margin_exact": round(statistics.mean(exact.values()), 4),
-        "mean_margin_ann": round(statistics.mean(ann.values()), 4),
+        # No triplets at all (no anchor has a same-label candidate) is
+        # a reportable state, not a crash.
+        "triplet_overlap": (
+            round(len(set(exact) & set(ann)) / len(exact), 2) if exact else None
+        ),
+        "mean_margin_exact": mean(list(exact.values())),
+        "mean_margin_ann": mean(list(ann.values())),
     }
 
 
@@ -51,12 +58,17 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     for d in dirs:
         r = report(spark, d)
-        delta = round(r["mean_margin_ann"] - r["mean_margin_exact"], 4)
+        delta = (
+            round(r["mean_margin_ann"] - r["mean_margin_exact"], 4)
+            if r["mean_margin_ann"] is not None
+            and r["mean_margin_exact"] is not None
+            else None
+        )
         print(
             f"{d}: exact={r['n_exact']} ann={r['n_ann']} "
             f"triplet_overlap={r['triplet_overlap']} "
             f"mean_margin exact={r['mean_margin_exact']} "
-            f"ann={r['mean_margin_ann']} delta={delta:+}"
+            f"ann={r['mean_margin_ann']} delta={delta}"
         )
 
 
