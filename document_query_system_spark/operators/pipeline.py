@@ -665,6 +665,97 @@ def q_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _inc_ivf_oracle() -> str:
+    """Full-rebuild oracle for incremental_ivf: train on the whole
+    corpus (the stored layout's own training set), assign every doc,
+    aggregate per cell — what the engine's base∪delta must equal."""
+    from ..api import IVF_CELLS
+    from ..functions.embed import embed_subquery_sql
+    from .clustering import kmeans_sql_rounds_ctes
+
+    dv = embed_subquery_sql("documents", "doc_id", "text")
+    vx_body = f"""
+  SELECT id AS vec_id, embedding AS x,
+         list_dot_product(embedding, embedding) AS xx
+  FROM (SELECT id, embedding FROM {dv})
+"""
+    return f"""
+WITH {kmeans_sql_rounds_ctes(vx_body, IVF_CELLS)}
+SELECT CAST(cid AS BIGINT) AS cell,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(vec_id) AS BIGINT) AS id_sum,
+       CAST(sum(CAST(round(x[1] * 1000000) AS BIGINT)) AS BIGINT) AS v1_micros
+FROM a2 GROUP BY cid
+"""
+
+
+def incremental_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of the TRAINED IVF layout — the vector
+    serving layout's delta path, completing the index-lifecycle
+    family next to q_incremental_lsh (buckets), q_incremental_bm25
+    (postings), and q_dedup_incremental (MinHash state): the stored
+    cell-partitioned index minus the incoming batch plays the 'index
+    as of yesterday'; the batch (doc_id % 13 == 0) pays embed→assign
+    on ITS rows only, assigned to the STORED centroids (the K-row
+    metadata every IVF serving node keeps — collected bounded, ridden
+    as the same broadcast one-row centroid frame the trainer uses, so
+    delta assignment is bit-identical to build assignment); merged =
+    base ∪ delta. Output: per-cell doc count, id checksum, and a
+    first-component vector checksum — which the oracle computes from
+    a FULL rebuild, proving append ≡ rebuild for the trained layout.
+
+    Scale: delta cost ∝ batch (Arrow embed + one broadcast map);
+    appending the delta's rows into the cell directories is the same
+    partitionBy write the builder uses, cost ∝ batch. The caveat a
+    real deployment owns: appends hold CENTROIDS fixed — on drift the
+    quantizer retrains and the layout rewrites (ensure_vector_index_
+    ivf), which is the scheduled-rebuild half of the lifecycle.
+
+    Registered in r12 (r11's rotation prefix had exactly 50 slots:
+    2 new + 1 changed + the 47 r6-vintage refreshes); until then the
+    oracle-parity check lives in tests/test_layout.py."""
+    from ..api import ensure_vector_index_ivf
+    from ..functions.embed import dot, embed_pandas
+    from .clustering import _assign, _cents_df
+
+    layout, cents_path = ensure_vector_index_ivf(spark, sf_dir)
+    base = (
+        spark.read.parquet(layout)
+        .filter(F.col("doc_id") % _INC_LSH_MOD != 0)
+        .select("doc_id", "dv", F.col("cell").cast("long").alias("cell"))
+    )
+    cents = [
+        (int(r.cid), [float(v) for v in r.cv], float(r.cc))
+        for r in spark.read.parquet(cents_path).collect()
+    ]
+    batch = spread(
+        load(spark, sf_dir, "documents").select("doc_id", "text")
+    ).filter(F.col("doc_id") % _INC_LSH_MOD == 0)
+    emb = embed_pandas(batch, "text", out_col="dv", keep=["doc_id"])
+    vx = emb.select(
+        F.col("doc_id").alias("vec_id"), F.col("dv").alias("x")
+    ).withColumn("xx", dot(F.col("x"), F.col("x")))
+    delta = _assign(vx, _cents_df(spark, cents)).select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("x").alias("dv"),
+        F.col("cid").cast("long").alias("cell"),
+    )
+    merged = base.unionByName(delta)
+    return (
+        merged.groupBy("cell")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+            F.sum(
+                F.round(F.element_at(F.col("dv"), 1) * 1_000_000).cast("long")
+            )
+            .cast("long")
+            .alias("v1_micros"),
+        )
+        .select(F.col("cell").cast("long").alias("cell"), "n_docs", "id_sum", "v1_micros")
+    )
+
+
 # --------------------------------------------------- hybrid retrieval fusion
 #
 # Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of the

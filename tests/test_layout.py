@@ -120,3 +120,21 @@ def test_ivf_layouts_partition_each_vector_exactly_once(spark):
         for row in probe_rows:
             per_key.setdefault(row[0], set()).add(row[-1])
         assert all(len(v) == IVF_NPROBE for v in per_key.values())
+
+
+def test_incremental_ivf_append_equals_rebuild(spark, duck):
+    """The trained-IVF layout's delta path (pipeline.incremental_ivf —
+    r12 registration pending, see its docstring): base-minus-batch ∪
+    batch-assigned-to-STORED-centroids must equal the full-rebuild
+    per-cell checksums the DuckDB oracle computes by retraining on
+    the whole corpus — append ≡ rebuild while centroids are fixed."""
+    from document_query_system_spark.operators.pipeline import (
+        _inc_ivf_oracle,
+        incremental_ivf,
+    )
+
+    got = sorted(
+        tuple(r) for r in incremental_ivf(spark, SF_DIR).collect()
+    )
+    want = sorted(tuple(r) for r in duck.execute(_inc_ivf_oracle()).fetchall())
+    assert got == want
