@@ -638,19 +638,24 @@ def _triplets_from_scored(scored: DataFrame) -> DataFrame:
 # ------------------------------------ ANN-pool training-triplet export
 
 _TRIPLET_POOL = 20  # ANN candidates per anchor (the re-rank boundary)
+# Mining probes DEEPER than serving (8 of 16 cells vs IVF_NPROBE=5):
+# triplet mining is an offline between-epochs pass where negative
+# hardness matters more than probe latency — production tunes nprobe
+# per miner-fidelity bar exactly as serving tunes it per recall bar.
+_TRIPLET_NPROBE = 8
 
 _EMB_IVF_PROBE_CACHE: dict[tuple, tuple] = {}
 
 
 def _triplet_probe_literals(spark: SparkSession, sf_dir: str) -> tuple[list, list]:
     """(anchor_rows, probe_cells) for the embeddings IVF probe: each
-    anchor's IVF_NPROBE nearest trained cells folded to plan-time
+    anchor's _TRIPLET_NPROBE nearest trained cells folded to plan-time
     literals — the _ivf_probe_literals pattern (bounded engine
     mini-job over |anchors|×IVF_CELLS rows with the exact oracle
     arithmetic: round(d2, 6) ranking, cid tiebreak), memoized per
     (session, sf_dir). Anchor vectors/labels ride the rows so the
     pool probe needs no second source read."""
-    from ..api import IVF_NPROBE, ensure_embeddings_index_ivf
+    from ..api import ensure_embeddings_index_ivf
     from ..sources.tmputil import session_key
 
     key = session_key(spark, "emb_ivf_probe", sf_dir)
@@ -676,7 +681,7 @@ def _triplet_probe_literals(spark: SparkSession, sf_dir: str) -> tuple[list, lis
         anch.crossJoin(F.broadcast(cents))
         .select("anchor_id", "anchor_label", "qv", "cid", d2.alias("d2"))
         .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= IVF_NPROBE)
+        .filter(F.col("rn") <= _TRIPLET_NPROBE)
         .select("anchor_id", "anchor_label", "qv", "cid")
         .collect()
     )
@@ -743,7 +748,7 @@ def triplet_ann_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _triplet_ann_oracle() -> str:
-    from ..api import IVF_CELLS, IVF_NPROBE
+    from ..api import IVF_CELLS
     from ..operators.clustering import _EMB_VX_BODY, kmeans_sql_rounds_ctes
 
     d2 = "round(a.qq - 2*list_dot_product(a.qv, c.cv) + c.cc, 6)"
@@ -761,7 +766,7 @@ aprobe AS (
            row_number() OVER (PARTITION BY a.anchor_id
                               ORDER BY {d2}, c.cid) AS rn
     FROM anch a CROSS JOIN c1 c)
-  WHERE rn <= {IVF_NPROBE}
+  WHERE rn <= {_TRIPLET_NPROBE}
 ),
 pool_scored AS (
   SELECT a.anchor_id, a.anchor_label, d.vec_id AS cand_id,
@@ -818,9 +823,11 @@ def q_training_triplets_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pos/neg rank windows and the final join then share one
     hash(anchor) partitioning exactly like the exact variant.
 
-    Fidelity vs q_training_triplets at the demo geometry (nprobe
-    {nprobe}/{cells}): measured triplet overlap and margin delta are
-    recorded in SCALE.md; anchors whose hardest positive falls
+    Fidelity vs q_training_triplets at the demo geometry
+    (_TRIPLET_NPROBE=8 of 16 cells — mining probes deeper than
+    serving, see the constant's comment): triplet overlap 0.60/0.87
+    at sf0.01/sf0.1 with mean-margin delta +0.014/+0.009
+    (tools/triplet_fidelity.py, recorded in SCALE.md); anchors whose hardest positive falls
     outside the pool export the pool's best same-label positive
     instead (or no triplet if none collides) — the real trade an
     ANN-pooled miner makes, reported rather than hidden."""

@@ -95,9 +95,13 @@ def test_ivf_layouts_partition_each_vector_exactly_once(spark):
         _ivf_probe_literals,
     )
 
-    for ensure, probe, base_tbl, id_col in (
-        (ensure_vector_index_ivf, _ivf_probe_literals, "documents", "doc_id"),
-        (ensure_embeddings_index_ivf, _triplet_probe_literals, "embeddings", "vec_id"),
+    from document_query_system_spark.functions.vector import (
+        _TRIPLET_NPROBE,
+    )
+
+    for ensure, probe, base_tbl, id_col, nprobe in (
+        (ensure_vector_index_ivf, _ivf_probe_literals, "documents", "doc_id", IVF_NPROBE),
+        (ensure_embeddings_index_ivf, _triplet_probe_literals, "embeddings", "vec_id", _TRIPLET_NPROBE),
     ):
         layout, cents_path = ensure(spark, SF_DIR)
         cents = {r.cid for r in spark.read.parquet(cents_path).collect()}
@@ -119,7 +123,7 @@ def test_ivf_layouts_partition_each_vector_exactly_once(spark):
         per_key: dict = {}
         for row in probe_rows:
             per_key.setdefault(row[0], set()).add(row[-1])
-        assert all(len(v) == IVF_NPROBE for v in per_key.values())
+        assert all(len(v) == nprobe for v in per_key.values())
 
 
 def test_incremental_ivf_append_equals_rebuild(spark, duck):
