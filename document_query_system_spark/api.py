@@ -135,8 +135,76 @@ _VECTOR_IVF_READY: set[tuple] = set()
 #: at sf0.001 while the probe still prunes ~11/16 of the index; at
 #: 100 TB both knobs grow with the corpus (cells ~ sqrt(N), nprobe by
 #: the recall bar) without changing any plan shape below.
+#: ``ivf_cells_for`` is the production sizing rule; the fixed
+#: IVF_CELLS stays the floor (and the geometry of the r11-vintage
+#: registered queries, which pin their results to it).
 IVF_CELLS = 16
 IVF_NPROBE = 5
+
+
+def ivf_cells_for(n_vectors: int) -> int:
+    """Corpus-adaptive IVF cell count: ``max(IVF_CELLS, ceil(sqrt(N)))``
+    (r11 verdict #3 — a fixed 16 cells means the nprobe=5 probe reads
+    ~31% of the index forever; production IVF sizes cells ~ sqrt(N) so
+    the probe FRACTION falls as the corpus grows: nprobe/sqrt(N) —
+    at N=500 that is 5/23 ≈ 22%, at N=5000 5/71 ≈ 7%, at 5B vectors
+    5/70711 ≈ 0.007%, while expected cell population sqrt(N) keeps
+    per-cell reads bounded). The same rule is written INTO the scaled
+    oracle as ``greatest(16, ceil(sqrt(count(*))))`` via DuckDB's
+    expression LIMIT, so both engines derive the cell count from the
+    corpus rather than trusting a shared constant. ceil(sqrt()) is
+    exact cross-engine: counts are exact ints, IEEE sqrt of a perfect
+    square is exact, and ceil of a non-square's sqrt is unambiguous."""
+    import math
+
+    return max(IVF_CELLS, math.ceil(math.sqrt(n_vectors)))
+
+
+_VECTOR_IVF_SCALED_READY: dict[tuple, tuple[str, str, int]] = {}
+
+
+def ensure_vector_index_ivf_scaled(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, str, int]:
+    """ensure_vector_index_ivf at the CORPUS-ADAPTIVE cell count
+    (ivf_cells_for(N) instead of the fixed IVF_CELLS floor): counts
+    the stored index once (bounded metadata job, memoized with the
+    layout), trains ivf_cells_for(N) centroids with the same
+    deterministic Lloyd pass, and rewrites partitionBy(cell) under a
+    cells-tagged path so the two geometries coexist in one session.
+    Returns (layout_path, centroids_path, cells). This is the layout
+    q_ivf_recall_scaled reports recall for — the r11 verdict's "make
+    IVF_CELLS a function of corpus size" demonstration, kept separate
+    from the 16-cell layout so every r11-vintage IVF query's results
+    stay byte-identical."""
+    from .functions.embed import dot as vdot
+
+    key = session_key(spark, sf_dir)
+    if key in _VECTOR_IVF_SCALED_READY:
+        return _VECTOR_IVF_SCALED_READY[key]
+    idx = spark.read.parquet(ensure_vector_index(spark, sf_dir))
+    cells = ivf_cells_for(idx.count())
+    tag = dir_tag(sf_dir)
+    path = tmp_path(f"vector_index_ivf_c{cells}", tag)
+    cents_path = tmp_path(f"vector_index_ivf_c{cells}_cents", tag)
+    vx = idx.select(
+        F.col("doc_id").alias("vec_id"), F.col("dv").alias("x")
+    ).withColumn("xx", vdot(F.col("x"), F.col("x")))
+    _build_ivf_layout(
+        spark,
+        vx,
+        keep=(),
+        out_cols=[
+            F.col("vec_id").alias("doc_id"),
+            F.col("x").alias("dv"),
+            F.col("cid").alias("cell"),
+        ],
+        path=path,
+        cents_path=cents_path,
+        cells=cells,
+    )
+    _VECTOR_IVF_SCALED_READY[key] = (path, cents_path, cells)
+    return path, cents_path, cells
 
 
 def _build_ivf_layout(
@@ -146,17 +214,20 @@ def _build_ivf_layout(
     out_cols: list,
     path: str,
     cents_path: str,
+    cells: int = IVF_CELLS,
 ) -> None:
     """Shared IVF build core (r11 review: the documents and embeddings
     builders are the same train→store-centroids→partitioned-write
-    sequence): train IVF_CELLS centroids with the deterministic Lloyd
-    pass over ``vx(vec_id, x, xx, *keep)``, store them as a K-row
-    parquet at cents_path, and rewrite the vectors partitionBy(cell)
-    at path. ``out_cols`` maps the assignment's columns to the
-    layout's schema (the cell column must be aliased from cid)."""
+    sequence): train ``cells`` centroids (default the IVF_CELLS floor;
+    the scaled builder passes ivf_cells_for(N)) with the deterministic
+    Lloyd pass over ``vx(vec_id, x, xx, *keep)``, store them as a
+    K-row parquet at cents_path, and rewrite the vectors
+    partitionBy(cell) at path. ``out_cols`` maps the assignment's
+    columns to the layout's schema (the cell column must be aliased
+    from cid)."""
     from .operators.clustering import kmeans_fit_assign
 
-    assigned, cents = kmeans_fit_assign(spark, vx, IVF_CELLS, keep=keep)
+    assigned, cents = kmeans_fit_assign(spark, vx, cells, keep=keep)
     spark.createDataFrame(
         [(int(cid), [float(v) for v in cv], float(cc)) for cid, cv, cc in cents],
         "cid LONG, cv ARRAY<DOUBLE>, cc DOUBLE",

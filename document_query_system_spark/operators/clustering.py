@@ -187,7 +187,12 @@ WITH {kmeans_sql_rounds_ctes(vx_body, k)}
 """
 
 
-def kmeans_sql_rounds_ctes(vx_body: str, k: int) -> str:
+def kmeans_sql_rounds_ctes(vx_body: str, k: "int | str") -> str:
+    """``k`` may be an int literal OR a SQL expression string (DuckDB
+    accepts expressions/subqueries in LIMIT) — the scaled IVF oracle
+    passes ``(SELECT greatest(16, CAST(ceil(sqrt(count(*))) AS
+    BIGINT)) FROM vx)`` so the oracle derives the cell count from the
+    corpus exactly like the engine's ivf_cells_for (api.py)."""
     def assign(prev: str, rnd: int) -> str:
         d2 = f"round(v.xx - 2*list_dot_product(v.x, c.cv) + c.cc, 6)"
         return f"""a{rnd} AS (

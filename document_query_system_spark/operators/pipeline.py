@@ -1746,28 +1746,39 @@ def mmr_ann_pool_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_PROBE_CACHE: dict[tuple, tuple] = {}
 
 
-def _ivf_probe_literals(spark: SparkSession, sf_dir: str) -> tuple[list, list]:
+def _ivf_probe_literals(
+    spark: SparkSession, sf_dir: str, scaled: bool = False
+) -> tuple[list, list]:
     """(qb_rows, probe_cells) for the IVF probe: each golden question's
     IVF_NPROBE nearest trained cells, folded to PLAN-TIME literals so
     the layout scan gets static PartitionFilters (the
     mmr_ann_pool_pairs pattern). Unlike the LSH fold — whose plane
     signs replicate in pure Python — the cell ranking depends on
     TRAINED centroid doubles, so the fold runs as a bounded Spark
-    mini-job over |q|×IVF_CELLS rows using the exact engine
+    mini-job over |q|×cells rows using the exact engine
     expressions the oracle mirrors (embed_df question vectors,
     round(d2, 6) ranking, cid tiebreak): no third arithmetic
     implementation to keep in parity. Collect is ≤ |q|·nprobe rows of
-    DIM doubles; memoized per (session, sf_dir) like the index
-    builds."""
-    from ..api import IVF_NPROBE, ensure_vector_index_ivf
+    DIM doubles; memoized per (session, sf_dir, geometry) like the
+    index builds. ``scaled=True`` probes the corpus-adaptive
+    ivf_cells_for(N) layout instead of the fixed-16 one — the ranking
+    arithmetic is identical, only the centroid file differs."""
+    from ..api import (
+        IVF_NPROBE,
+        ensure_vector_index_ivf,
+        ensure_vector_index_ivf_scaled,
+    )
     from ..functions.embed import dot, embed_df
     from ..sources.tmputil import session_key
     from .questions import questions_df
 
-    key = session_key(spark, "ivf_probe", sf_dir)
+    key = session_key(spark, "ivf_probe_scaled" if scaled else "ivf_probe", sf_dir)
     if key in _IVF_PROBE_CACHE:
         return _IVF_PROBE_CACHE[key]
-    _, cents_path = ensure_vector_index_ivf(spark, sf_dir)
+    if scaled:
+        _, cents_path, _ = ensure_vector_index_ivf_scaled(spark, sf_dir)
+    else:
+        _, cents_path = ensure_vector_index_ivf(spark, sf_dir)
     cents = spark.read.parquet(cents_path)
     qx = embed_df(questions_df(spark), "question_text", out_col="q_v").select(
         "question_id", "q_v", dot(F.col("q_v"), F.col("q_v")).alias("qq")
@@ -1793,21 +1804,37 @@ def _ivf_probe_literals(spark: SparkSession, sf_dir: str) -> tuple[list, list]:
     return out
 
 
-def mmr_ivf_pool_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def mmr_ivf_pool_pairs(
+    spark: SparkSession, sf_dir: str, scaled: bool = False
+) -> DataFrame:
     """The IVF-served MMR candidate pool — (question_id, doc_id, rel),
     no vectors: literal probe cells prune the cell-partitioned stored
     layout (static PartitionFilters — the scan lists ≤ the probed
-    union of nprobe·|q| of IVF_CELLS directories), broadcast question
-    rows score only collisions, and a per-question window takes the
-    top-{pool}. A document lives in exactly ONE cell, so — unlike the
-    LSH probe — a (question, doc) pair cannot collide twice and needs
-    no dedup aggregate. Candidate volume per question ≈
-    nprobe·N/cells vs the LSH probe's tables·flips·N/2^planes."""
-    from ..api import ensure_vector_index_ivf
+    union of nprobe·|q| of the layout's cell directories), broadcast
+    question rows score only collisions, and a per-question window
+    takes the top-{pool}. A document lives in exactly ONE cell, so —
+    unlike the LSH probe — a (question, doc) pair cannot collide twice
+    and needs no dedup aggregate. Candidate volume per question ≈
+    nprobe·N/cells vs the LSH probe's tables·flips·N/2^planes.
+    ``scaled=True`` serves from the corpus-adaptive ivf_cells_for(N)
+    layout (q_ivf_recall_scaled) — same plan shape, smaller probe
+    fraction."""
+    from ..api import ensure_vector_index_ivf, ensure_vector_index_ivf_scaled
     from ..functions.embed import dot
 
-    layout, _ = ensure_vector_index_ivf(spark, sf_dir)
-    qb_rows, probe_cells = _ivf_probe_literals(spark, sf_dir)
+    if scaled:
+        layout, _, _ = ensure_vector_index_ivf_scaled(spark, sf_dir)
+    else:
+        layout, _ = ensure_vector_index_ivf(spark, sf_dir)
+    qb_rows, probe_cells = _ivf_probe_literals(spark, sf_dir, scaled=scaled)
+    if not probe_cells:
+        # Degenerate corpus slice (no questions → no probe keys):
+        # isin() with zero args raises a confusing analysis error, and
+        # an unfiltered scan would be a full-index read masquerading
+        # as a probe — return the empty pool directly (r11 ADVICE).
+        return spark.createDataFrame(
+            [], "question_id LONG, doc_id LONG, rel DOUBLE"
+        )
     db = spark.read.parquet(layout).select(
         "doc_id", F.col("dv").alias("v"), "cell"
     )
@@ -1851,20 +1878,34 @@ def mmr_ivf_pool_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_leg_ctes() -> str:
+#: The scaled oracle's cell-count expression — byte-for-byte the SQL
+#: twin of api.ivf_cells_for (max(16, ceil(sqrt(N)))), evaluated by
+#: DuckDB inside the seeds LIMIT so the oracle's geometry tracks the
+#: corpus at every scale factor (the three-scale oracle audit runs
+#: this at sf0.001/0.01/0.1 where N differs).
+_IVF_CELLS_SQL_SCALED = (
+    "(SELECT greatest(16, CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM vx)"
+)
+
+
+def _ivf_leg_ctes(scaled: bool = False) -> str:
     """Oracle CTEs for the IVF leg, given qv(question_id, v) and
     dv(doc_id, v) CTEs in scope: k-means training (vx, seeds, a1, c1,
     a2 — operators/clustering.kmeans_sql_rounds_ctes, the exact
     q_cluster_kmeans arithmetic), per-question nprobe cell choice
-    (qprobe), and the bounded scored pool (ivf_hits)."""
+    (qprobe), and the bounded scored pool (ivf_hits). ``scaled=True``
+    trains greatest(16, ceil(sqrt(N))) cells — the corpus-adaptive
+    geometry of ensure_vector_index_ivf_scaled — instead of the fixed
+    IVF_CELLS floor."""
     from ..api import IVF_CELLS, IVF_NPROBE
     from .clustering import kmeans_sql_rounds_ctes
 
+    k = _IVF_CELLS_SQL_SCALED if scaled else IVF_CELLS
     vx_body = """
   SELECT doc_id AS vec_id, v AS x, list_dot_product(v, v) AS xx FROM dv
 """
     d2 = "round(q.qq - 2*list_dot_product(q.v, c.cv) + c.cc, 6)"
-    return f"""{kmeans_sql_rounds_ctes(vx_body, IVF_CELLS)},
+    return f"""{kmeans_sql_rounds_ctes(vx_body, k)},
 qx AS (SELECT question_id, v, list_dot_product(v, v) AS qq FROM qv),
 qprobe AS (
   SELECT question_id, cid FROM (
@@ -2087,6 +2128,115 @@ def q_mmr_pool_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.col("n_exact"),
                 6,
             ).alias("pool_recall_ivf"),
+        )
+    )
+
+
+def _ivf_recall_scaled_oracle() -> str:
+    from ..api import IVF_NPROBE
+    from ..functions.embed import embed_subquery_sql
+    from .questions import question_values_sql
+
+    qv = embed_subquery_sql("questions", "question_id", "question_text")
+    dv = embed_subquery_sql("documents", "doc_id", "text")
+    return f"""
+WITH {question_values_sql()},
+qv AS (SELECT id AS question_id, embedding AS v FROM {qv}),
+dv AS (SELECT id AS doc_id, embedding AS v FROM {dv}),
+exact_pool AS (
+  SELECT question_id, doc_id FROM (
+    SELECT qv.question_id, dv.doc_id,
+           row_number() OVER (PARTITION BY qv.question_id
+                              ORDER BY round(list_dot_product(qv.v, dv.v), 6)
+                                       DESC, dv.doc_id) AS rk
+    FROM qv CROSS JOIN dv)
+  WHERE rk <= {_MMR_POOL}
+),
+{_ivf_leg_ctes(scaled=True)},
+ivf_pool AS (
+  SELECT question_id, doc_id FROM (
+    SELECT question_id, doc_id,
+           row_number() OVER (PARTITION BY question_id
+                              ORDER BY rel DESC, doc_id) AS rk
+    FROM ivf_hits)
+  WHERE rk <= {_MMR_POOL}
+),
+ne AS (SELECT question_id, count(*) AS n_exact FROM exact_pool GROUP BY question_id),
+ni AS (SELECT question_id, count(*) AS n_ivf FROM ivf_pool GROUP BY question_id),
+nc AS (
+  SELECT e.question_id, count(*) AS n_common
+  FROM exact_pool e JOIN ivf_pool i
+    ON i.question_id = e.question_id AND i.doc_id = e.doc_id
+  GROUP BY e.question_id
+)
+SELECT ne.question_id,
+       {_IVF_CELLS_SQL_SCALED} AS cells,
+       CAST({IVF_NPROBE} AS BIGINT) AS nprobe,
+       CAST(ne.n_exact AS BIGINT) AS n_exact,
+       CAST(coalesce(ni.n_ivf, 0) AS BIGINT) AS n_ivf,
+       CAST(coalesce(nc.n_common, 0) AS BIGINT) AS n_common,
+       round(coalesce(nc.n_common, 0) / ne.n_exact, 6) AS pool_recall
+FROM ne LEFT JOIN ni USING (question_id) LEFT JOIN nc USING (question_id)
+"""
+
+
+@register("q_ivf_recall_scaled", oracle=_ivf_recall_scaled_oracle())
+def q_ivf_recall_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pool recall@{pool} of the CORPUS-ADAPTIVE IVF layout (cells =
+    ivf_cells_for(N) = max(16, ceil(sqrt(N))) — api.py) vs the exact
+    top-{pool} per golden question, with the trained geometry (cells,
+    nprobe) reported per row: the r11 verdict #3 demonstration that
+    the cell count is a FUNCTION of corpus size, not a constant. At
+    sf0.01 (N=500) the rule gives 23 cells → probe fraction 5/23 ≈
+    22%; at sf0.1 (N=5000) 71 cells → 5/71 ≈ 7%; at 5B vectors
+    5/70711 ≈ 0.007% — the probe fraction FALLS as the corpus grows
+    while expected per-cell reads stay ~sqrt(N)-bounded, which is why
+    production IVF (FAISS/Milvus sizing guides, and the Pinecone pod
+    sizing the reference delegates — ref: pinecone_manager.py:19-59)
+    uses cells ~ sqrt(N).
+
+    Plan: identical to q_mmr_pool_recall's IVF leg — stored
+    partitionBy(cell) layout, literal-folded probe keys → static
+    PartitionFilters (plan-pinned in test_plan_quality.py), exact
+    cosine only inside the probed cells; only the centroid file
+    differs. The oracle derives the SAME cell count via DuckDB's
+    expression LIMIT (greatest(16, ceil(sqrt(count(*))))), so the
+    sizing rule itself is cross-engine-checked at every scale factor,
+    not just the recall values at one baked K. The 16-cell layout's
+    recall stays reported by q_mmr_pool_recall — the two rows together
+    are the recall-vs-probe-fraction trade at two points of the
+    sizing curve."""
+    from ..api import IVF_NPROBE, ensure_vector_index_ivf_scaled
+
+    _, _, cells = ensure_vector_index_ivf_scaled(spark, sf_dir)
+    exact_pool = exact_pool_topn(spark, sf_dir, _MMR_POOL).select(
+        "question_id", "doc_id"
+    )
+    ivf_pool = mmr_ivf_pool_pairs(spark, sf_dir, scaled=True).select(
+        "question_id", "doc_id"
+    )
+    ne = exact_pool.groupBy("question_id").agg(F.count("*").alias("n_exact"))
+    ni = ivf_pool.groupBy("question_id").agg(F.count("*").alias("n_ivf"))
+    nc = (
+        exact_pool.join(ivf_pool, ["question_id", "doc_id"])
+        .groupBy("question_id")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        ne.join(ni, "question_id", "left")
+        .join(nc, "question_id", "left")
+        .select(
+            "question_id",
+            F.lit(cells).cast("long").alias("cells"),
+            F.lit(IVF_NPROBE).cast("long").alias("nprobe"),
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.coalesce(F.col("n_ivf"), F.lit(0)).cast("long").alias("n_ivf"),
+            F.coalesce(F.col("n_common"), F.lit(0))
+            .cast("long")
+            .alias("n_common"),
+            F.round(
+                F.coalesce(F.col("n_common"), F.lit(0)) / F.col("n_exact"), 6
+            ).alias("pool_recall"),
         )
     )
 
