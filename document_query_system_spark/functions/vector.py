@@ -646,6 +646,33 @@ _TRIPLET_NPROBE = 8
 
 _EMB_IVF_PROBE_CACHE: dict[tuple, tuple] = {}
 
+#: Above this anchor count the literal fold-in is the wrong shape —
+#: _triplet_probe_literals collects |anchors|·nprobe rows INCLUDING
+#: the DIM-double anchor vectors, so a millions-of-anchors
+#: between-epochs mining pass would funnel the whole anchor set
+#: through the driver (r11 verdict #4). triplet_pool_auto switches to
+#: the distributed cell equi-join (triplet_join_pool) past it; the
+#: value is sized so serving-shaped anchor sets (|questions|-scale)
+#: keep the static-PartitionFilter fold.
+_TRIPLET_FOLD_MAX_ANCHORS = 1024
+
+
+def _triplet_anchors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mining fixture's anchor slice — (anchor_id, anchor_label,
+    qv, qq) for vec_id < 5 — shared by the literal-fold probe, the
+    distributed join probe, and the dispatcher so all three mine the
+    same anchors by construction."""
+    return (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 5)
+        .select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("label").alias("anchor_label"),
+            F.col("embedding").cast("array<double>").alias("qv"),
+        )
+        .withColumn("qq", dot(F.col("qv"), F.col("qv")))
+    )
+
 
 def _triplet_probe_literals(spark: SparkSession, sf_dir: str) -> tuple[list, list]:
     """(anchor_rows, probe_cells) for the embeddings IVF probe: each
@@ -663,16 +690,7 @@ def _triplet_probe_literals(spark: SparkSession, sf_dir: str) -> tuple[list, lis
         return _EMB_IVF_PROBE_CACHE[key]
     _, cents_path = ensure_embeddings_index_ivf(spark, sf_dir)
     cents = spark.read.parquet(cents_path)
-    anch = (
-        load(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") < 5)
-        .select(
-            F.col("vec_id").alias("anchor_id"),
-            F.col("label").alias("anchor_label"),
-            F.col("embedding").cast("array<double>").alias("qv"),
-        )
-        .withColumn("qq", dot(F.col("qv"), F.col("qv")))
-    )
+    anch = _triplet_anchors(spark, sf_dir)
     d2 = F.round(
         F.col("qq") - 2 * dot(F.col("qv"), F.col("cv")) + F.col("cc"), 6
     )
@@ -707,6 +725,15 @@ def triplet_ann_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     layout, _ = ensure_embeddings_index_ivf(spark, sf_dir)
     anchor_rows, probe_cells = _triplet_probe_literals(spark, sf_dir)
+    if not probe_cells:
+        # Degenerate anchor slice → no probe keys: isin() with zero
+        # args raises a confusing analysis error; the correct pool is
+        # simply empty (r11 ADVICE).
+        return spark.createDataFrame(
+            [],
+            "anchor_id LONG, anchor_label INT, cand_id LONG, "
+            "cand_label INT, cos_sim DOUBLE",
+        )
     db = spark.read.parquet(layout).select(
         F.col("vec_id").alias("cand_id"),
         F.col("label").alias("cand_label"),
@@ -745,6 +772,98 @@ def triplet_ann_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _TRIPLET_POOL)
         .drop("rk")
     )
+
+
+def triplet_join_pool(
+    spark: SparkSession, sf_dir: str, anchors: DataFrame | None = None
+) -> DataFrame:
+    """triplet_ann_pool's DISTRIBUTED twin for large anchor sets (r11
+    verdict #4): the per-anchor nprobe cell choice stays IN-PLAN as a
+    broadcast-centroid cross join + rank window (the
+    kmeans_fit_assign shape — K centroid rows broadcast, anchors
+    never collected), and the pool probe is a cell EQUI-JOIN against
+    the stored layout instead of a driver-folded literal filter.
+    Identical output to the literal path by construction — same d2
+    arithmetic, round(·, 6) ranking, cid tiebreak, cos_sim
+    expressions, and top-{pool} window (pinned byte-identical in
+    tests/test_fold_parity.py) — so q_training_triplets_ann's oracle
+    covers both paths.
+
+    The trade, and why BOTH paths exist: the literal fold buys STATIC
+    PartitionFilters (directory-level pruning known at plan time) at
+    the cost of a driver collect carrying |anchors|·nprobe DIM-double
+    rows — right for serving-sized |q|; this join path never
+    materializes anchors on the driver, so it scales to
+    millions-of-anchors between-epochs mining passes — Catalyst picks
+    the cell join strategy (broadcast below the threshold, shuffled
+    hash/sort-merge above, where the layout's partitionBy(cell)
+    directories make the scan side already clustered), and static
+    pruning is replaced by DYNAMIC partition pruning: the layout
+    scan's PartitionFilters carry a dynamicpruning subquery on cell
+    (plan-pinned in test_plan_quality.py), so only probed cell
+    directories are read here too — decided at runtime instead of
+    plan time.
+    ``anchors`` defaults to the mining fixture's slice; a production
+    caller passes any (anchor_id, anchor_label, qv, qq) DataFrame."""
+    from ..api import ensure_embeddings_index_ivf
+
+    layout, cents_path = ensure_embeddings_index_ivf(spark, sf_dir)
+    cents = spark.read.parquet(cents_path)
+    anch = anchors if anchors is not None else _triplet_anchors(spark, sf_dir)
+    d2 = F.round(
+        F.col("qq") - 2 * dot(F.col("qv"), F.col("cv")) + F.col("cc"), 6
+    )
+    pw = Window.partitionBy("anchor_id").orderBy("d2", "cid")
+    aprobe = (
+        anch.crossJoin(F.broadcast(cents))
+        .select("anchor_id", "anchor_label", "qv", "cid", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(pw))
+        .filter(F.col("rn") <= _TRIPLET_NPROBE)
+        .select(
+            "anchor_id", "anchor_label", "qv", F.col("cid").alias("qcell")
+        )
+    )
+    db = spark.read.parquet(layout).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("cand_label"),
+        F.col("v").alias("cv"),
+        "cell",
+    )
+    scored = (
+        db.join(aprobe, F.col("cell") == F.col("qcell"))
+        .filter(F.col("anchor_id") != F.col("cand_id"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "cand_id",
+            "cand_label",
+            F.round(
+                dot(F.col("qv"), F.col("cv"))
+                / (l2_norm(F.col("qv")) * l2_norm(F.col("cv"))),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cos_sim"), F.asc("cand_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TRIPLET_POOL)
+        .drop("rk")
+    )
+
+
+def triplet_pool_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-switched mining pool: the literal-fold path (static
+    PartitionFilters) up to _TRIPLET_FOLD_MAX_ANCHORS anchors, the
+    distributed cell equi-join past it. The anchor count is one
+    bounded aggregate over the anchor slice — trivial next to the
+    mining pass it routes."""
+    n = _triplet_anchors(spark, sf_dir).count()
+    if n <= _TRIPLET_FOLD_MAX_ANCHORS:
+        return triplet_ann_pool(spark, sf_dir)
+    return triplet_join_pool(spark, sf_dir)
 
 
 def _triplet_ann_oracle() -> str:
@@ -821,7 +940,12 @@ def q_training_triplets_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     (static PartitionFilters from the literal-folded anchor probe —
     plan-pinned; the pool window carries scalars, never vectors);
     the pos/neg rank windows and the final join then share one
-    hash(anchor) partitioning exactly like the exact variant.
+    hash(anchor) partitioning exactly like the exact variant. The
+    literal fold is the ≤{fold_max}-anchor serving shape; past it
+    triplet_pool_auto switches to the distributed cell equi-join
+    (triplet_join_pool — byte-identical output, anchors never
+    collected), so a millions-of-anchors between-epochs mining pass
+    never funnels through the driver (r11 verdict #4).
 
     Fidelity vs q_training_triplets at the demo geometry
     (_TRIPLET_NPROBE=8 of 16 cells — mining probes deeper than

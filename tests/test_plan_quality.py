@@ -538,6 +538,74 @@ def test_triplet_ann_pool_probes_cell_layout_not_full_scan(spark):
     assert pfs and any("INSET" in m or " IN " in m for m in pfs), pfs
 
 
+def test_mmr_ivf_scaled_pool_keeps_static_partition_filters(spark):
+    """The corpus-adaptive IVF layout (cells = ivf_cells_for(N) —
+    r11 verdict #3) must serve through the SAME static-pruning plan
+    as the fixed-16 layout: literal probe cells as PartitionFilters
+    on the cells-tagged layout, no corpus embed, no cross join —
+    changing the geometry knob must not change the plan shape."""
+    from document_query_system_spark.operators.pipeline import (
+        mmr_ivf_pool_pairs,
+    )
+
+    rep = plan_report(mmr_ivf_pool_pairs(spark, SF_DIR, scaled=True))
+    locs = [s.get("location", "") for s in rep.scans]
+    assert locs and all("vector_index_ivf_c" in loc for loc in locs), locs
+    assert "BroadcastHashJoin" in rep.raw
+    assert rep.n_bnlj == 0
+    assert _CORPUS_SPLIT not in rep.raw
+    import re
+
+    pfs = [
+        m
+        for m in re.findall(r"PartitionFilters: \[([^\]]*)\]", rep.raw)
+        if "cell" in m
+    ]
+    assert pfs and any("INSET" in m or " IN " in m for m in pfs), pfs
+
+
+def test_triplet_join_pool_is_cell_equi_join_no_driver_fold(spark):
+    """The distributed mining-pool path (r11 verdict #4) must keep
+    every anchor in-plan: the only scans are the stored embeddings IVF
+    layout (+ its K-row centroid file) and the anchor slice of the
+    embeddings table WITH the anchor predicate pushed into the reader;
+    the cell choice is the bounded broadcast-centroid cross join (the
+    kmeans assign shape — at most ONE BNLJ whose broadcast side is K
+    centroid rows); and the pool probe itself is a cell EQUI-join, so
+    scoring never touches vectors outside the probed cells."""
+    from document_query_system_spark.functions.vector import (
+        triplet_join_pool,
+    )
+
+    rep = plan_report(triplet_join_pool(spark, SF_DIR))
+    locs = [s.get("location", "") for s in rep.scans]
+    assert locs and all(
+        "emb_index_ivf" in loc or "embeddings" in loc for loc in locs
+    ), locs
+    anchors = [
+        s for s in rep.scans if "emb_index_ivf" not in s.get("location", "")
+    ]
+    # The corpus-table read is the ANCHOR slice, not the corpus: the
+    # vec_id predicate must reach the Parquet reader.
+    assert anchors and all("vec_id" in s["pushed"] for s in anchors), anchors
+    # At most two BNLJ: the K-row centroid broadcast (the kmeans
+    # assign shape) plus its copy inside the DPP subquery below.
+    assert rep.n_bnlj <= 2
+    # The pool probe is an equi-join on the cell key (any hash
+    # strategy Catalyst picks; broadcast at fixture scale).
+    assert "qcell" in rep.raw
+    assert (
+        "BroadcastHashJoin" in rep.raw
+        or "SortMergeJoin" in rep.raw
+        or "ShuffledHashJoin" in rep.raw
+    )
+    # What the literal fold bought statically, this path gets at
+    # runtime: DYNAMIC partition pruning on the layout's cell
+    # directories (the probe side re-runs as a pruning subquery).
+    assert "dynamicpruningexpression" in rep.raw
+    assert _CORPUS_SPLIT not in rep.raw  # stored index, never re-embed
+
+
 def test_late_interaction_reads_only_pool_docs(spark):
     """The MaxSim re-ranker's corpus-table read must be gated by the
     pool keys: in the final plan (the first-pass probe sits behind the
