@@ -162,11 +162,25 @@ def _hash_embed_py(text: str) -> list[float]:
 # Per-process token→bucket memo for the batch kernel: corpus vocab is
 # Zipfian, so the char-fold hash — the dominant cost of the per-row
 # embedder — is computed once per TYPE instead of once per token
-# occurrence. Bounded: cleared when it would exceed _TOKEN_CACHE_MAX
-# entries (a 100 TB corpus's open vocabulary would otherwise grow the
-# worker's heap without limit; clearing only costs re-hashing).
+# occurrence. Bounded: when it would exceed _TOKEN_CACHE_MAX entries,
+# the OLDEST-INSERTED half is evicted (dict preserves insertion
+# order) instead of a wholesale clear — a full clear also evicted the
+# Zipf-head tokens the memo exists for, causing a periodic full
+# re-hash stall on open-vocabulary corpora (r11 ADVICE). Evicted head
+# tokens re-hash once and re-insert at the young end, so repeated
+# trims spare them; correctness is unaffected either way (a miss only
+# costs the char fold).
 _TOKEN_CACHE_MAX = 1 << 20
 _TOKEN_BUCKETS: dict[str, int] = {}
+
+
+def _trim_token_cache(cache: dict) -> None:
+    """Drop the oldest-inserted half of the memo (bounded eviction —
+    see the comment above)."""
+    from itertools import islice
+
+    for k in list(islice(iter(cache), len(cache) // 2)):
+        del cache[k]
 
 
 def _hash_embed_batch(texts) -> list[list[float]]:
@@ -180,8 +194,12 @@ def _hash_embed_batch(texts) -> list[list[float]]:
     - bucket histograms for the WHOLE batch in one np.bincount over
       row-offset bucket ids;
     - norms as exact int64 sum-of-squares (no float accumulation
-      order to diverge) → np.sqrt, the same correctly-rounded IEEE
-      sqrt as Python's ** 0.5;
+      order to diverge) → np.sqrt. NOTE: the per-row twin's ** 0.5
+      goes through libm pow(), which matches a correctly-rounded
+      sqrt() only on libms that round pow correctly for the 0.5
+      exponent (e.g. glibc >= 2.28) — the bit parity between the two
+      paths is pinned EMPIRICALLY on this platform by
+      tests/test_fold_parity.py, not guaranteed by the language;
     - decimal rounding: np.round's scale/rint/unscale can differ from
       Python's correctly-rounded round() in the last ulp, so round()
       runs on the batch's UNIQUE quotients (np.unique) and the
@@ -205,7 +223,7 @@ def _hash_embed_batch(texts) -> list[list[float]]:
             b = cache.get(tok)
             if b is None:
                 if len(cache) >= _TOKEN_CACHE_MAX:
-                    cache.clear()
+                    _trim_token_cache(cache)
                 h = 0
                 for ch in tok:
                     h = (h * MULT + ord(ch)) % P

@@ -434,7 +434,15 @@ def pstream_classes():
             # micro-batch span (0, stale_head+batch] — exactly like
             # restarting a fresh subscription against a real queue
             # whose head has moved on; delete both together to replay
-            # the paced arrival sequence.
+            # the paced arrival sequence. OWNERSHIP: a cursor_path
+            # belongs to exactly ONE streaming query, like the
+            # checkpointLocation it mirrors — the file carries no
+            # lock or owner id, so two concurrent streams (or a
+            # second run of the same query) sharing one path would
+            # interleave _persist_head() writes and silently skew
+            # each other's paced arrival sequence (r11 ADVICE); point
+            # each query at its own path, co-located with its own
+            # checkpoint.
             self._cursor_path = options.get("cursor_path") or None
             self._pos = 0
             if self._cursor_path and os.path.exists(self._cursor_path):

@@ -143,3 +143,30 @@ def test_hash_embed_batch_matches_per_row_twin_adversarial():
     # Second call: every token now hits the memo — results identical.
     for got, t in zip(_hash_embed_batch(cases), cases):
         assert got == _hash_embed_py(t), t[:80]
+
+
+def test_token_cache_trim_is_bounded_and_keeps_young_half():
+    """The memo's eviction must be a bounded HALF-trim, oldest
+    inserted first (r11 ADVICE: a wholesale clear() also evicted the
+    Zipf-head tokens the memo exists for) — and trimming must never
+    change results, only costs."""
+    from document_query_system_spark.functions import embed as E
+
+    cache = {f"t{i}": i for i in range(10)}
+    E._trim_token_cache(cache)
+    assert cache == {f"t{i}": i for i in range(5, 10)}
+    # Parity under forced trims: shrink the cap so the batch kernel
+    # trims mid-batch, and pin results against the per-row twin.
+    texts = [" ".join(f"tok{j}" for j in range(i, i + 40)) for i in range(50)]
+    old_max, old_cache = E._TOKEN_CACHE_MAX, dict(E._TOKEN_BUCKETS)
+    E._TOKEN_CACHE_MAX = 64
+    E._TOKEN_BUCKETS.clear()
+    try:
+        got = E._hash_embed_batch(texts)
+        assert len(E._TOKEN_BUCKETS) <= 64 + 1  # trim keeps the bound
+        for g, t in zip(got, texts):
+            assert g == E._hash_embed_py(t)
+    finally:
+        E._TOKEN_CACHE_MAX = old_max
+        E._TOKEN_BUCKETS.clear()
+        E._TOKEN_BUCKETS.update(old_cache)
