@@ -303,6 +303,14 @@ _SHUFFLE_BUDGET_EXEMPT = {
     # pools); everything the harness ADDS moves ≤|questions|·pool
     # rows.
     "q_mmr_pool_recall": 17,
+    # The q_mmr_pool_recall class at the SCALED geometry (r12): the
+    # exact ground-truth pool's rank window + the cell-pruned scaled
+    # IVF pool's rank window + three per-question count aggregates +
+    # the two-report join chain. The pool legs are individually
+    # pinned (the exact probe; test_mmr_ivf_scaled_pool_keeps_static_
+    # partition_filters); everything the harness ADDS moves
+    # ≤|questions|·pool rows.
+    "q_ivf_recall_scaled": 8,
     # One k-core peel pass = two endpoint semi-joins of the (eagerly
     # checkpointed, strictly shrinking) edge list against the
     # survivor set + a degree groupBy + the degree rejoin — the

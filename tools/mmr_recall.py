@@ -46,7 +46,17 @@ def report(spark, sf_dir: str) -> dict:
     recall_rows = specs["q_mmr_pool_recall"].fn(spark, sf_dir).collect()
     pr = [r.pool_recall for r in recall_rows]
     pri = [r.pool_recall_ivf for r in recall_rows]
+    # The corpus-adaptive geometry's point on the sizing curve
+    # (cells = ivf_cells_for(N), r12) — also a registered report.
+    scaled_rows = specs["q_ivf_recall_scaled"].fn(spark, sf_dir).collect()
+    prs = [r.pool_recall for r in scaled_rows]
     return {
+        "ivf_cells_scaled": int(scaled_rows[0].cells),
+        "ivf_probe_fraction_scaled": round(
+            float(scaled_rows[0].nprobe) / float(scaled_rows[0].cells), 3
+        ),
+        "mean_pool_recall_ivf_scaled": round(sum(prs) / len(prs), 3),
+        "min_pool_recall_ivf_scaled": round(min(prs), 3),
         "sf_dir": sf_dir,
         "n_questions": len(ex),
         "mean_overlap": round(sum(overlaps) / len(overlaps), 3),
