@@ -64,6 +64,7 @@ HEAVY = [
     "q_mmr_diversify",
     "q_mmr_ann_pool",
     "q_mmr_ivf_pool",
+    "q_ivf_recall_scaled",
     "q_late_interaction",
     "q_prf_expansion",
     "q_vocab_coverage",
