@@ -52,12 +52,26 @@ def test_cms_never_underestimates(duck):
 def test_hll_estimate_within_error_bound(duck):
     """Raw-HLL relative error for m=256 buckets is ~1.04/sqrt(m) =
     6.5% (1 sigma); assert a 4-sigma band. The pre-fix polynomial
-    hash failed this at 735%."""
+    hash failed this at 735%.
+
+    The asymptotic band only holds when n is comfortably past m: in
+    the n ≲ m regime most buckets are empty and the raw estimator is
+    biased high by design — the regime production HLL hands to the
+    LinearCounting correction (sketches.py documents the small-range
+    seam). sf0.01's 2000 distinct keys are in-regime; at sf0.001 the
+    fixture has only ~200 (< m), so the band assertion is skipped
+    there rather than mislabeling the documented small-range bias as
+    a regression (found by the r12 full-suite-at-every-scale run)."""
     ((exact, est, rel_err),) = duck.execute(
         registry.all_specs()["q_hll_portable"].oracle
     ).fetchall()
     assert exact > 0
     assert rel_err == pytest.approx(abs(est - exact) / exact, abs=1e-4)
+    if exact < 2 * 256:
+        pytest.skip(
+            f"n={exact} < 2m: raw-HLL small-range regime "
+            "(LinearCounting territory); asymptotic band not applicable"
+        )
     assert rel_err <= 4 * 1.04 / (256 ** 0.5), (exact, est, rel_err)
 
 
