@@ -1747,7 +1747,10 @@ _IVF_PROBE_CACHE: dict[tuple, tuple] = {}
 
 
 def _ivf_probe_literals(
-    spark: SparkSession, sf_dir: str, scaled: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    scaled: bool = False,
+    nprobe: int | None = None,
 ) -> tuple[list, list]:
     """(qb_rows, probe_cells) for the IVF probe: each golden question's
     IVF_NPROBE nearest trained cells, folded to PLAN-TIME literals so
@@ -1772,7 +1775,16 @@ def _ivf_probe_literals(
     from ..sources.tmputil import session_key
     from .questions import questions_df
 
-    key = session_key(spark, "ivf_probe_scaled" if scaled else "ivf_probe", sf_dir)
+    # ``nprobe`` overrides the serving depth (tools/ivf sweeps only —
+    # every registered query keeps the IVF_NPROBE default, so the
+    # cache key carries the depth to keep override pools separate).
+    np_eff = IVF_NPROBE if nprobe is None else int(nprobe)
+    key = session_key(
+        spark,
+        "ivf_probe_scaled" if scaled else "ivf_probe",
+        sf_dir,
+        str(np_eff),
+    )
     if key in _IVF_PROBE_CACHE:
         return _IVF_PROBE_CACHE[key]
     if scaled:
@@ -1791,7 +1803,7 @@ def _ivf_probe_literals(
         qx.crossJoin(F.broadcast(cents))
         .select("question_id", "q_v", "cid", d2.alias("d2"))
         .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= IVF_NPROBE)
+        .filter(F.col("rn") <= np_eff)
         .select("question_id", "q_v", "cid")
         .collect()
     )
@@ -1805,7 +1817,10 @@ def _ivf_probe_literals(
 
 
 def mmr_ivf_pool_pairs(
-    spark: SparkSession, sf_dir: str, scaled: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    scaled: bool = False,
+    nprobe: int | None = None,
 ) -> DataFrame:
     """The IVF-served MMR candidate pool — (question_id, doc_id, rel),
     no vectors: literal probe cells prune the cell-partitioned stored
@@ -1826,7 +1841,9 @@ def mmr_ivf_pool_pairs(
         layout, _, _ = ensure_vector_index_ivf_scaled(spark, sf_dir)
     else:
         layout, _ = ensure_vector_index_ivf(spark, sf_dir)
-    qb_rows, probe_cells = _ivf_probe_literals(spark, sf_dir, scaled=scaled)
+    qb_rows, probe_cells = _ivf_probe_literals(
+        spark, sf_dir, scaled=scaled, nprobe=nprobe
+    )
     if not probe_cells:
         # Degenerate corpus slice (no questions → no probe keys):
         # isin() with zero args raises a confusing analysis error, and

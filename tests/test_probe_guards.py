@@ -30,7 +30,9 @@ def _patched(cache: dict, key, value):
 def test_ivf_pool_empty_probe_returns_empty_pool(spark):
     from document_query_system_spark.operators import pipeline as P
 
-    key = session_key(spark, "ivf_probe", SF_DIR)
+    from document_query_system_spark.api import IVF_NPROBE
+
+    key = session_key(spark, "ivf_probe", SF_DIR, str(IVF_NPROBE))
     restore = _patched(P._IVF_PROBE_CACHE, key, ([], []))
     try:
         df = P.mmr_ivf_pool_pairs(spark, SF_DIR)
