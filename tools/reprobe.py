@@ -30,11 +30,21 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    args: list[str] = []
     runs = 3
-    for a in sys.argv[1:]:
-        if a.startswith("--runs"):
-            runs = int(a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1])
+    argv = sys.argv[1:]
+    i = 0
+    while i < len(argv):
+        if argv[i].startswith("--runs"):
+            if "=" in argv[i]:
+                runs = int(argv[i].split("=", 1)[1])
+                i += 1
+            else:
+                runs = int(argv[i + 1])
+                i += 2
+        else:
+            args.append(argv[i])
+            i += 1
     spark = get_spark(app_name="dqs-reprobe")
     spark.sparkContext.setLogLevel("ERROR")
     specs = registry.all_specs()
