@@ -786,7 +786,7 @@ def triplet_join_pool(
     Identical output to the literal path by construction — same d2
     arithmetic, round(·, 6) ranking, cid tiebreak, cos_sim
     expressions, and top-{pool} window (pinned byte-identical in
-    tests/test_fold_parity.py) — so q_training_triplets_ann's oracle
+    tests/test_probe_guards.py) — so q_training_triplets_ann's oracle
     covers both paths.
 
     The trade, and why BOTH paths exist: the literal fold buys STATIC
