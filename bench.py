@@ -47,17 +47,41 @@ def main() -> None:
     # of already-cancelled stages (streaming query.stop(), limit/take
     # early exit). It is timing-dependent (one r12 run had 0, the
     # next ~90, same tree) and a trace can land directly above the
-    # BENCH JSON line, polluting the recorded tail. Mute that one
-    # logger IN THIS PROCESS ONLY: real query failures reach the
-    # artifact as BENCH-ERROR prints and n_failed regardless (every
-    # timed run is a try/except around a Python-side action), so no
-    # failure signal rides on this logger. Tests/dev sessions keep it
-    # verbose.
+    # BENCH JSON line, polluting the recorded tail. Deny THAT MESSAGE
+    # CLASS ONLY via a log4j2 StringMatchFilter on the DAGScheduler
+    # logger (r12 ADVICE: the earlier level=FATAL mute also swallowed
+    # stage-failure / executor-loss ERROR diagnostics, which should
+    # keep reaching the log tail); bench process only — tests/dev
+    # sessions stay verbose. Real query failures reach the artifact
+    # as BENCH-ERROR prints and n_failed regardless (every timed run
+    # is a try/except around a Python-side action).
     try:
-        spark._jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
-            "org.apache.spark.scheduler.DAGScheduler",
-            spark._jvm.org.apache.logging.log4j.Level.FATAL,
-        )
+        jvm = spark._jvm
+        name = "org.apache.spark.scheduler.DAGScheduler"
+        ctx = jvm.org.apache.logging.log4j.core.LoggerContext.getContext(False)
+        cfg = ctx.getConfiguration()
+        result = {
+            str(c): c
+            for c in jvm.java.lang.Class.forName(
+                "org.apache.logging.log4j.core.Filter$Result"
+            ).getEnumConstants()
+        }
+        b = jvm.org.apache.logging.log4j.core.filter.StringMatchFilter.newBuilder()
+        b.setMatchString("Failed to update accumulator")
+        b.setOnMatch(result["DENY"])
+        b.setOnMismatch(result["NEUTRAL"])
+        lc = cfg.getLoggerConfig(name)
+        if lc.getName() != name:
+            # No dedicated LoggerConfig yet (getLoggerConfig returned
+            # an ancestor — filtering there would mute repo-wide):
+            # create one inheriting the effective level, additive so
+            # surviving events still flow to the root appender.
+            lc = jvm.org.apache.logging.log4j.core.config.LoggerConfig(
+                name, lc.getLevel(), True
+            )
+            cfg.addLogger(name, lc)
+        lc.addFilter(b.build())
+        ctx.updateLoggers()
     except Exception:  # pragma: no cover - non-log4j2 deployments
         pass
     specs = registry.all_specs()

@@ -141,6 +141,18 @@ _VECTOR_IVF_READY: set[tuple] = set()
 IVF_CELLS = 16
 IVF_NPROBE = 5
 
+#: Curve-calibrated probe depth for the SCALED serving geometry (r12
+#: verdict #2): the measured nprobe curve (tools/ivf_nprobe_curve.py,
+#: SCALE.md) at the sf0.1 geometry (71 cells) gives pool recall@20 =
+#: 0.555/0.695/0.82/0.90 at nprobe 5/8/12/16 — so nprobe=16 is the
+#: first point meeting the 0.90 recall bar, at a 22.5% read that
+#: DOMINATES the fixed 16-cell layout's 0.87 recall at a 31% read.
+#: nprobe is the recall knob (tuned against the product's recall bar
+#: by re-running the curve per corpus); cells = ivf_cells_for(N) is
+#: the read-bound knob — at 5B vectors the same nprobe=16 probes
+#: 16/70711 ≈ 0.02% of the index while per-cell reads stay ~sqrt(N).
+IVF_NPROBE_SCALED = 16
+
 
 def ivf_cells_for(n_vectors: int) -> int:
     """Corpus-adaptive IVF cell count: ``max(IVF_CELLS, ceil(sqrt(N)))``
@@ -335,6 +347,59 @@ def ensure_embeddings_index_ivf(spark: SparkSession, sf_dir: str) -> tuple[str, 
         )
         _EMB_IVF_READY.add(key)
     return path, cents_path
+
+
+_EMB_IVF_SCALED_READY: dict[tuple, tuple[str, str, int]] = {}
+
+
+def ensure_embeddings_index_ivf_scaled(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, str, int]:
+    """ensure_embeddings_index_ivf at the CORPUS-ADAPTIVE cell count
+    (r12 verdict #4: the mining layout still trained a fixed
+    IVF_CELLS=16 after ivf_cells_for reached the documents serving
+    layout — the same probe-fraction argument applies to
+    between-epochs mining at 100×): counts the embeddings table once
+    (bounded metadata job, memoized with the layout), trains
+    ivf_cells_for(N) centroids with the same deterministic Lloyd
+    pass, and writes partitionBy(cell) under a cells-tagged path so
+    the two mining geometries coexist in one session (exactly the
+    ensure_vector_index_ivf_scaled pattern for documents). Labels
+    ride the layout rows as in the fixed-geometry builder. Returns
+    (layout_path, centroids_path, cells). The fixed-16 layout stays
+    the geometry of the r11-vintage q_training_triplets_ann so its
+    results remain byte-identical; q_training_triplets_join serves
+    from this one (functions/vector.py)."""
+    from .functions.embed import dot as vdot
+
+    key = session_key(spark, sf_dir)
+    if key in _EMB_IVF_SCALED_READY:
+        return _EMB_IVF_SCALED_READY[key]
+    vx = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("x"),
+    ).withColumn("xx", vdot(F.col("x"), F.col("x")))
+    cells = ivf_cells_for(vx.count())
+    tag = dir_tag(sf_dir)
+    path = tmp_path(f"emb_index_ivf_c{cells}", tag)
+    cents_path = tmp_path(f"emb_index_ivf_c{cells}_cents", tag)
+    _build_ivf_layout(
+        spark,
+        vx,
+        keep=("label",),
+        out_cols=[
+            "vec_id",
+            F.col("x").alias("v"),
+            "label",
+            F.col("cid").alias("cell"),
+        ],
+        path=path,
+        cents_path=cents_path,
+        cells=cells,
+    )
+    _EMB_IVF_SCALED_READY[key] = (path, cents_path, cells)
+    return path, cents_path, cells
 
 
 _BM25_INDEX_READY: set[tuple] = set()

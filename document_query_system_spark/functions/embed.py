@@ -166,10 +166,16 @@ def _hash_embed_py(text: str) -> list[float]:
 # the OLDEST-INSERTED half is evicted (dict preserves insertion
 # order) instead of a wholesale clear — a full clear also evicted the
 # Zipf-head tokens the memo exists for, causing a periodic full
-# re-hash stall on open-vocabulary corpora (r11 ADVICE). Evicted head
-# tokens re-hash once and re-insert at the young end, so repeated
-# trims spare them; correctness is unaffected either way (a miss only
-# costs the char fold).
+# re-hash stall on open-vocabulary corpora (r11 ADVICE). Eviction is
+# FIFO, not LRU (r12 ADVICE): hits do NOT refresh insertion order —
+# a per-hit del+reinsert would tax the memo's hot path (every token
+# occurrence) to optimize its cold one — so the FIRST trim after
+# warm-up evicts the long-resident head tokens too; they re-hash
+# once, re-insert at the young end, and only from the second trim
+# cycle onward does the half-trim actually spare them. Still strictly
+# better than a clear (half the misses per trim, stall amortized),
+# and correctness is unaffected either way (a miss only costs the
+# char fold).
 _TOKEN_CACHE_MAX = 1 << 20
 _TOKEN_BUCKETS: dict[str, int] = {}
 

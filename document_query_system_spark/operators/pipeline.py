@@ -1878,15 +1878,22 @@ def mmr_ivf_pool_pairs(
     )
 
 
-def mmr_ivf_pool_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+def mmr_ivf_pool_candidates(
+    spark: SparkSession,
+    sf_dir: str,
+    scaled: bool = False,
+    nprobe: int | None = None,
+) -> DataFrame:
     """mmr_ivf_pool_pairs with the pool VECTORS attached for the
     greedy rounds — fetched by broadcasting the ≤|q|·pool picks
     against the plain stored index, never dragged through the pool
     window's sort exchange (the r10 LSH lesson: vector bytes ×
-    candidate volume through an exchange is the avoidable cost)."""
+    candidate volume through an exchange is the avoidable cost).
+    ``scaled``/``nprobe`` select the serving geometry exactly as in
+    mmr_ivf_pool_pairs."""
     from ..api import ensure_vector_index
 
-    top = mmr_ivf_pool_pairs(spark, sf_dir)
+    top = mmr_ivf_pool_pairs(spark, sf_dir, scaled=scaled, nprobe=nprobe)
     dv = spark.read.parquet(ensure_vector_index(spark, sf_dir)).select(
         "doc_id", F.col("dv").alias("v")
     )
@@ -1905,7 +1912,7 @@ _IVF_CELLS_SQL_SCALED = (
 )
 
 
-def _ivf_leg_ctes(scaled: bool = False) -> str:
+def _ivf_leg_ctes(scaled: bool = False, nprobe: int | None = None) -> str:
     """Oracle CTEs for the IVF leg, given qv(question_id, v) and
     dv(doc_id, v) CTEs in scope: k-means training (vx, seeds, a1, c1,
     a2 — operators/clustering.kmeans_sql_rounds_ctes, the exact
@@ -1913,10 +1920,13 @@ def _ivf_leg_ctes(scaled: bool = False) -> str:
     (qprobe), and the bounded scored pool (ivf_hits). ``scaled=True``
     trains greatest(16, ceil(sqrt(N))) cells — the corpus-adaptive
     geometry of ensure_vector_index_ivf_scaled — instead of the fixed
-    IVF_CELLS floor."""
+    IVF_CELLS floor; ``nprobe`` overrides the IVF_NPROBE serving
+    default (the calibrated-serving oracle passes IVF_NPROBE_SCALED)."""
     from ..api import IVF_CELLS, IVF_NPROBE
     from .clustering import kmeans_sql_rounds_ctes
 
+    if nprobe is None:
+        nprobe = IVF_NPROBE
     k = _IVF_CELLS_SQL_SCALED if scaled else IVF_CELLS
     vx_body = """
   SELECT doc_id AS vec_id, v AS x, list_dot_product(v, v) AS xx FROM dv
@@ -1930,7 +1940,7 @@ qprobe AS (
            row_number() OVER (PARTITION BY q.question_id
                               ORDER BY {d2}, c.cid) AS rn
     FROM qx q CROSS JOIN c1 c)
-  WHERE rn <= {IVF_NPROBE}
+  WHERE rn <= {nprobe}
 ),
 ivf_hits AS (
   SELECT p.question_id, a.vec_id AS doc_id,
@@ -1941,7 +1951,7 @@ ivf_hits AS (
 )"""
 
 
-def _mmr_ivf_oracle() -> str:
+def _mmr_ivf_oracle(scaled: bool = False, nprobe: int | None = None) -> str:
     from ..functions.embed import embed_subquery_sql
     from .questions import question_values_sql
 
@@ -1951,7 +1961,7 @@ def _mmr_ivf_oracle() -> str:
 WITH {question_values_sql()},
 qv AS (SELECT id AS question_id, embedding AS v FROM {qv}),
 dv AS (SELECT id AS doc_id, embedding AS v FROM {dv}),
-{_ivf_leg_ctes()},
+{_ivf_leg_ctes(scaled=scaled, nprobe=nprobe)},
 cand AS (
   SELECT question_id, doc_id, rel, v FROM (
     SELECT *, row_number() OVER (PARTITION BY question_id
@@ -2269,6 +2279,72 @@ def q_ivf_recall_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce(F.col("n_common"), F.lit(0)) / F.col("n_exact"), 6
             ).alias("pool_recall"),
         )
+    )
+
+
+def _mmr_ivf_serving_oracle() -> str:
+    """The calibrated-serving MMR oracle: the scaled-geometry IVF leg
+    at nprobe = IVF_NPROBE_SCALED, wrapped to report the (cells,
+    nprobe) rule as hashed columns. The cells expression re-derives
+    greatest(16, ceil(sqrt(N))) from the documents table directly
+    (the dv CTE is one embedding per document, so count(documents) is
+    the same N the engine's ivf_cells_for sees)."""
+    from ..api import IVF_NPROBE_SCALED
+
+    inner = _mmr_ivf_oracle(scaled=True, nprobe=IVF_NPROBE_SCALED)
+    cells = (
+        "(SELECT greatest(16, CAST(ceil(sqrt(count(*))) AS BIGINT)) "
+        "FROM documents)"
+    )
+    return f"""
+SELECT question_id, doc_id, mmr_rank, mmr_score,
+       {cells} AS cells,
+       CAST({IVF_NPROBE_SCALED} AS BIGINT) AS nprobe
+FROM (
+{inner}
+) t
+"""
+
+
+@register("q_mmr_ivf_serving", oracle=_mmr_ivf_serving_oracle())
+def q_mmr_ivf_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PROMOTED IVF serving point (r12 verdict #2): MMR served
+    from the corpus-adaptive layout (cells = ivf_cells_for(N)) at the
+    curve-calibrated probe depth (nprobe = IVF_NPROBE_SCALED = 16) —
+    the (cells, nprobe) pair the engine's own measurement says
+    DOMINATES the fixed-16-cell default: at the sf0.1 geometry (71
+    cells) the nprobe curve (tools/ivf_nprobe_curve.py, SCALE.md)
+    gives pool recall@20 = 0.90 at a 22.5% read vs the fixed layout's
+    0.87 at a 31% read. The geometry rule rides the hashed row as
+    (cells, nprobe) columns, with the oracle re-deriving cells via
+    greatest(16, ceil(sqrt(count(*)))) from the corpus — so the
+    serving rule itself is cross-engine-checked at every scale
+    factor, exactly like q_ivf_recall_scaled's recall report.
+    Reference analog: the Pinecone index sizing the reference
+    delegates (ref: src/services/vector_engine/pinecone_manager.py:19-59),
+    here owned by the engine and calibrated against its own curve.
+
+    Plan: identical shape to q_mmr_ivf_pool — literal probe cells →
+    static PartitionFilters on the cells-tagged layout (plan-pinned
+    in test_plan_quality.py), exact cosine only inside the probed
+    cells, pool vectors fetched by broadcast against the plain stored
+    index, same unrolled greedy rounds. The r11-vintage
+    q_mmr_ivf_pool / q_mmr_pool_recall keep the fixed-16 geometry so
+    their rows stay byte-identical (rotation hygiene); this row is
+    the production default a 100× deployment serves from."""
+    from ..api import IVF_NPROBE_SCALED, ensure_vector_index_ivf_scaled
+
+    _, _, cells = ensure_vector_index_ivf_scaled(spark, sf_dir)
+    cand = mmr_ivf_pool_candidates(
+        spark, sf_dir, scaled=True, nprobe=IVF_NPROBE_SCALED
+    ).localCheckpoint(eager=False)  # all k rounds re-read the pool
+    return _mmr_greedy_rounds(cand).select(
+        "question_id",
+        "doc_id",
+        "mmr_rank",
+        "mmr_score",
+        F.lit(cells).cast("long").alias("cells"),
+        F.lit(IVF_NPROBE_SCALED).cast("long").alias("nprobe"),
     )
 
 

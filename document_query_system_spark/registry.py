@@ -92,79 +92,83 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # first (in listed order), then everything else in registration order.
 # Unknown names fail loudly (a typo would silently burn a prefix slot).
 #
-# Round-12 prefix (r11 verdict "Next round" #1): rotation stays on
-# ROW AGE. Order: (1) q_ivf_recall_scaled — the round's ONE new
-# registration (verdict #3: the corpus-adaptive IVF cell count's
-# driver-checkable recall row; no existing query changed schema or
-# semantics this round — the 16-cell layout and every r11-vintage IVF
-# query are untouched, and the triplet join path is pinned
-# byte-identical to the literal fold it augments, so neither takes a
-# slot); (2) the 49 ORACLED r7-vintage rows — the oldest oracled rows
-# in the ledger — so the oldest ORACLED vintage becomes r8, the
-# verdict bar. That fills the 50 driver slots exactly. Positions 51+
-# stage the next-oldest re-observations in priority order for
-# whatever the driver reaches (and for r13's prefix otherwise):
-# q_bpe_tokens (the 50th r7 row — rows-only by construction, so
-# deferring it cannot age any hash-green row) and the two rows-only
-# stragglers the verdict's item #6 routes to "r13 if the free slot
-# doesn't allow" (it doesn't: q_ivf_recall_scaled takes it).
+# Round-13 prefix (r12 verdict "Next round" #1): rotation stays on
+# ROW AGE. Order: (1) the 3 staged rows-only stragglers — r12's
+# positions 51-53, promoted to the head exactly as ordered
+# (q_bpe_tokens r7, q_agg_approx_distinct r5, q_ann_mllib_lsh r6 —
+# the oldest rows of any kind in the ledger); (2) the round's TWO new
+# registrations (verdict #2: q_mmr_ivf_serving — the scaled-geometry
+# serving row at the curve-calibrated nprobe; verdict #3:
+# q_training_triplets_join — the distributed join-path miner's own
+# driver row, at the scaled mining layout of verdict #4); (3) the 45
+# ORACLED r8-vintage rows — the oldest oracled rows — so the oldest
+# ORACLED vintage becomes r9, the verdict bar. 3 + 2 + 45 = exactly
+# the 50 driver slots. q_training_triplets_ann re-routes through
+# triplet_pool_auto this round but its executed path and results are
+# byte-identical (test_probe_guards pin), so it takes no slot — the
+# r11-precedented rule for bit-identically-changed implementations.
+# Positions 51+ stage the next-oldest re-observations for whatever
+# the driver reaches (and for r14's prefix otherwise): the 3
+# r8-vintage rows-only sketch queries (deferring them cannot age any
+# hash-green row).
 _ROTATION_PREFIX: tuple[str, ...] = (
-    # --- the one new r12 registration ---
-    "q_ivf_recall_scaled",  # NEW: recall at cells = ivf_cells_for(N)
-    # --- r7-vintage refresh (the 49 oracled rows) ---
-    "q_attribution_last_touch",
-    "q_benford_digits",
-    "q_chi2_independence",
-    "q_cluster_kmeans",
-    "q_cohort_retention",
-    "q_communities_lp",
-    "q_corpus_refresh",
-    "q_csv_malformed",
-    "q_data_quality_checks",
-    "q_dedup_containment",
-    "q_dedup_semantic",
-    "q_event_transitions",
-    "q_ewma_latest",
-    "q_except_all",
-    "q_forward_fill",
-    "q_funnel_conversion",
-    "q_gapfill_daily",
-    "q_heavy_hitters_cms",
-    "q_hll_portable",
-    "q_hourly_seasonality",
-    "q_intersect_all",
-    "q_join_asof_forward",
-    "q_join_asof_nearest",
-    "q_join_interval_bucketed",
-    "q_join_null_safe",
-    "q_ks_drift",
-    "q_mad_outliers",
-    "q_media_hist_arrow",
-    "q_merge_into",
-    "q_phrase_search",
-    "q_proximity_search",
-    "q_psi_drift",
-    "q_quantile_bins",
-    "q_rfm_segments",
-    "q_sample_neyman",
-    "q_sample_weighted",
-    "q_scene_changes",
-    "q_schema_evolution_read",
-    "q_skew_salted_join",
-    "q_snapshot_diff",
-    "q_stream_cms",
-    "q_stream_sliding",
-    "q_stream_static_join",
-    "q_token_budget_cap",
-    "q_triangle_count",
-    "q_user_drawdown",
-    "q_user_growth",
-    "q_user_trend",
-    "q_zscore_outliers",
-    # --- positions 51+: staged re-observations (r13 prefix heads) ---
-    "q_bpe_tokens",  # 50th r7 row; rows-only by construction
+    # --- staged rows-only stragglers (r12 verdict #1, two rounds due) ---
+    "q_bpe_tokens",  # rows-only by construction, last row r7
     "q_agg_approx_distinct",  # rows-only straggler, last row r5
     "q_ann_mllib_lsh",  # rows-only straggler, last row r6
+    # --- the two new r13 registrations ---
+    "q_mmr_ivf_serving",  # NEW: scaled cells + calibrated nprobe serving
+    "q_training_triplets_join",  # NEW: distributed miner, scaled layout
+    # --- r8-vintage refresh (the 45 oracled rows) ---
+    "q_agg_cube",
+    "q_agg_percentiles",
+    "q_agg_stats",
+    "q_audio_rms",
+    "q_bitwise_funcs",
+    "q_classifier_calibration",
+    "q_collation_group",
+    "q_dedup_tier_eval",
+    "q_embed_hash",
+    "q_entity_resolution",
+    "q_exists_subquery",
+    "q_frame_sample",
+    "q_grouping_sets",
+    "q_hard_negatives",
+    "q_image_decode_stats",
+    "q_image_resize",
+    "q_incremental_bm25",
+    "q_k_anonymity",
+    "q_kcore",
+    "q_lateral_topk",
+    "q_local_supplier_volume",
+    "q_matryoshka_recall",
+    "q_media_metadata",
+    "q_ndcg_eval",
+    "q_pagerank",
+    "q_pipe_syntax",
+    "q_pivot_lang_source",
+    "q_python_datasource",
+    "q_range_frame",
+    "q_readability",
+    "q_recursive_bfs",
+    "q_rrf_fusion",
+    "q_scalar_subquery",
+    "q_scan_lineitem",
+    "q_scan_part_pruned",
+    "q_shipping_priority",
+    "q_skew_salted_agg",
+    "q_sliding_chunks",
+    "q_source_xml",
+    "q_sql_udf",
+    "q_stream_anomaly",
+    "q_temperature_mix",
+    "q_variant_funcs",
+    "q_vector_topk",
+    "q_winsorize",
+    # --- positions 51+: staged re-observations (r14 prefix heads) ---
+    "q_agg_percentiles_approx",  # rows-only by design (KLL), last row r8
+    "q_quantile_bins_approx",  # rows-only by design (KLL), last row r8
+    "q_winsorize_approx",  # rows-only by design (KLL), last row r8
 )
 
 

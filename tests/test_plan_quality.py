@@ -614,6 +614,63 @@ def test_triplet_join_pool_is_cell_equi_join_no_driver_fold(spark):
     assert _CORPUS_SPLIT not in rep.raw  # stored index, never re-embed
 
 
+def test_triplet_join_pool_scaled_keeps_dpp_on_scaled_layout(spark):
+    """q_training_triplets_join's pool (the scaled mining geometry,
+    r12 verdict #3+#4) must keep the distributed path's plan shape on
+    the CELLS-TAGGED scaled layout: cell equi-join with DYNAMIC
+    partition pruning, anchor predicate pushed to the embeddings
+    reader, no driver fold, no corpus re-embed — changing the trained
+    geometry must not change the plan."""
+    from document_query_system_spark.functions.vector import (
+        triplet_join_pool,
+    )
+
+    rep = plan_report(triplet_join_pool(spark, SF_DIR, scaled=True))
+    locs = [s.get("location", "") for s in rep.scans]
+    assert locs and all(
+        "emb_index_ivf_c" in loc or "embeddings" in loc for loc in locs
+    ), locs
+    anchors = [
+        s for s in rep.scans if "emb_index_ivf_c" not in s.get("location", "")
+    ]
+    assert anchors and all("vec_id" in s["pushed"] for s in anchors), anchors
+    assert rep.n_bnlj <= 2  # K-row centroid broadcast + its DPP copy
+    assert "dynamicpruningexpression" in rep.raw
+    assert _CORPUS_SPLIT not in rep.raw
+
+
+def test_mmr_ivf_serving_probes_scaled_layout_statically(spark):
+    """The promoted serving point (q_mmr_ivf_serving — scaled cells +
+    curve-calibrated nprobe, r12 verdict #2) must serve through the
+    SAME static-pruning plan as every other IVF probe: literal probe
+    cells as PartitionFilters on the cells-tagged layout, no corpus
+    embed, no cross join — the calibration changes only WHICH cell
+    directories are listed, never the plan shape."""
+    from document_query_system_spark.api import IVF_NPROBE_SCALED
+    from document_query_system_spark.operators.pipeline import (
+        mmr_ivf_pool_pairs,
+    )
+
+    rep = plan_report(
+        mmr_ivf_pool_pairs(
+            spark, SF_DIR, scaled=True, nprobe=IVF_NPROBE_SCALED
+        )
+    )
+    locs = [s.get("location", "") for s in rep.scans]
+    assert locs and all("vector_index_ivf_c" in loc for loc in locs), locs
+    assert "BroadcastHashJoin" in rep.raw
+    assert rep.n_bnlj == 0
+    assert _CORPUS_SPLIT not in rep.raw
+    import re
+
+    pfs = [
+        m
+        for m in re.findall(r"PartitionFilters: \[([^\]]*)\]", rep.raw)
+        if "cell" in m
+    ]
+    assert pfs and any("INSET" in m or " IN " in m for m in pfs), pfs
+
+
 def test_late_interaction_reads_only_pool_docs(spark):
     """The MaxSim re-ranker's corpus-table read must be gated by the
     pool keys: in the final plan (the first-pass probe sits behind the

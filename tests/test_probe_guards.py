@@ -87,3 +87,53 @@ def test_triplet_pool_auto_switches_to_join_path(spark):
     # on the literal-fold path (same rows either way).
     auto = sorted(map(tuple, V.triplet_pool_auto(spark, SF_DIR).collect()))
     assert auto == lit
+
+
+def test_triplet_pool_auto_accepts_custom_anchors(spark):
+    """r12 ADVICE: the dispatcher must serve production anchor sets,
+    not just the hardcoded fixture slice — a custom (anchor_id,
+    anchor_label, qv, qq) DataFrame routes by ITS size and yields the
+    same pool on either path."""
+    from pyspark.sql import functions as F
+
+    from document_query_system_spark.functions import vector as V
+    from document_query_system_spark.functions.embed import dot
+    from document_query_system_spark.sources.tables import load
+
+    anchors = (
+        load(spark, SF_DIR, "embeddings")
+        .filter(F.col("vec_id").between(5, 7))  # disjoint from fixture
+        .select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("label").alias("anchor_label"),
+            F.col("embedding").cast("array<double>").alias("qv"),
+        )
+        .withColumn("qq", dot(F.col("qv"), F.col("qv")))
+    )
+    via_auto = sorted(
+        map(tuple, V.triplet_pool_auto(spark, SF_DIR, anchors=anchors).collect())
+    )
+    assert via_auto and {r[0] for r in via_auto} <= {5, 6, 7}
+    via_join = sorted(
+        map(tuple, V.triplet_join_pool(spark, SF_DIR, anchors=anchors).collect())
+    )
+    assert via_auto == via_join
+
+
+def test_scaled_join_pool_differs_only_in_geometry(spark):
+    """The scaled mining pool (q_training_triplets_join's source) has
+    the literal-fold pool's exact schema, and at the fixture's
+    exhaustive demo probe (nprobe ≥ cells at this N) its per-anchor
+    candidate count is capped by _TRIPLET_POOL like every pool."""
+    from document_query_system_spark.functions import vector as V
+
+    pool = V.triplet_join_pool(spark, SF_DIR, scaled=True)
+    assert [f.name for f in pool.schema.fields] == [
+        "anchor_id",
+        "anchor_label",
+        "cand_id",
+        "cand_label",
+        "cos_sim",
+    ]
+    counts = {r[0]: r[1] for r in pool.groupBy("anchor_id").count().collect()}
+    assert counts and all(c <= V._TRIPLET_POOL for c in counts.values())

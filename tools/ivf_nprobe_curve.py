@@ -35,6 +35,11 @@ def report(spark, sf_dir: str, depths: list[int]) -> dict:
     exact = {}
     for r in exact_pool_topn(spark, sf_dir, _MMR_POOL).collect():
         exact.setdefault(r.question_id, set()).add(r.doc_id)
+    if not exact:
+        # No questions collide with this corpus slice — recall is
+        # undefined, not zero (r12 ADVICE: the mean below would
+        # divide by an empty list).
+        return {"sf_dir": sf_dir, "cells": cells, "curve": {}, "note": "empty exact pool"}
     curve = {}
     for k in depths:
         pools: dict = {}
@@ -62,9 +67,14 @@ def main() -> None:
     i = 0
     while i < len(args):
         if args[i].startswith("--nprobe"):
-            val = args[i].split("=", 1)[1] if "=" in args[i] else args[i + 1]
+            if "=" in args[i]:
+                val, step = args[i].split("=", 1)[1], 1
+            elif i + 1 < len(args):
+                val, step = args[i + 1], 2
+            else:  # trailing space-form flag with no value (r12 ADVICE)
+                sys.exit("--nprobe requires a value (e.g. --nprobe 5,8,12)")
             depths = [int(x) for x in val.split(",")]
-            i += 1 if "=" in args[i] else 2
+            i += step
         else:
             dirs.append(args[i])
             i += 1

@@ -35,6 +35,15 @@ def report(spark, sf_dir: str) -> dict:
         (r.anchor_id, r.positive_id, r.negative_id): r.margin
         for r in specs["q_training_triplets_ann"].fn(spark, sf_dir).collect()
     }
+    # The scaled-geometry distributed miner (r12 verdict #4): cells =
+    # ivf_cells_for(N) with the ratio-preserved deeper probe — at the
+    # demo corpus the probe is exhaustive (nprobe >= cells), so its
+    # overlap vs exact is expected to be ~1.0; at production N the
+    # same plan reads a vanishing fraction.
+    scaled = {
+        (r.anchor_id, r.positive_id, r.negative_id): r.margin
+        for r in specs["q_training_triplets_join"].fn(spark, sf_dir).collect()
+    }
     def mean(vals) -> float | None:
         return round(statistics.mean(vals), 4) if vals else None
 
@@ -42,13 +51,20 @@ def report(spark, sf_dir: str) -> dict:
         "sf_dir": sf_dir,
         "n_exact": len(exact),
         "n_ann": len(ann),
+        "n_scaled": len(scaled),
         # No triplets at all (no anchor has a same-label candidate) is
         # a reportable state, not a crash.
         "triplet_overlap": (
             round(len(set(exact) & set(ann)) / len(exact), 2) if exact else None
         ),
+        "triplet_overlap_scaled": (
+            round(len(set(exact) & set(scaled)) / len(exact), 2)
+            if exact
+            else None
+        ),
         "mean_margin_exact": mean(list(exact.values())),
         "mean_margin_ann": mean(list(ann.values())),
+        "mean_margin_scaled": mean(list(scaled.values())),
     }
 
 
