@@ -647,12 +647,14 @@ _TRIPLET_NPROBE = 8
 # The scaled-geometry mining depth (r12 verdict #4): keep the
 # mining-probes-deeper-than-serving ratio (8/5 = 1.6×) at the
 # calibrated serving depth IVF_NPROBE_SCALED=16 → ceil(16·8/5) = 26.
-# At the demo embeddings corpus this probes most or ALL cells (26 vs
-# 23 cells at N=500 — reported, not hidden: tools/triplet_fidelity.py
-# records overlap 1.0 there because the probe IS exhaustive); at 5B
-# vectors the same depth reads 26/70711 ≈ 0.04% of the layout while
-# per-cell reads stay ~sqrt(N) — the fraction falls with the corpus,
-# which is the whole point of scaling cells.
+# Measured (tools/triplet_fidelity.py, r13): triplet overlap vs the
+# exact miner 1.00 with mean-margin delta 0.0 at BOTH sf0.01 (26 ≥ 23
+# cells — exhaustive at N=500) and sf0.1 (26 of 45 cells, a 58% read
+# that is NOT exhaustive yet still reproduces every exact triplet) —
+# vs the fixed-16 miner's 0.60/0.87. At 5B vectors the same depth
+# reads 26/70711 ≈ 0.04% of the layout while per-cell reads stay
+# ~sqrt(N) — the fraction falls with the corpus, which is the whole
+# point of scaling cells.
 _TRIPLET_NPROBE_SCALED = 26
 
 _EMB_IVF_PROBE_CACHE: dict[tuple, tuple] = {}
@@ -1059,14 +1061,15 @@ def q_training_triplets_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver — cell choice is a broadcast-centroid cross join (K rows
     broadcast), the pool probe is a cell equi-join whose layout scan
     carries DYNAMIC partition pruning (dynamicpruningexpression), and
-    the anchor-slice predicate pushes into the embeddings reader. At
-    the demo corpus the deep mining probe touches all 23 trained
-    cells (26 ≥ 23 — the probe is exhaustive at N=500, reported in
-    the depth constant's comment); at 5B vectors the same plan reads
-    26/70711 ≈ 0.04% of the layout. The oracle derives the SAME cell
-    count via greatest(16, ceil(sqrt(count(*)))) in an expression
-    LIMIT, so the mining-layout sizing rule is cross-engine-checked
-    exactly like the serving layouts'."""
+    the anchor-slice predicate pushes into the embeddings reader.
+    Fidelity (tools/triplet_fidelity.py, r13): triplet overlap 1.00
+    with margin delta 0.0 vs the exact miner at both sf0.01 (26 ≥ 23
+    cells, exhaustive) and sf0.1 (26 of 45 cells — 58% read, not
+    exhaustive) vs the fixed-16 miner's 0.60/0.87; at 5B vectors the
+    same plan reads 26/70711 ≈ 0.04% of the layout. The oracle
+    derives the SAME cell count via greatest(16, ceil(sqrt(count(*))))
+    in an expression LIMIT, so the mining-layout sizing rule is
+    cross-engine-checked exactly like the serving layouts'."""
     return _triplets_from_scored(
         triplet_join_pool(spark, sf_dir, scaled=True)
     )

@@ -1775,9 +1775,10 @@ def _ivf_probe_literals(
     from ..sources.tmputil import session_key
     from .questions import questions_df
 
-    # ``nprobe`` overrides the serving depth (tools/ivf sweeps only —
-    # every registered query keeps the IVF_NPROBE default, so the
-    # cache key carries the depth to keep override pools separate).
+    # ``nprobe`` overrides the IVF_NPROBE serving default (the
+    # tools/ivf curve sweeps, and since r13 the calibrated serving
+    # row q_mmr_ivf_serving at IVF_NPROBE_SCALED); the cache key
+    # carries the depth to keep per-depth pools separate.
     np_eff = IVF_NPROBE if nprobe is None else int(nprobe)
     key = session_key(
         spark,

@@ -80,11 +80,20 @@ def main() -> None:
             and r["mean_margin_exact"] is not None
             else None
         )
+        delta_s = (
+            round(r["mean_margin_scaled"] - r["mean_margin_exact"], 4)
+            if r["mean_margin_scaled"] is not None
+            and r["mean_margin_exact"] is not None
+            else None
+        )
         print(
             f"{d}: exact={r['n_exact']} ann={r['n_ann']} "
             f"triplet_overlap={r['triplet_overlap']} "
             f"mean_margin exact={r['mean_margin_exact']} "
-            f"ann={r['mean_margin_ann']} delta={delta}"
+            f"ann={r['mean_margin_ann']} delta={delta} | "
+            f"scaled: n={r['n_scaled']} "
+            f"overlap={r['triplet_overlap_scaled']} "
+            f"mean_margin={r['mean_margin_scaled']} delta={delta_s}"
         )
 
 
