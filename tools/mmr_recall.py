@@ -35,11 +35,17 @@ def report(spark, sf_dir: str) -> dict:
     ex = _selections(specs["q_mmr_diversify"].fn(spark, sf_dir).collect())
     an = _selections(specs["q_mmr_ann_pool"].fn(spark, sf_dir).collect())
     iv = _selections(specs["q_mmr_ivf_pool"].fn(spark, sf_dir).collect())
+    # The promoted serving point (r13): scaled cells + calibrated
+    # nprobe — its final-selection overlap vs the exact-pool MMR.
+    sv = _selections(specs["q_mmr_ivf_serving"].fn(spark, sf_dir).collect())
     overlaps = [
         len(ex[q] & an.get(q, set())) / len(ex[q]) for q in sorted(ex)
     ]
     overlaps_ivf = [
         len(ex[q] & iv.get(q, set())) / len(ex[q]) for q in sorted(ex)
+    ]
+    overlaps_serving = [
+        len(ex[q] & sv.get(q, set())) / len(ex[q]) for q in sorted(ex)
     ]
     # Pool recall@20 comes from the registered (driver-checkable)
     # report, so the tool and the oracle gate read the same numbers.
@@ -69,6 +75,11 @@ def report(spark, sf_dir: str) -> dict:
         "per_question_ivf": [round(o, 2) for o in overlaps_ivf],
         "mean_pool_recall_ivf": round(sum(pri) / len(pri), 3),
         "min_pool_recall_ivf": round(min(pri), 3),
+        "mean_overlap_serving": round(
+            sum(overlaps_serving) / len(overlaps_serving), 3
+        ),
+        "min_overlap_serving": round(min(overlaps_serving), 3),
+        "per_question_serving": [round(o, 2) for o in overlaps_serving],
     }
 
 

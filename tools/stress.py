@@ -65,6 +65,8 @@ HEAVY = [
     "q_mmr_ann_pool",
     "q_mmr_ivf_pool",
     "q_ivf_recall_scaled",
+    "q_mmr_ivf_serving",
+    "q_training_triplets_join",
     "q_late_interaction",
     "q_prf_expansion",
     "q_vocab_coverage",
