@@ -193,9 +193,16 @@ def kmeans_sql_rounds_ctes(vx_body: str, k: "int | str") -> str:
     passes ``(SELECT greatest(16, CAST(ceil(sqrt(count(*))) AS
     BIGINT)) FROM vx)`` so the oracle derives the cell count from the
     corpus exactly like the engine's ivf_cells_for (api.py)."""
+    # MATERIALIZED (r13): DuckDB 1.0 INLINES every CTE reference, so
+    # a consumer that references a2/c1 more than once — the unrolled
+    # MMR rounds reference their candidate CTE ~3× per round — would
+    # re-run the whole O(N·k) training chain per reference: the
+    # scaled-geometry serving oracle measured >570 s at sf0.1 inlined
+    # vs 3.8 s materialized, byte-identical results (it's an
+    # evaluation hint, not a semantic change).
     def assign(prev: str, rnd: int) -> str:
         d2 = f"round(v.xx - 2*list_dot_product(v.x, c.cv) + c.cc, 6)"
-        return f"""a{rnd} AS (
+        return f"""a{rnd} AS MATERIALIZED (
   SELECT vec_id, cid, d2, x, xx FROM (
     SELECT v.vec_id, c.cid, v.x, v.xx, {d2} AS d2,
            row_number() OVER (PARTITION BY v.vec_id ORDER BY {d2}, c.cid) AS rn
@@ -209,7 +216,7 @@ seeds AS (
   FROM vx ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k}
 ),
 {assign('seeds', 1)},
-c1 AS (
+c1 AS MATERIALIZED (
   SELECT cid, list(cv ORDER BY dim) AS cv,
          list_dot_product(list(cv ORDER BY dim), list(cv ORDER BY dim)) AS cc
   FROM (

@@ -1300,12 +1300,22 @@ def _mmr_round_ctes(prefix: str) -> str:
     """Append the unrolled greedy-selection CTEs + final select to a
     SQL prefix that ends with a ``cand(question_id, doc_id, rel, v)``
     CTE — shared by the exact-pool and ANN-pool MMR oracles (the
-    rounds are pool-agnostic; only candidate generation differs)."""
+    rounds are pool-agnostic; only candidate generation differs).
+
+    The rounds' CTEs are MATERIALIZED: DuckDB 1.0 inlines every CTE
+    reference, and each round references cand twice and its
+    predecessor three times (union + join + NOT EXISTS), so the
+    inlined expansion re-runs the candidate chain — which for the
+    IVF oracles contains the whole k-means train — a multiplicative
+    number of times: the scaled serving oracle measured >570 s at
+    sf0.1 inlined vs 3.8 s materialized, byte-identical results (an
+    evaluation hint, not a semantic change; the Spark side has
+    localCheckpoint for exactly the same reason)."""
     lam, rest = _MMR_LAMBDA_NUM, _MMR_LAMBDA_REST
     ctes = (
         prefix
         + """,
-sel_upto1 AS (
+sel_upto1 AS MATERIALIZED (
   SELECT question_id, doc_id, v, 1 AS mmr_rank, rel AS mmr_score FROM (
     SELECT *, row_number() OVER (PARTITION BY question_id
                                  ORDER BY rel DESC, doc_id) AS rn
@@ -1327,7 +1337,7 @@ scored{t} AS (
                       AND x.doc_id = c.doc_id)
   GROUP BY c.question_id, c.doc_id, c.rel, c.v
 ),
-sel_upto{t} AS (
+sel_upto{t} AS MATERIALIZED (
   SELECT * FROM {prev}
   UNION ALL
   SELECT question_id, doc_id, v, {t} AS mmr_rank, mmr_score FROM (
@@ -1352,7 +1362,7 @@ def _mmr_oracle() -> str:
 WITH {question_values_sql()},
 qv AS (SELECT id AS question_id, embedding AS v FROM {qv}),
 dv AS (SELECT id AS doc_id, embedding AS v FROM {dv}),
-cand AS (
+cand AS MATERIALIZED (
   SELECT question_id, doc_id, rel, v FROM (
     SELECT qv.question_id, dv.doc_id,
            round(list_dot_product(qv.v, dv.v), 6) AS rel, dv.v,
@@ -1577,7 +1587,7 @@ pairs AS (
   SELECT question_id, doc_id, max(rel) AS rel
   FROM hits GROUP BY question_id, doc_id
 ),
-cand AS (
+cand AS MATERIALIZED (
   SELECT question_id, doc_id, rel, v FROM (
     SELECT p.question_id, p.doc_id, p.rel, dv.v,
            row_number() OVER (PARTITION BY p.question_id
@@ -1963,7 +1973,7 @@ WITH {question_values_sql()},
 qv AS (SELECT id AS question_id, embedding AS v FROM {qv}),
 dv AS (SELECT id AS doc_id, embedding AS v FROM {dv}),
 {_ivf_leg_ctes(scaled=scaled, nprobe=nprobe)},
-cand AS (
+cand AS MATERIALIZED (
   SELECT question_id, doc_id, rel, v FROM (
     SELECT *, row_number() OVER (PARTITION BY question_id
                                  ORDER BY rel DESC, doc_id) AS rk
