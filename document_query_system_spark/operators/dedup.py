@@ -110,7 +110,7 @@ _BANDS_SQL = (
          minhash
   FROM sig
 ),
-keyed AS (
+keyed AS MATERIALIZED (
   SELECT doc_id, band,
          (minhash[band * 2 + 1] * 31 + minhash[band * 2 + 2]) % {P} AS band_key,
          minhash
@@ -264,7 +264,7 @@ HAMMING_MAX = 2  # near-dup threshold on the 16-bit fingerprint
     "q_dedup_simhash_pairs",
     oracle=_SIMHASH_CTE
     + f"""
-, banded AS (
+, banded AS MATERIALIZED (
   SELECT doc_id, simhash,
          simhash % 256 AS lo_band, simhash // 256 AS hi_band
   FROM sh
@@ -332,7 +332,7 @@ sh AS (
          list_distinct({_shingle_hashes_sql('ths')}) AS sset
   FROM th
 ),
-b AS (SELECT doc_id, lang, n_tok // 16 AS size_bucket, sset FROM sh
+b AS MATERIALIZED (SELECT doc_id, lang, n_tok // 16 AS size_bucket, sset FROM sh
       WHERE len(sset) > 0),
 pairs AS (
   SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
@@ -472,9 +472,9 @@ sh AS (
          list_distinct({_shingle_hashes_sql('ths')}) AS sset
   FROM th
 ),
-b AS (SELECT doc_id, lang, n_tok // 16 AS size_bucket, len(sset) AS sz, sset
+b AS MATERIALIZED (SELECT doc_id, lang, n_tok // 16 AS size_bucket, len(sset) AS sz, sset
       FROM sh WHERE len(sset) > 0),
-ex AS (SELECT doc_id, lang, size_bucket, sz, unnest(sset) AS shingle FROM b),
+ex AS MATERIALIZED (SELECT doc_id, lang, size_bucket, sz, unnest(sset) AS shingle FROM b),
 df AS (SELECT lang, size_bucket, shingle, count(*) AS df FROM ex GROUP BY ALL),
 kept AS (
   SELECT e.doc_id, e.lang, e.size_bucket, e.sz, e.shingle
@@ -482,7 +482,7 @@ kept AS (
                    AND e.shingle = df.shingle
   WHERE df.df <= {NGRAM_DF_CAP}
 ),
-cs AS (SELECT doc_id, lang, size_bucket, any_value(sz) AS sz,
+cs AS MATERIALIZED (SELECT doc_id, lang, size_bucket, any_value(sz) AS sz,
               list(shingle) AS cset
        FROM kept GROUP BY doc_id, lang, size_bucket),
 pairs AS (
@@ -534,7 +534,7 @@ def _tier_eval_sql() -> str:
     return (
         _BANDS_SQL
         + f""",
-cand AS (
+cand AS MATERIALIZED (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM keyed a JOIN keyed b
     ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
@@ -543,12 +543,12 @@ th2 AS (SELECT doc_id, lang, {token_hashes_sql('text')} AS ths FROM documents),
 sh2 AS (SELECT doc_id, lang, len(ths) AS n_tok,
                list_distinct({_shingle_hashes_sql('ths')}) AS sset
         FROM th2),
-b2 AS (SELECT doc_id, lang, n_tok // 16 AS size_bucket, sset FROM sh2
+b2 AS MATERIALIZED (SELECT doc_id, lang, n_tok // 16 AS size_bucket, sset FROM sh2
        WHERE len(sset) > 0),
-truth AS (
+truth AS MATERIALIZED (
   SELECT doc_a, doc_b FROM ({truth_pairs}) WHERE jaccard >= {JACCARD_MIN}
 ),
-tp AS (SELECT doc_a, doc_b FROM cand INTERSECT SELECT doc_a, doc_b FROM truth)
+tp AS MATERIALIZED (SELECT doc_a, doc_b FROM cand INTERSECT SELECT doc_a, doc_b FROM truth)
 SELECT CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
        CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
        CAST((SELECT count(*) FROM tp) AS BIGINT) AS n_tp,
@@ -616,7 +616,7 @@ def q_dedup_tier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_dedup_clusters",
     oracle=_BANDS_SQL.replace("\nWITH ", "\nWITH RECURSIVE ", 1)
     + f"""
-, edges AS (
+, edges AS MATERIALIZED (
   SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
   FROM keyed a JOIN keyed b
     ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
@@ -624,7 +624,7 @@ def q_dedup_tier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                         i -> a.minhash[i] = b.minhash[i])) * 2 >= {N_PERM}
 ),
 nodes AS (SELECT DISTINCT src AS v FROM edges UNION SELECT DISTINCT dst FROM edges),
-undirected AS (
+undirected AS MATERIALIZED (
   SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
 ),
 reach(v, r) AS (
@@ -783,7 +783,7 @@ def connected_components(edges: DataFrame, max_rounds: int = CC_MAX_ROUNDS):
     "q_dedup_keep_canonical",
     oracle=_BANDS_SQL.replace("\nWITH ", "\nWITH RECURSIVE ", 1)
     + f"""
-, edges AS (
+, edges AS MATERIALIZED (
   SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
   FROM keyed a JOIN keyed b
     ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
@@ -791,7 +791,7 @@ def connected_components(edges: DataFrame, max_rounds: int = CC_MAX_ROUNDS):
                         i -> a.minhash[i] = b.minhash[i])) * 2 >= {N_PERM}
 ),
 nodes AS (SELECT DISTINCT src AS v FROM edges UNION SELECT DISTINCT dst FROM edges),
-undirected AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+undirected AS MATERIALIZED (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
 reach(v, r) AS (
   SELECT v, v FROM nodes
   UNION
@@ -987,7 +987,7 @@ def _emb_lsh_sql() -> str:
     return f"""
 WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 bl AS (SELECT vec_id, label, v, {_bucket_list_sql('v')} AS bl FROM e),
-bk AS (SELECT vec_id, label, v, t.i AS tbl, bl[CAST(t.i AS INT) + 1] AS bkt
+bk AS MATERIALIZED (SELECT vec_id, label, v, t.i AS tbl, bl[CAST(t.i AS INT) + 1] AS bkt
        FROM bl CROSS JOIN generate_series(0, {N_TABLES - 1}) t(i))
 SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round(list_dot_product(a.v, b.v)
@@ -1063,7 +1063,7 @@ _LEV_BAND = 32  # length-band width in chars (finer band = fewer pairs/block)
 @register(
     "q_dedup_levenshtein",
     oracle=f"""
-WITH d AS (
+WITH d AS MATERIALIZED (
   SELECT doc_id, lang,
          CAST(floor(n_chars / {_LEV_BAND}) AS BIGINT) AS len_band,
          substr(lower(text), 1, {_LEV_PROBE}) AS probe

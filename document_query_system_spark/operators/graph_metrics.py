@@ -247,20 +247,32 @@ _KCORE_ROUNDS = 4
 
 
 def _kcore_sql() -> str:
+    # r13 oracle-cost rewrite, results byte-identical: (1) MATERIALIZED
+    # everywhere a CTE is referenced more than once — each round
+    # references its predecessor three times, so DuckDB's default CTE
+    # inlining re-evaluated the whole chain back through the distinct
+    # edge self-join ~3^rounds times; (2) the per-round degree count
+    # runs over the BIDIRECTED edge list with two node equi-joins (the
+    # exact shape the Spark side executes) instead of the original
+    # ``ON e.u = n.node OR e.v = n.node`` OR-join, which DuckDB can
+    # only run as a nested loop over nodes×edges. A node's incident
+    # count over bi (src = node, dst surviving) equals its undirected
+    # degree (u < v, no self-loops), degree-0 nodes vanish from the
+    # inner join exactly as the d >= K filter would drop them, and the
+    # final report keeps its LEFT JOIN so core members whose round-4
+    # degree recomputes to 0 still report core_deg 0. Measured 144 s
+    # at sf0.1 inlined → 60 s materialized → ~1 s in this form.
     rounds = []
     prev = "n0"
     for k in range(1, _KCORE_ROUNDS + 1):
         rounds.append(
-            f"""n{k} AS (
-  SELECT node FROM (
-    SELECT n.node, count(e.u) AS d
-    FROM {prev} n
-    LEFT JOIN (SELECT u, v FROM edges
-               WHERE u IN (SELECT node FROM {prev})
-                 AND v IN (SELECT node FROM {prev})) e
-      ON e.u = n.node OR e.v = n.node
-    GROUP BY n.node)
-  WHERE d >= {_KCORE_K}
+            f"""n{k} AS MATERIALIZED (
+  SELECT b.src AS node
+  FROM bi b
+  JOIN {prev} p1 ON b.src = p1.node
+  JOIN {prev} p2 ON b.dst = p2.node
+  GROUP BY b.src
+  HAVING count(*) >= {_KCORE_K}
 )"""
         )
         prev = f"n{k}"
@@ -271,19 +283,27 @@ WITH li AS (
   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
   WHERE o.o_orderpriority = '{_TRI_PRIORITY}'
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT DISTINCT a.pk AS u, b.pk AS v
   FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
 ),
-n0 AS (SELECT u AS node FROM edges UNION SELECT v FROM edges),
-{rounds_sql}
-SELECT n.node AS node, CAST(count(e.u) AS BIGINT) AS core_deg
+bi AS MATERIALIZED (
+  SELECT u AS src, v AS dst FROM edges
+  UNION ALL
+  SELECT v AS src, u AS dst FROM edges
+),
+n0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM bi),
+{rounds_sql},
+deg AS (
+  SELECT b.src AS node, count(*) AS d
+  FROM bi b
+  JOIN {prev} p1 ON b.src = p1.node
+  JOIN {prev} p2 ON b.dst = p2.node
+  GROUP BY b.src
+)
+SELECT n.node AS node, CAST(coalesce(d.d, 0) AS BIGINT) AS core_deg
 FROM {prev} n
-LEFT JOIN (SELECT u, v FROM edges
-           WHERE u IN (SELECT node FROM {prev})
-             AND v IN (SELECT node FROM {prev})) e
-  ON e.u = n.node OR e.v = n.node
-GROUP BY n.node
+LEFT JOIN deg d ON d.node = n.node
 """
 
 
