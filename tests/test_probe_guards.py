@@ -120,6 +120,31 @@ def test_triplet_pool_auto_accepts_custom_anchors(spark):
     assert via_auto == via_join
 
 
+def test_serving_probe_fold_is_bounded_by_calibrated_depth(spark):
+    """The calibrated serving row's literal fold (q_mmr_ivf_serving's
+    probe) must collect AT MOST |questions|·IVF_NPROBE_SCALED rows —
+    the bounded-driver-collect contract every literal-fold probe
+    carries — and each question must probe exactly min(nprobe, cells)
+    distinct cells of the scaled geometry."""
+    from document_query_system_spark.api import (
+        IVF_NPROBE_SCALED,
+        ensure_vector_index_ivf_scaled,
+    )
+    from document_query_system_spark.operators import pipeline as P
+
+    _, _, cells = ensure_vector_index_ivf_scaled(spark, SF_DIR)
+    qb_rows, probe_cells = P._ivf_probe_literals(
+        spark, SF_DIR, scaled=True, nprobe=IVF_NPROBE_SCALED
+    )
+    per_q: dict = {}
+    for qid, _v, cell in qb_rows:
+        per_q.setdefault(qid, set()).add(cell)
+    want = min(IVF_NPROBE_SCALED, cells)
+    assert per_q and all(len(cs) == want for cs in per_q.values())
+    assert len(qb_rows) == len(per_q) * want
+    assert set(probe_cells) == set().union(*per_q.values())
+
+
 def test_scaled_join_pool_differs_only_in_geometry(spark):
     """The scaled mining pool (q_training_triplets_join's source) has
     the literal-fold pool's exact schema, and at the fixture's
