@@ -82,8 +82,26 @@ def main() -> None:
             cfg.addLogger(name, lc)
         lc.addFilter(b.build())
         ctx.updateLoggers()
-    except Exception:  # pragma: no cover - non-log4j2 deployments
-        pass
+    except Exception as exc:  # pragma: no cover - non-log4j2 deployments
+        # r13 ADVICE: a silent pass here left DAGScheduler fully
+        # verbose when the filter wiring failed (older log4j-core,
+        # alternate backend) — accumulator traces could again land
+        # above the BENCH JSON line. Fall back to the coarse pre-r13
+        # level mute and say so on stderr, so the failure is visible
+        # and the recorded tail stays clean either way.
+        print(
+            f"BENCH-WARN DAGScheduler message filter install failed ({exc}); "
+            "falling back to level=FATAL mute",
+            file=sys.stderr,
+        )
+        try:
+            jvm = spark._jvm
+            jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+                "org.apache.spark.scheduler.DAGScheduler",
+                jvm.org.apache.logging.log4j.Level.FATAL,
+            )
+        except Exception:
+            pass
     specs = registry.all_specs()
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
     if only:
@@ -161,6 +179,39 @@ def main() -> None:
         golden_attrib[tag] = rec
         return wall
 
+    # B-lane acceptance gate (r13 verdict #2): BENCH_r13's B2 read
+    # 0.362 s/query THROUGH 8.8 s of JIT compilation inside the timed
+    # run (r12: 55 ms) — min-of-2-after-warmup is not robust to a
+    # loaded/cold driver box. Repeat each B-lane run until its
+    # jit_ms_delta falls below the gate (default 500 ms) — collecting
+    # up to two qualifying runs, the old min-of-2 under quiet
+    # conditions — or a max of 4 attempts; report the min QUALIFYING
+    # wall, and keep every run's attribution in golden_attrib so the
+    # artifact itself proves whether a quiet window existed.
+    _JIT_GATE_MS = int(os.environ.get("SPARK_GRAFT_JIT_GATE_MS", "500"))
+    _BLANE_MAX_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_BLANE_ATTEMPTS", "4"))
+
+    def _gated_min(tag: str, thunk) -> float:
+        walls_q: list[float] = []
+        walls_all: list[float] = []
+        for i in range(_BLANE_MAX_ATTEMPTS):
+            wall = _attrib_run(f"{tag}_run{i}", thunk)
+            rec = golden_attrib[f"{tag}_run{i}"]
+            walls_all.append(wall)
+            jit = rec.get("jit_ms_delta")
+            qualified = jit is None or jit <= _JIT_GATE_MS
+            rec["qualified"] = qualified
+            if qualified:
+                walls_q.append(wall)
+                if len(walls_q) >= 2:
+                    break
+        golden_attrib[f"{tag}_gate"] = {
+            "attempts": len(walls_all),
+            "qualifying_runs": len(walls_q),
+            "jit_gate_ms": _JIT_GATE_MS,
+        }
+        return min(walls_q) if walls_q else min(walls_all)
+
     # BASELINE.md headline benches — measured BEFORE the two full
     # suite passes (r8 verdict #1): B1/B2/B3 are reference-envelope
     # comparators, not suite members. Measuring them here, on a JVM
@@ -198,44 +249,39 @@ def main() -> None:
             )
         )
         n_docs = docs.count()
+
         # B1 embeds via the engine's production index-build path (the
         # Arrow embedder — what ensure_vector_index runs; bit-identical
         # to the SQL fold, measured 19× at exactly this workload).
-        t0 = time.perf_counter()
-        embed_pandas(docs, "text", keep=["doc_id"]).write.mode(
-            "overwrite"
-        ).parquet(tmp_path("bench_embeddings.parquet"))
-        b1 = time.perf_counter() - t0
+        # JIT-gated like the other lanes (r13 verdict #2): the first
+        # attempt doubles as the plan's warm run when the box is cold —
+        # its JIT delta disqualifies it and a retry supplies the
+        # steady-state wall.
+        def _b1_once() -> None:
+            embed_pandas(docs, "text", keep=["doc_id"]).write.mode(
+                "overwrite"
+            ).parquet(tmp_path("bench_embeddings.parquet"))
+
+        b1 = _gated_min("b1", _b1_once)
         baseline["b1_index_docs_per_sec"] = round(n_docs / b1, 1)
         baseline["b1_batch_docs"] = n_docs
         baseline["b1_wall_sec"] = round(b1, 3)
 
-        def _steady(name: str) -> float:
+        def _steady(name: str, tag: str) -> float:
             fn = specs[name].fn
             _force(fn(spark, sf_dir))  # untimed: codegen + JIT warm
-            best = float("inf")
-            for i in range(2):
-                if name == _ATTRIB_QUERY:
-                    wall = _attrib_run(
-                        f"b2_run{i}", lambda: _force(fn(spark, sf_dir))
-                    )
-                else:
-                    t0 = time.perf_counter()
-                    _force(fn(spark, sf_dir))
-                    wall = time.perf_counter() - t0
-                best = min(best, wall)
-            return best
+            return _gated_min(tag, lambda: _force(fn(spark, sf_dir)))
 
         # B2/B3 divide by the 10-question batch: the reference runs
         # its per-question searches SEQUENTIALLY (BASELINE.md), so
         # sec-per-question is the comparable unit.
         if "q_golden_vector_search" in specs:
             baseline["b2_vector_sec_per_query"] = round(
-                _steady("q_golden_vector_search") / 10, 4
+                _steady("q_golden_vector_search", "b2") / 10, 4
             )
         if "q_topk_per_question" in specs:
             baseline["b3_keyword_sec_per_query"] = round(
-                _steady("q_topk_per_question") / 10, 4
+                _steady("q_topk_per_question", "b3") / 10, 4
             )
     except Exception as exc:  # pragma: no cover
         print(f"BENCH-ERROR baseline: {exc}", file=sys.stderr)

@@ -172,6 +172,36 @@ def ivf_cells_for(n_vectors: int) -> int:
     return max(IVF_CELLS, math.ceil(math.sqrt(n_vectors)))
 
 
+#: Retrain-trigger factor for the corpus-adaptive IVF layouts (r13
+#: verdict #3): appends hold centroids fixed, so as the corpus grows
+#: the sizing rule ivf_cells_for(N_now) drifts away from the trained
+#: cell count — per-cell population grows ∝ N/cells and probe cost
+#: with it. 1.5× means a retrain roughly every 2.25× corpus growth
+#: (cells ~ √N), i.e. O(log N) rebuilds over any growth curve, each
+#: a full partitionBy rewrite the builder already implements.
+#: Shrink drift (mass deletes) triggers at the reciprocal.
+IVF_RETRAIN_FACTOR = 1.5
+
+
+def ivf_retrain_due(trained_cells: int, n_vectors_now: int) -> bool:
+    """The scheduled-rebuild half of the IVF lifecycle, as a CHEAP
+    count + constant compare (no vector reads): True when the sizing
+    rule's answer for the corpus as it stands now deviates from the
+    trained geometry by ≥ IVF_RETRAIN_FACTOR in either direction.
+    A maintenance job runs ``ivf_retrain_due(cells, index.count())``
+    per batch — one bounded metadata aggregate — and on True rebuilds
+    via ensure_vector_index_ivf_scaled under the new cells tag (the
+    two geometries coexist; serving flips when the rewrite commits,
+    the same blue/green swap the reference delegates to Pinecone's
+    index create/connect lifecycle, ref:
+    src/services/vector_engine/pinecone_manager.py:19-59). Appends
+    between triggers go through operators/pipeline.incremental_ivf.
+    Pinned in tests/test_layout.py (boundary cases + the freshly
+    trained layout reporting not-due)."""
+    ratio = ivf_cells_for(n_vectors_now) / float(trained_cells)
+    return ratio >= IVF_RETRAIN_FACTOR or ratio <= 1.0 / IVF_RETRAIN_FACTOR
+
+
 _VECTOR_IVF_SCALED_READY: dict[tuple, tuple[str, str, int]] = {}
 
 

@@ -928,6 +928,14 @@ def triplet_pool_auto(
             n = _triplet_anchors(spark, sf_dir).count()
             _TRIPLET_ANCHOR_COUNT_CACHE[key] = n
     else:
+        # r13 ADVICE: a caller-supplied anchors plan was computed twice
+        # (once for the routing count, again inside the chosen pool
+        # builder) — a non-deterministic source could route on a size
+        # inconsistent with the rows actually mined, and deterministic
+        # ones paid the plan twice. Truncate lineage so the count
+        # materializes the blocks once and the mining pass re-reads
+        # them: routing and mining see ONE materialization.
+        anchors = anchors.localCheckpoint(eager=False)
         n = anchors.count()
     if n <= _TRIPLET_FOLD_MAX_ANCHORS:
         return triplet_ann_pool(spark, sf_dir, anchors=anchors)

@@ -665,14 +665,19 @@ def q_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _inc_ivf_oracle() -> str:
+def _inc_ivf_oracle(scaled: bool = False) -> str:
     """Full-rebuild oracle for incremental_ivf: train on the whole
     corpus (the stored layout's own training set), assign every doc,
-    aggregate per cell — what the engine's base∪delta must equal."""
+    aggregate per cell — what the engine's base∪delta must equal.
+    ``scaled=True`` trains greatest(16, ceil(sqrt(N))) cells — the
+    corpus-adaptive geometry of ensure_vector_index_ivf_scaled — so
+    the PROMOTED serving layout's delta path is rebuild-checked at
+    its own cell count (r13 verdict #3), not just the fixed floor."""
     from ..api import IVF_CELLS
     from ..functions.embed import embed_subquery_sql
     from .clustering import kmeans_sql_rounds_ctes
 
+    k = _IVF_CELLS_SQL_SCALED if scaled else IVF_CELLS
     dv = embed_subquery_sql("documents", "doc_id", "text")
     vx_body = f"""
   SELECT id AS vec_id, embedding AS x,
@@ -680,7 +685,7 @@ def _inc_ivf_oracle() -> str:
   FROM (SELECT id, embedding FROM {dv})
 """
     return f"""
-WITH {kmeans_sql_rounds_ctes(vx_body, IVF_CELLS)}
+WITH {kmeans_sql_rounds_ctes(vx_body, k)}
 SELECT CAST(cid AS BIGINT) AS cell,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(vec_id) AS BIGINT) AS id_sum,
@@ -689,7 +694,9 @@ FROM a2 GROUP BY cid
 """
 
 
-def incremental_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def incremental_ivf(
+    spark: SparkSession, sf_dir: str, scaled: bool = False
+) -> DataFrame:
     """Incremental maintenance of the TRAINED IVF layout — the vector
     serving layout's delta path, completing the index-lifecycle
     family next to q_incremental_lsh (buckets), q_incremental_bm25
@@ -704,21 +711,36 @@ def incremental_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     first-component vector checksum — which the oracle computes from
     a FULL rebuild, proving append ≡ rebuild for the trained layout.
 
+    ``scaled=True`` (r13 verdict #3) runs the same delta path against
+    the PROMOTED serving layout — the corpus-adaptive geometry of
+    ensure_vector_index_ivf_scaled that q_mmr_ivf_serving probes — so
+    the production default's append path is exercised, not only the
+    fixed-16 floor. Same broadcast-assign, same checksums; only the
+    stored centroids (and so the cell space) differ.
+
     Scale: delta cost ∝ batch (Arrow embed + one broadcast map);
     appending the delta's rows into the cell directories is the same
     partitionBy write the builder uses, cost ∝ batch. The caveat a
     real deployment owns: appends hold CENTROIDS fixed — on drift the
-    quantizer retrains and the layout rewrites (ensure_vector_index_
-    ivf), which is the scheduled-rebuild half of the lifecycle.
+    quantizer retrains and the layout rewrites. WHEN to retrain is
+    now a stated rule, not a docstring wave: api.ivf_retrain_due
+    (cheap count + constant compare) fires when ivf_cells_for(N_now)
+    drifts ≥ IVF_RETRAIN_FACTOR from the trained cell count, and the
+    rebuild is the same ensure_* builder under a fresh cells tag.
 
-    Registered in r12 (r11's rotation prefix had exactly 50 slots:
-    2 new + 1 changed + the 47 r6-vintage refreshes); until then the
-    oracle-parity check lives in tests/test_layout.py."""
-    from ..api import ensure_vector_index_ivf
+    Library-only this round (the r14 rotation budget is zero new
+    registrations); oracle-parity pinned for BOTH geometries in
+    tests/test_layout.py, driver row planned for r15."""
+    from ..api import ensure_vector_index_ivf, ensure_vector_index_ivf_scaled
     from ..functions.embed import dot, embed_pandas
     from .clustering import _assign, _cents_df
 
-    layout, cents_path = ensure_vector_index_ivf(spark, sf_dir)
+    if scaled:
+        layout, cents_path, _cells = ensure_vector_index_ivf_scaled(
+            spark, sf_dir
+        )
+    else:
+        layout, cents_path = ensure_vector_index_ivf(spark, sf_dir)
     base = (
         spark.read.parquet(layout)
         .filter(F.col("doc_id") % _INC_LSH_MOD != 0)

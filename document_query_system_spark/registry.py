@@ -92,83 +92,127 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # first (in listed order), then everything else in registration order.
 # Unknown names fail loudly (a typo would silently burn a prefix slot).
 #
-# Round-13 prefix (r12 verdict "Next round" #1): rotation stays on
-# ROW AGE. Order: (1) the 3 staged rows-only stragglers — r12's
-# positions 51-53, promoted to the head exactly as ordered
-# (q_bpe_tokens r7, q_agg_approx_distinct r5, q_ann_mllib_lsh r6 —
-# the oldest rows of any kind in the ledger); (2) the round's TWO new
-# registrations (verdict #2: q_mmr_ivf_serving — the scaled-geometry
-# serving row at the curve-calibrated nprobe; verdict #3:
-# q_training_triplets_join — the distributed join-path miner's own
-# driver row, at the scaled mining layout of verdict #4); (3) the 45
-# ORACLED r8-vintage rows — the oldest oracled rows — so the oldest
-# ORACLED vintage becomes r9, the verdict bar. 3 + 2 + 45 = exactly
-# the 50 driver slots. q_training_triplets_ann re-routes through
-# triplet_pool_auto this round but its executed path and results are
-# byte-identical (test_probe_guards pin), so it takes no slot — the
-# r11-precedented rule for bit-identically-changed implementations.
-# Positions 51+ stage the next-oldest re-observations for whatever
-# the driver reaches (and for r14's prefix otherwise): the 3
-# r8-vintage rows-only sketch queries (deferring them cannot age any
-# hash-green row).
+# Round-14 prefix (r13 verdict "Next round" #1): rotation stays on
+# ROW AGE, budget ZERO new/changed registrations — the registry's own
+# r14 note said so and the verdict repeated it; all new operator work
+# this round (scaled-IVF incremental maintenance + retrain trigger)
+# lands as library + tests and registers in r15. Order: (1) the 3
+# staged r8-vintage rows-only KLL sketch rows — r13's positions 51-53,
+# promoted to head the prefix exactly as the verdict orders
+# (q_agg_percentiles_approx, q_quantile_bins_approx, q_winsorize_approx
+# — the oldest rows of any kind left in the ledger, each rows-only by
+# design with a local KLL error-bound check in tests/test_oracle.py);
+# (2) the 47 r9-VINTAGE ORACLED rows — the oldest oracled rows — so
+# the oldest ORACLED vintage becomes r10, the verdict bar.
+# 3 + 47 = exactly the 50 driver slots. Positions 51+ stage the
+# next-oldest re-observations (the full 49-row r10-vintage cohort)
+# for whatever the driver reaches, and as the ready-made r15 prefix
+# tail behind r15's new registrations (planned: the scaled-IVF
+# incremental-maintenance row).
 _ROTATION_PREFIX: tuple[str, ...] = (
-    # --- staged rows-only stragglers (r12 verdict #1, two rounds due) ---
-    "q_bpe_tokens",  # rows-only by construction, last row r7
-    "q_agg_approx_distinct",  # rows-only straggler, last row r5
-    "q_ann_mllib_lsh",  # rows-only straggler, last row r6
-    # --- the two new r13 registrations ---
-    "q_mmr_ivf_serving",  # NEW: scaled cells + calibrated nprobe serving
-    "q_training_triplets_join",  # NEW: distributed miner, scaled layout
-    # --- r8-vintage refresh (the 45 oracled rows) ---
-    "q_agg_cube",
-    "q_agg_percentiles",
-    "q_agg_stats",
-    "q_audio_rms",
-    "q_bitwise_funcs",
-    "q_classifier_calibration",
-    "q_collation_group",
-    "q_dedup_tier_eval",
-    "q_embed_hash",
-    "q_entity_resolution",
-    "q_exists_subquery",
-    "q_frame_sample",
-    "q_grouping_sets",
-    "q_hard_negatives",
-    "q_image_decode_stats",
-    "q_image_resize",
-    "q_incremental_bm25",
-    "q_k_anonymity",
-    "q_kcore",
-    "q_lateral_topk",
-    "q_local_supplier_volume",
-    "q_matryoshka_recall",
-    "q_media_metadata",
-    "q_ndcg_eval",
-    "q_pagerank",
-    "q_pipe_syntax",
-    "q_pivot_lang_source",
-    "q_python_datasource",
-    "q_range_frame",
-    "q_readability",
-    "q_recursive_bfs",
-    "q_rrf_fusion",
-    "q_scalar_subquery",
-    "q_scan_lineitem",
-    "q_scan_part_pruned",
-    "q_shipping_priority",
-    "q_skew_salted_agg",
-    "q_sliding_chunks",
-    "q_source_xml",
-    "q_sql_udf",
-    "q_stream_anomaly",
-    "q_temperature_mix",
-    "q_variant_funcs",
-    "q_vector_topk",
-    "q_winsorize",
-    # --- positions 51+: staged re-observations (r14 prefix heads) ---
+    # --- staged rows-only KLL rows (r13 verdict #1; last rows r8) ---
     "q_agg_percentiles_approx",  # rows-only by design (KLL), last row r8
     "q_quantile_bins_approx",  # rows-only by design (KLL), last row r8
     "q_winsorize_approx",  # rows-only by design (KLL), last row r8
+    # --- r9-vintage refresh (the 47 oracled rows) ---
+    "q_agg_pricing_summary",
+    "q_agg_wordcount",
+    "q_api_run_keyword",
+    "q_api_run_vector",
+    "q_array_funcs",
+    "q_cross_score",
+    "q_date_funcs",
+    "q_dedup_hash",
+    "q_embed_pandas",
+    "q_embed_quantize_int8",
+    "q_except",
+    "q_extract_cascade",
+    "q_filter_chunk_type",
+    "q_fingerprint",
+    "q_http_ingest",
+    "q_intersect",
+    "q_join_asof",
+    "q_json_corrupt_tolerant",
+    "q_json_funcs",
+    "q_l2_normalize",
+    "q_lag_lead",
+    "q_lang_id",
+    "q_map_funcs",
+    "q_math_funcs",
+    "q_merge_small_chunks",
+    "q_paragraph_explode",
+    "q_prf_expansion",
+    "q_quality_score",
+    "q_rank_family",
+    "q_regex_sections",
+    "q_running_sum",
+    "q_sentence_split",
+    "q_session_window",
+    "q_sort_limit",
+    "q_source_csv",
+    "q_source_json",
+    "q_source_orc",
+    "q_string_funcs",
+    "q_table_flatten",
+    "q_token_count",
+    "q_topk_per_group",
+    "q_topk_per_question",
+    "q_tumbling_window",
+    "q_udtf_sentences",
+    "q_union_all",
+    "q_union_distinct",
+    "q_vector_topk_filtered",
+    # --- positions 51+: staged re-observations (the r10-vintage ---
+    # --- cohort, in name order; the ready-made r15 prefix tail)  ---
+    "q_agg_distinct",
+    "q_agg_doc_stats",
+    "q_agg_index_stats",
+    "q_agg_rollup",
+    "q_agg_success_rate",
+    "q_answer_summary",
+    "q_binaryfile_scan",
+    "q_bucketed_join",
+    "q_corpus_datacard",
+    "q_delete_anti_join",
+    "q_extract_chunks",
+    "q_extract_real_containers",
+    "q_extract_sniff",
+    "q_extract_tables",
+    "q_extract_text",
+    "q_filter_isin",
+    "q_filter_length",
+    "q_filter_range",
+    "q_golden_vector_search",
+    "q_hybrid_rrf",
+    "q_incremental_index",
+    "q_incremental_lsh",
+    "q_join_broadcast",
+    "q_join_hash",
+    "q_join_left_nomatch",
+    "q_join_range",
+    "q_join_semi",
+    "q_join_sortmerge",
+    "q_late_interaction",
+    "q_mime_sniff",
+    "q_mmr_ann_pool",
+    "q_mmr_diversify",
+    "q_ocr_text",
+    "q_partition_pruned_read",
+    "q_project_truncate",
+    "q_retention_sweep",
+    "q_sliding_window_events",
+    "q_stream_dedup",
+    "q_stream_python_source",
+    "q_stream_python_source_partitioned",
+    "q_stream_session",
+    "q_stream_stateful_counts",
+    "q_stream_stream_join",
+    "q_stream_tumbling",
+    "q_stream_upsert_foreachbatch",
+    "q_to_json",
+    "q_training_triplets",
+    "q_upsert_last_writer",
+    "q_vocab_coverage",
 )
 
 

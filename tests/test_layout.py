@@ -142,3 +142,80 @@ def test_incremental_ivf_append_equals_rebuild(spark, duck):
     )
     want = sorted(tuple(r) for r in duck.execute(_inc_ivf_oracle()).fetchall())
     assert got == want
+
+
+def test_incremental_ivf_scaled_append_equals_rebuild(spark, duck):
+    """r13 verdict #3: the PROMOTED serving layout (corpus-adaptive
+    cells, what q_mmr_ivf_serving probes) gets the same append ≡
+    rebuild proof as the fixed floor — base-minus-batch ∪
+    batch-assigned-to-the-SCALED-layout's-stored-centroids must equal
+    the full-rebuild per-cell checksums of a DuckDB retrain at
+    greatest(16, ceil(sqrt(N))) cells. Until this round the
+    production default's delta path was unexercised (only the
+    fixed-16 geometry had the parity pin)."""
+    from document_query_system_spark.operators.pipeline import (
+        _inc_ivf_oracle,
+        incremental_ivf,
+    )
+
+    got = sorted(
+        tuple(r) for r in incremental_ivf(spark, SF_DIR, scaled=True).collect()
+    )
+    want = sorted(
+        tuple(r) for r in duck.execute(_inc_ivf_oracle(scaled=True)).fetchall()
+    )
+    assert got == want
+
+
+def test_ivf_retrain_trigger_boundaries():
+    """api.ivf_retrain_due — the stated retrain rule (r13 verdict #3):
+    fires when ivf_cells_for(N_now) drifts ≥1.5× from the trained
+    cell count, in either direction, and not before."""
+    from document_query_system_spark.api import (
+        IVF_RETRAIN_FACTOR,
+        ivf_cells_for,
+        ivf_retrain_due,
+    )
+
+    assert IVF_RETRAIN_FACTOR == 1.5
+    # Freshly trained: the rule's own answer is never due.
+    for n in (100, 500, 5_000, 1_000_000):
+        assert not ivf_retrain_due(ivf_cells_for(n), n)
+    # Growth: trained at N=500 (23 cells); due exactly when
+    # ceil(sqrt(N)) reaches 1.5*23 = 34.5 → 35 cells → N > 34².
+    trained = ivf_cells_for(500)
+    assert trained == 23
+    assert not ivf_retrain_due(trained, 34 * 34)  # 34 cells: 1.48×
+    assert ivf_retrain_due(trained, 34 * 34 + 1)  # 35 cells: 1.52×
+    # 10× corpus growth is far past the bar.
+    assert ivf_retrain_due(trained, 5_000)
+    # Shrink (mass deletes): reciprocal bound. 23 → 15 cells is
+    # 0.652 (> 2/3), not due; collapse to the 16-cell floor is due.
+    assert not ivf_retrain_due(trained, 15 * 15)
+    assert ivf_retrain_due(ivf_cells_for(10_000), 500)
+
+
+def test_ivf_scaled_layout_fresh_not_due(spark):
+    """Integration: the live check is one bounded count + a constant
+    compare — the freshly built scaled layout reports not-due against
+    its own corpus, and the layout's cell count is exactly
+    ivf_cells_for(stored index rows). Also pins the 1:1
+    index-per-document invariant the q_mmr_ivf_serving oracle leans
+    on (r13 ADVICE: the engine derives serving cells from the stored
+    vector index count while the oracle re-derives them from
+    count(documents) — equal only while the index is 1:1 with the
+    corpus, so a future divergence must fail HERE, loudly, not as a
+    confusing driver hash mismatch)."""
+    from document_query_system_spark.api import (
+        ensure_vector_index,
+        ensure_vector_index_ivf_scaled,
+        ivf_cells_for,
+        ivf_retrain_due,
+    )
+
+    _, _, cells = ensure_vector_index_ivf_scaled(spark, SF_DIR)
+    n_index = spark.read.parquet(ensure_vector_index(spark, SF_DIR)).count()
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert n_index == n_docs, "vector index no longer 1:1 with documents"
+    assert cells == ivf_cells_for(n_docs)
+    assert not ivf_retrain_due(cells, n_index)

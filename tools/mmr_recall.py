@@ -33,6 +33,12 @@ def _selections(rows) -> dict:
 def report(spark, sf_dir: str) -> dict:
     specs = registry.all_specs()
     ex = _selections(specs["q_mmr_diversify"].fn(spark, sf_dir).collect())
+    if not ex:
+        # Empty exact pool (e.g. a scale dir with no golden questions):
+        # every overlap/recall mean below divides by the selection
+        # count — mirror ivf_nprobe_curve.py's 'empty exact pool'
+        # guard (r12 ADVICE) instead of raising ZeroDivisionError.
+        return {"sf_dir": sf_dir, "n_questions": 0, "note": "empty exact pool"}
     an = _selections(specs["q_mmr_ann_pool"].fn(spark, sf_dir).collect())
     iv = _selections(specs["q_mmr_ivf_pool"].fn(spark, sf_dir).collect())
     # The promoted serving point (r13): scaled cells + calibrated
