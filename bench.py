@@ -191,7 +191,36 @@ def main() -> None:
     _JIT_GATE_MS = int(os.environ.get("SPARK_GRAFT_JIT_GATE_MS", "500"))
     _BLANE_MAX_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_BLANE_ATTEMPTS", "4"))
 
+    # Settle wait (measured need, r14 run 1): the gate alone found ZERO
+    # qualifying windows in 4 attempts per lane even on an otherwise
+    # quiet box — the B-lanes run right after warmup, where the JVM's
+    # tiered-compilation backlog still ticks 1-3.7 s of JIT per run,
+    # while the SAME query late in the suite shows 128 ms. The backlog
+    # drains on compiler threads whether or not queries run, so wait it
+    # out BEFORE the timed attempts: poll the compilation counter until
+    # a half-second window shows <250 ms of JIT (or give up after 20 s)
+    # and record the wait in the gate row. Load-induced pollution still
+    # lands on the per-run gate; this removes only the self-inflicted
+    # warmup tail.
+    def _jit_settle(max_wait_s: float = 20.0) -> dict:
+        waited = 0.0
+        settled = False
+        try:
+            last = _jvm_counters()["jit_ms"]
+            while waited < max_wait_s:
+                time.sleep(0.5)
+                waited += 0.5
+                now = _jvm_counters()["jit_ms"]
+                if now - last < 250:
+                    settled = True
+                    break
+                last = now
+        except Exception:  # pragma: no cover - exotic JVMs
+            pass
+        return {"settle_wait_sec": round(waited, 1), "settled": settled}
+
     def _gated_min(tag: str, thunk) -> float:
+        settle = _jit_settle()
         walls_q: list[float] = []
         walls_all: list[float] = []
         for i in range(_BLANE_MAX_ATTEMPTS):
@@ -209,6 +238,7 @@ def main() -> None:
             "attempts": len(walls_all),
             "qualifying_runs": len(walls_q),
             "jit_gate_ms": _JIT_GATE_MS,
+            **settle,
         }
         return min(walls_q) if walls_q else min(walls_all)
 

@@ -694,6 +694,86 @@ FROM a2 GROUP BY cid
 """
 
 
+def _ivf_base_and_delta(
+    spark: SparkSession, sf_dir: str, scaled: bool = False
+) -> tuple[DataFrame, DataFrame]:
+    """Shared delta-path core for incremental_ivf (content proof) and
+    append_ivf_delta (physical write): the stored layout minus the
+    incoming batch as ``base``, and the batch embedded and assigned to
+    the layout's STORED centroids as ``delta`` — the K-row centroid
+    metadata rides the same broadcast one-row frame the trainer uses,
+    so delta assignment is bit-identical to build assignment."""
+    from ..api import ensure_vector_index_ivf, ensure_vector_index_ivf_scaled
+    from ..functions.embed import dot, embed_pandas
+    from .clustering import _assign, _cents_df
+
+    if scaled:
+        layout, cents_path, _cells = ensure_vector_index_ivf_scaled(
+            spark, sf_dir
+        )
+    else:
+        layout, cents_path = ensure_vector_index_ivf(spark, sf_dir)
+    base = (
+        spark.read.parquet(layout)
+        .filter(F.col("doc_id") % _INC_LSH_MOD != 0)
+        .select("doc_id", "dv", F.col("cell").cast("long").alias("cell"))
+    )
+    cents = [
+        (int(r.cid), [float(v) for v in r.cv], float(r.cc))
+        for r in spark.read.parquet(cents_path).collect()
+    ]
+    batch = spread(
+        load(spark, sf_dir, "documents").select("doc_id", "text")
+    ).filter(F.col("doc_id") % _INC_LSH_MOD == 0)
+    emb = embed_pandas(batch, "text", out_col="dv", keep=["doc_id"])
+    vx = emb.select(
+        F.col("doc_id").alias("vec_id"), F.col("dv").alias("x")
+    ).withColumn("xx", dot(F.col("x"), F.col("x")))
+    delta = _assign(vx, _cents_df(spark, cents)).select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("x").alias("dv"),
+        F.col("cid").cast("long").alias("cell"),
+    )
+    return base, delta
+
+
+def append_ivf_delta(
+    spark: SparkSession, sf_dir: str, scaled: bool = False
+) -> str:
+    """The PHYSICAL half of IVF incremental maintenance (r13 verdict
+    #3 follow-through): incremental_ivf proves the merged CONTENT
+    (base ∪ delta ≡ full rebuild, per-cell checksums); this one
+    performs the actual LAYOUT WRITE a serving deployment runs per
+    batch — the 'yesterday' snapshot written partitionBy(cell), then
+    the centroid-assigned batch appended with mode('append') into the
+    SAME cell-directory tree. Returns the layout path for
+    verification (tests/test_layout.py reads it back and matches the
+    per-cell checksums against incremental_ivf's).
+
+    Scale: the append's cost is ∝ batch — after the repartition each
+    task writes only the cell directories its rows land in; the base
+    snapshot is untouched (parquet append adds files, never rewrites).
+    Written to a TAGGED COPY, never the memoized serving layout:
+    mutating that mid-session would silently change every downstream
+    probe's stored input (the same isolation rule dir_tag enforces
+    across corpora)."""
+    from ..sources.tmputil import dir_tag, tmp_path
+
+    base, delta = _ivf_base_and_delta(spark, sf_dir, scaled)
+    suffix = "_scaled" if scaled else ""
+    path = tmp_path(f"vector_index_ivf_applied{suffix}", dir_tag(sf_dir))
+    # Cluster rows by target directory before each partitioned write
+    # (the LSH-layout lesson: without this every task writes a sliver
+    # into every cell dir — file-count explosion at scale).
+    base.repartition("cell").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(path)
+    delta.repartition("cell").write.mode("append").partitionBy(
+        "cell"
+    ).parquet(path)
+    return path
+
+
 def incremental_ivf(
     spark: SparkSession, sf_dir: str, scaled: bool = False
 ) -> DataFrame:
@@ -731,37 +811,7 @@ def incremental_ivf(
     Library-only this round (the r14 rotation budget is zero new
     registrations); oracle-parity pinned for BOTH geometries in
     tests/test_layout.py, driver row planned for r15."""
-    from ..api import ensure_vector_index_ivf, ensure_vector_index_ivf_scaled
-    from ..functions.embed import dot, embed_pandas
-    from .clustering import _assign, _cents_df
-
-    if scaled:
-        layout, cents_path, _cells = ensure_vector_index_ivf_scaled(
-            spark, sf_dir
-        )
-    else:
-        layout, cents_path = ensure_vector_index_ivf(spark, sf_dir)
-    base = (
-        spark.read.parquet(layout)
-        .filter(F.col("doc_id") % _INC_LSH_MOD != 0)
-        .select("doc_id", "dv", F.col("cell").cast("long").alias("cell"))
-    )
-    cents = [
-        (int(r.cid), [float(v) for v in r.cv], float(r.cc))
-        for r in spark.read.parquet(cents_path).collect()
-    ]
-    batch = spread(
-        load(spark, sf_dir, "documents").select("doc_id", "text")
-    ).filter(F.col("doc_id") % _INC_LSH_MOD == 0)
-    emb = embed_pandas(batch, "text", out_col="dv", keep=["doc_id"])
-    vx = emb.select(
-        F.col("doc_id").alias("vec_id"), F.col("dv").alias("x")
-    ).withColumn("xx", dot(F.col("x"), F.col("x")))
-    delta = _assign(vx, _cents_df(spark, cents)).select(
-        F.col("vec_id").alias("doc_id"),
-        F.col("x").alias("dv"),
-        F.col("cid").cast("long").alias("cell"),
-    )
+    base, delta = _ivf_base_and_delta(spark, sf_dir, scaled)
     merged = base.unionByName(delta)
     return (
         merged.groupBy("cell")

@@ -219,3 +219,58 @@ def test_ivf_scaled_layout_fresh_not_due(spark):
     assert n_index == n_docs, "vector index no longer 1:1 with documents"
     assert cells == ivf_cells_for(n_docs)
     assert not ivf_retrain_due(cells, n_index)
+
+
+def test_append_ivf_delta_physical_layout(spark, duck):
+    """The physical append (pipeline.append_ivf_delta): snapshot +
+    mode('append') into the same cell-partitioned tree must read back
+    to exactly the full-rebuild per-cell checksums (same oracle as
+    incremental_ivf — the applied layout IS the merged content), with
+    only cell= directories on disk and the delta landing as NEW files
+    (parquet append never rewrites the snapshot's files). Covers both
+    geometries, fixed floor and promoted scaled serving."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from document_query_system_spark.operators.pipeline import (
+        _inc_ivf_oracle,
+        append_ivf_delta,
+    )
+
+    for scaled in (False, True):
+        path = append_ivf_delta(spark, SF_DIR, scaled=scaled)
+        applied = spark.read.parquet(path)
+        got = sorted(
+            tuple(r)
+            for r in applied.groupBy("cell")
+            .agg(
+                F.count("*").cast("long").alias("n_docs"),
+                F.sum("doc_id").cast("long").alias("id_sum"),
+                F.sum(
+                    F.round(F.element_at(F.col("dv"), 1) * 1_000_000).cast(
+                        "long"
+                    )
+                )
+                .cast("long")
+                .alias("v1_micros"),
+            )
+            .select(
+                F.col("cell").cast("long").alias("cell"),
+                "n_docs",
+                "id_sum",
+                "v1_micros",
+            )
+            .collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in duck.execute(_inc_ivf_oracle(scaled=scaled)).fetchall()
+        )
+        assert got == want, f"scaled={scaled}: applied layout != rebuild"
+        subdirs = {
+            d
+            for d in os.listdir(path)
+            if os.path.isdir(os.path.join(path, d))
+        }
+        assert all(d.startswith("cell=") for d in subdirs)
