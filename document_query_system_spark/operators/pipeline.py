@@ -737,6 +737,92 @@ def _ivf_base_and_delta(
     return base, delta
 
 
+def _ivf_layout_stats_oracle() -> str:
+    """Full-retrain oracle for ivf_layout_stats: train the scaled
+    geometry from the corpus (the layout's own training set), count
+    per cell, and summarize — what the engine's stored-layout scan
+    must report. cells is re-derived via the corpus expression
+    (greatest(16, ceil(sqrt(N)))), so the geometry columns are
+    cross-engine-checked exactly like the serving oracle's."""
+    from ..api import IVF_NPROBE_SCALED
+    from ..functions.embed import embed_subquery_sql
+    from .clustering import kmeans_sql_rounds_ctes
+
+    dv = embed_subquery_sql("documents", "doc_id", "text")
+    vx_body = f"""
+  SELECT id AS vec_id, embedding AS x,
+         list_dot_product(embedding, embedding) AS xx
+  FROM (SELECT id, embedding FROM {dv})
+"""
+    return f"""
+WITH {kmeans_sql_rounds_ctes(vx_body, _IVF_CELLS_SQL_SCALED)},
+pc AS (SELECT cid, count(*) AS n FROM a2 GROUP BY cid)
+SELECT CAST((SELECT count(*) FROM pc) AS BIGINT) AS cells_used,
+       {_IVF_CELLS_SQL_SCALED} AS cells,
+       CAST({IVF_NPROBE_SCALED} AS BIGINT) AS nprobe,
+       round(CAST({IVF_NPROBE_SCALED} AS DOUBLE)
+             / {_IVF_CELLS_SQL_SCALED}, 6) AS probe_fraction,
+       CAST(sum(n) AS BIGINT) AS n_vecs,
+       CAST(min(n) AS BIGINT) AS min_cell,
+       CAST(max(n) AS BIGINT) AS max_cell,
+       round(CAST(sum(n) AS DOUBLE)
+             / (SELECT count(*) FROM pc), 2) AS avg_cell,
+       round(CAST(max(n) AS DOUBLE) * (SELECT count(*) FROM pc)
+             / sum(n), 4) AS imbalance
+FROM pc
+"""
+
+
+def ivf_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-stats report for the PROMOTED scaled IVF serving layout
+    (the vector analog of q_agg_index_stats, r14 library work): one
+    summary row with the trained geometry (cells, serving nprobe, the
+    probe read fraction the calibration bought) and the measured cell
+    population spread (min/max/avg, imbalance = max/avg) — the number
+    an operator watches between retrains, since append-only
+    maintenance grows max_cell while the trained cell count stands
+    still (api.ivf_retrain_due is the action rule; this is its
+    dashboard). Everything derives from a groupBy(cell) count over
+    the stored layout — one bounded aggregate, no vector bytes read
+    (column pruning: only the cell partition column is touched).
+
+    Scale: the per-cell count is a metadata-sized shuffle (≤cells
+    rows after partial aggregation); at 5B vectors / 70k cells the
+    report is still 70k longs → 1 row. Registration planned for r15
+    (the r14 budget is zero); parity vs the full-retrain DuckDB
+    oracle is pinned in tests/test_layout.py.
+
+    Reference analog: describe_index_stats — the per-namespace vector
+    counts the reference reads off Pinecone (ref:
+    src/services/vector_engine/pinecone_manager.py:19-59), here
+    computed from the engine's own stored layout."""
+    from ..api import IVF_NPROBE_SCALED, ensure_vector_index_ivf_scaled
+
+    layout, _cents, cells = ensure_vector_index_ivf_scaled(spark, sf_dir)
+    pc = (
+        spark.read.parquet(layout)
+        .groupBy("cell")
+        .agg(F.count("*").alias("n"))
+    )
+    return pc.agg(
+        F.count("*").cast("long").alias("cells_used"),
+        F.lit(cells).cast("long").alias("cells"),
+        F.lit(IVF_NPROBE_SCALED).cast("long").alias("nprobe"),
+        F.round(F.lit(float(IVF_NPROBE_SCALED)) / F.lit(cells), 6).alias(
+            "probe_fraction"
+        ),
+        F.sum("n").cast("long").alias("n_vecs"),
+        F.min("n").cast("long").alias("min_cell"),
+        F.max("n").cast("long").alias("max_cell"),
+        F.round(
+            F.sum("n").cast("double") / F.count("*"), 2
+        ).alias("avg_cell"),
+        F.round(
+            F.max("n").cast("double") * F.count("*") / F.sum("n"), 4
+        ).alias("imbalance"),
+    )
+
+
 def append_ivf_delta(
     spark: SparkSession, sf_dir: str, scaled: bool = False
 ) -> str:

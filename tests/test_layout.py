@@ -274,3 +274,23 @@ def test_append_ivf_delta_physical_layout(spark, duck):
             if os.path.isdir(os.path.join(path, d))
         }
         assert all(d.startswith("cell=") for d in subdirs)
+
+
+def test_ivf_layout_stats_parity(spark, duck):
+    """The scaled-layout index-stats report (pipeline.ivf_layout_stats,
+    r15 registration candidate): the engine's one-row summary off the
+    STORED layout must equal the DuckDB full-retrain oracle's — the
+    geometry columns, the population spread, and the imbalance factor
+    all cross-engine exact."""
+    from document_query_system_spark.operators.pipeline import (
+        _ivf_layout_stats_oracle,
+        ivf_layout_stats,
+    )
+
+    got = [tuple(r) for r in ivf_layout_stats(spark, SF_DIR).collect()]
+    want = duck.execute(_ivf_layout_stats_oracle()).fetchall()
+    assert got == want
+    (row,) = got
+    cells_used, cells, nprobe, frac, n_vecs, mn, mx, avg, imb = row
+    assert 0 < cells_used <= cells
+    assert mn <= avg <= mx and imb >= 1.0

@@ -706,3 +706,22 @@ def test_retrieval_never_embeds_corpus(name, spark):
             "index from api.ensure_vector_index instead"
         )
         i += 1
+
+
+def test_ivf_layout_stats_reads_no_vector_bytes(spark):
+    """The scaled-layout index-stats report (pipeline.ivf_layout_stats,
+    r15 registration candidate) must compute its per-cell counts from
+    the PARTITION COLUMN ALONE: the layout scan's ReadSchema is empty
+    (cell is a directory key, dv/doc_id never leave the reader), and
+    the whole report is two exchanges (per-cell partial counts, then
+    the single summary row) — at 5B vectors the shuffle carries ≤cells
+    longs, never a vector byte."""
+    from document_query_system_spark.operators.pipeline import (
+        ivf_layout_stats,
+    )
+
+    rep = plan_report(ivf_layout_stats(spark, SF_DIR))
+    locs = [s.get("location", "") for s in rep.scans]
+    assert locs and all("vector_index_ivf_c" in loc for loc in locs), locs
+    assert all(s["columns"] == "" for s in rep.scans), rep.scans
+    assert rep.n_shuffles <= 2
