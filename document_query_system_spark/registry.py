@@ -107,8 +107,11 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # 3 + 47 = exactly the 50 driver slots. Positions 51+ stage the
 # next-oldest re-observations (the full 49-row r10-vintage cohort)
 # for whatever the driver reaches, and as the ready-made r15 prefix
-# tail behind r15's new registrations (planned: the scaled-IVF
-# incremental-maintenance row).
+# tail behind r15's new registrations (planned, both already built +
+# oracle-pinned in tests/test_layout.py: q_incremental_ivf_scaled =
+# operators/pipeline.incremental_ivf(scaled=True) with
+# _inc_ivf_oracle(scaled=True), and q_ivf_layout_stats =
+# operators/pipeline.ivf_layout_stats with _ivf_layout_stats_oracle).
 _ROTATION_PREFIX: tuple[str, ...] = (
     # --- staged rows-only KLL rows (r13 verdict #1; last rows r8) ---
     "q_agg_percentiles_approx",  # rows-only by design (KLL), last row r8
