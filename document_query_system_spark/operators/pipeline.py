@@ -860,6 +860,180 @@ def append_ivf_delta(
     return path
 
 
+def _ivf_cell_psi_oracle() -> str:
+    """Full-retrain oracle for ivf_cell_psi: assign every doc with the
+    trained centroids (a2), split base/batch on the same vec_id % 13
+    rule the engine's delta path uses, and compute the smoothed PSI
+    over the centroid domain — the engine's stored-layout histograms
+    must reproduce it exactly (its base cells are build assignments,
+    its delta cells broadcast-assigned to the same stored centroids)."""
+    from ..functions.embed import embed_subquery_sql
+    from .clustering import kmeans_sql_rounds_ctes
+
+    dv = embed_subquery_sql("documents", "doc_id", "text")
+    vx_body = f"""
+  SELECT id AS vec_id, embedding AS x,
+         list_dot_product(embedding, embedding) AS xx
+  FROM (SELECT id, embedding FROM {dv})
+"""
+    return f"""
+WITH {kmeans_sql_rounds_ctes(vx_body, _IVF_CELLS_SQL_SCALED)},
+base AS (SELECT cid FROM a2 WHERE vec_id % {_INC_LSH_MOD} <> 0),
+bat AS (SELECT cid FROM a2 WHERE vec_id % {_INC_LSH_MOD} = 0),
+cent AS (SELECT cid FROM c1),
+bh AS (SELECT cid, count(*) AS bn FROM base GROUP BY cid),
+dh AS (SELECT cid, count(*) AS dn FROM bat GROUP BY cid),
+pq AS (
+  SELECT (coalesce(bn, 0) + 0.5)
+           / ((SELECT count(*) FROM base)
+              + 0.5 * (SELECT count(*) FROM cent)) AS p,
+         (coalesce(dn, 0) + 0.5)
+           / ((SELECT count(*) FROM bat)
+              + 0.5 * (SELECT count(*) FROM cent)) AS q
+  FROM cent LEFT JOIN bh USING (cid) LEFT JOIN dh USING (cid))
+SELECT CAST((SELECT count(*) FROM cent) AS BIGINT) AS cells,
+       CAST((SELECT count(*) FROM base) AS BIGINT) AS n_base,
+       CAST((SELECT count(*) FROM bat) AS BIGINT) AS n_batch,
+       round(sum((q - p) * ln(q / p)), 6) AS psi
+FROM pq
+"""
+
+
+def ivf_cell_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-distribution drift between the trained IVF layout and an
+    incoming batch — the DATA-drift half of the retrain policy
+    (api.ivf_retrain_due is the SIZE half): PSI over the per-cell
+    occupancy histograms, base = the stored scaled layout's build
+    assignments, batch = the delta broadcast-assigned to the SAME
+    stored centroids. A batch whose vectors no longer look like the
+    training corpus piles into few cells — PSI crosses the standard
+    0.25 alarm and the quantizer retrains even though
+    ivf_cells_for(N) hasn't moved (the feature-store drift discipline
+    of q_psi_drift, applied to the vector index itself; same +0.5
+    smoothing over the centroid domain, so empty cells cannot blow up
+    the log).
+
+    Shape: two metadata-sized histograms (≤cells rows each, partial
+    aggregation) joined over the K-row centroid table, one ≤cells-row
+    PSI sum — the only corpus-scale work is the batch embed+assign
+    the delta path pays anyway. Registration candidate for r15;
+    parity vs the full-retrain oracle pinned in tests/test_layout.py.
+
+    Reading the number: the 0.1/0.25 stability rules assume each
+    cell's EXPECTED batch count is ≳10 — small batches inflate PSI
+    through smoothing + sampling noise (measured on the same-corpus
+    uniform slice: 0.69 at sf0.01's ~1.7 docs/cell, 0.17 at sf0.1's
+    ~5.4). A production monitor gates the alarm on batch size (or
+    accumulates batches until n_batch ≥ 10·cells) — at 5B vectors /
+    70k cells that is a 700k-vector window, minutes of ingest."""
+    from ..api import ensure_vector_index_ivf_scaled
+
+    _layout, cents_path, _cells = ensure_vector_index_ivf_scaled(
+        spark, sf_dir
+    )
+    base, delta = _ivf_base_and_delta(spark, sf_dir, scaled=True)
+    cent = (
+        spark.read.parquet(cents_path)
+        .select(F.col("cid").alias("cell"))
+        .localCheckpoint(eager=False)
+    )
+    bh = (
+        base.groupBy("cell")
+        .agg(F.count("*").alias("bn"))
+        .localCheckpoint(eager=False)
+    )
+    dh = (
+        delta.groupBy("cell")
+        .agg(F.count("*").alias("dn"))
+        .localCheckpoint(eager=False)
+    )
+    # Totals off the checkpointed histograms: two bounded one-row
+    # collects (≤cells longs summed), not a corpus recompute.
+    k = cent.count()
+    nb = bh.agg(F.sum("bn")).collect()[0][0] or 0
+    nd = dh.agg(F.sum("dn")).collect()[0][0] or 0
+    pq = (
+        cent.join(F.broadcast(bh), "cell", "left")
+        .join(F.broadcast(dh), "cell", "left")
+        .select(
+            (
+                (F.coalesce(F.col("bn"), F.lit(0)) + 0.5)
+                / F.lit(nb + 0.5 * k)
+            ).alias("p"),
+            (
+                (F.coalesce(F.col("dn"), F.lit(0)) + 0.5)
+                / F.lit(nd + 0.5 * k)
+            ).alias("q"),
+        )
+    )
+    return pq.coalesce(1).agg(
+        F.lit(k).cast("long").alias("cells"),
+        F.lit(nb).cast("long").alias("n_base"),
+        F.lit(nd).cast("long").alias("n_batch"),
+        F.round(
+            F.sum((F.col("q") - F.col("p")) * F.log(F.col("q") / F.col("p"))),
+            6,
+        ).alias("psi"),
+    )
+
+
+def compact_ivf_cells(
+    spark: SparkSession, layout_path: str, max_files_per_cell: int = 4
+) -> list[int]:
+    """Small-file compaction for an appended IVF layout (the
+    maintenance op every segment-based vector store runs): each
+    append_ivf_delta batch ADDS files to the cell directories it
+    touches — after many batches a probe of one cell opens dozens of
+    tiny parquet files and scan setup dominates read time. Flag cells
+    whose file count exceeds ``max_files_per_cell``, rewrite ONLY
+    those cells (dynamic partition overwrite — untouched cell
+    directories are never rewritten), one file per compacted cell.
+    Returns the flagged cell ids (empty = nothing to do).
+
+    Scale: the flag pass is one listing of ≤cells directories
+    (metadata-sized — cells ~ √N); the rewrite reads and writes only
+    the flagged cells' rows (partition pruning pushes the isin(cell)
+    into directory selection), each ~√N rows by the sizing rule. The
+    flagged rows are eagerly localCheckpoint'd before the write —
+    Spark refuses to overwrite a path it is concurrently reading, and
+    the checkpoint bounds the staged bytes to exactly the flagged
+    cells (on a cluster this is checkpoint-to-object-store, see
+    SCALE.md known-deltas). Pinned in tests/test_layout.py: file
+    count collapses to 1 per flagged cell, per-cell checksums
+    byte-unchanged, untouched cells' files not rewritten."""
+    flagged = []
+    for d in os.listdir(layout_path):
+        if not d.startswith("cell="):
+            continue
+        n_files = sum(
+            1
+            for f in os.listdir(os.path.join(layout_path, d))
+            if f.endswith(".parquet")
+        )
+        if n_files > max_files_per_cell:
+            flagged.append(int(d.split("=", 1)[1]))
+    if not flagged:
+        return flagged
+    rows = (
+        spark.read.parquet(layout_path)
+        .filter(F.col("cell").isin(flagged))
+        .localCheckpoint(eager=True)
+    )
+    mode_key = "spark.sql.sources.partitionOverwriteMode"
+    old = spark.conf.get(mode_key, "static")
+    spark.conf.set(mode_key, "dynamic")
+    try:
+        (
+            rows.repartition("cell")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(layout_path)
+        )
+    finally:
+        spark.conf.set(mode_key, old)
+    return flagged
+
+
 def incremental_ivf(
     spark: SparkSession, sf_dir: str, scaled: bool = False
 ) -> DataFrame:

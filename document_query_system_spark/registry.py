@@ -107,11 +107,14 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # 3 + 47 = exactly the 50 driver slots. Positions 51+ stage the
 # next-oldest re-observations (the full 49-row r10-vintage cohort)
 # for whatever the driver reaches, and as the ready-made r15 prefix
-# tail behind r15's new registrations (planned, both already built +
+# tail behind r15's new registrations (planned, all already built +
 # oracle-pinned in tests/test_layout.py: q_incremental_ivf_scaled =
 # operators/pipeline.incremental_ivf(scaled=True) with
-# _inc_ivf_oracle(scaled=True), and q_ivf_layout_stats =
-# operators/pipeline.ivf_layout_stats with _ivf_layout_stats_oracle).
+# _inc_ivf_oracle(scaled=True); q_ivf_layout_stats =
+# operators/pipeline.ivf_layout_stats with _ivf_layout_stats_oracle;
+# q_ivf_cell_psi = operators/pipeline.ivf_cell_psi with
+# _ivf_cell_psi_oracle — all three pre-flighted engine-vs-oracle
+# MATCH at sf0.001/0.01/0.1, BENCH_NOTES r14).
 _ROTATION_PREFIX: tuple[str, ...] = (
     # --- staged rows-only KLL rows (r13 verdict #1; last rows r8) ---
     "q_agg_percentiles_approx",  # rows-only by design (KLL), last row r8
