@@ -1034,6 +1034,118 @@ def compact_ivf_cells(
     return flagged
 
 
+def stream_ivf_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF delta maintenance AS A STREAM — the composition a
+    production vector store actually runs (the reference's polling
+    ingestion loop feeding its batched Pinecone upsert, ref:
+    ingestion_service.py:376-416 + pinecone_manager.py:61-103): new
+    documents arrive on a landing directory, each micro-batch is
+    embedded (Arrow), broadcast-assigned to the SCALED layout's
+    STORED centroids, and physically appended into the
+    cell-partitioned tree via foreachBatch — append_ivf_delta's write
+    path, driven by Structured Streaming with availableNow + a
+    restartable checkpoint. Returns the final applied layout's
+    per-cell checksums, which must equal the FULL-REBUILD oracle
+    (_inc_ivf_oracle(scaled=True)) whatever the micro-batch split:
+    per-cell content is union-associative, so batch boundaries cannot
+    show in the result (the q_stream_upsert_foreachbatch discipline,
+    here for the vector index).
+
+    Scale: per micro-batch cost ∝ batch (embed + K-row broadcast map
+    + an append that touches only the cells the batch hits); the
+    centroid list is collected ONCE (K rows — the bounded-collect
+    class every IVF probe already documents) and reused across
+    batches. maxFilesPerTrigger bounds per-batch work on a real
+    landing dir. Registration candidate for r15; parity pinned in
+    tests/test_layout.py."""
+    import uuid as _uuid
+
+    from ..api import ensure_vector_index_ivf_scaled
+    from ..functions.embed import dot, embed_pandas
+    from ..sources.tmputil import tmp_path
+    from ..streaming.event_windows import _drain, _scoped_shuffle_partitions
+    from .clustering import _assign, _cents_df
+
+    layout, cents_path, _cells = ensure_vector_index_ivf_scaled(
+        spark, sf_dir
+    )
+    cents = [
+        (int(r.cid), [float(v) for v in r.cv], float(r.cc))
+        for r in spark.read.parquet(cents_path).collect()
+    ]
+    run = _uuid.uuid4().hex[:8]
+    # One-time landing-dir build: the incoming batch slice as FOUR
+    # parquet files so availableNow takes multiple micro-batches (the
+    # split-independence claim is exercised, not vacuous).
+    landing = tmp_path(f"stream_ivf_landing_{run}")
+    batch = spread(
+        load(spark, sf_dir, "documents").select("doc_id", "text")
+    ).filter(F.col("doc_id") % _INC_LSH_MOD == 0)
+    batch.repartition(4).write.mode("overwrite").parquet(landing)
+    # Yesterday's snapshot: the stored layout minus the batch, written
+    # once (same leg as append_ivf_delta's).
+    applied = tmp_path(f"stream_ivf_applied_{run}")
+    (
+        spark.read.parquet(layout)
+        .filter(F.col("doc_id") % _INC_LSH_MOD != 0)
+        .select("doc_id", "dv", F.col("cell").cast("long").alias("cell"))
+        .repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(applied)
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        emb = embed_pandas(batch_df, "text", out_col="dv", keep=["doc_id"])
+        vx = emb.select(
+            F.col("doc_id").alias("vec_id"), F.col("dv").alias("x")
+        ).withColumn("xx", dot(F.col("x"), F.col("x")))
+        delta = _assign(vx, _cents_df(spark, cents)).select(
+            F.col("vec_id").alias("doc_id"),
+            F.col("x").alias("dv"),
+            F.col("cid").cast("long").alias("cell"),
+        )
+        (
+            delta.repartition("cell")
+            .write.mode("append")
+            .partitionBy("cell")
+            .parquet(applied)
+        )
+
+    src = (
+        spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing)
+    )
+    with _scoped_shuffle_partitions(spark, "4"):
+        q = (
+            src.writeStream.foreachBatch(apply_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{applied}_ckpt")
+            .start()
+        )
+        _drain(q)
+    return (
+        spark.read.parquet(applied)
+        .groupBy("cell")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+            F.sum(
+                F.round(F.element_at(F.col("dv"), 1) * 1_000_000).cast("long")
+            )
+            .cast("long")
+            .alias("v1_micros"),
+        )
+        .select(
+            F.col("cell").cast("long").alias("cell"),
+            "n_docs",
+            "id_sum",
+            "v1_micros",
+        )
+    )
+
+
 def incremental_ivf(
     spark: SparkSession, sf_dir: str, scaled: bool = False
 ) -> DataFrame:

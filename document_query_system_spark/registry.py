@@ -113,8 +113,11 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # _inc_ivf_oracle(scaled=True); q_ivf_layout_stats =
 # operators/pipeline.ivf_layout_stats with _ivf_layout_stats_oracle;
 # q_ivf_cell_psi = operators/pipeline.ivf_cell_psi with
-# _ivf_cell_psi_oracle — all three pre-flighted engine-vs-oracle
-# MATCH at sf0.001/0.01/0.1, BENCH_NOTES r14).
+# _ivf_cell_psi_oracle; q_stream_ivf_maintenance =
+# operators/pipeline.stream_ivf_maintenance against the same
+# full-rebuild oracle as the scaled incremental row — all four
+# pre-flighted engine-vs-oracle MATCH at sf0.001/0.01/0.1,
+# BENCH_NOTES r14).
 _ROTATION_PREFIX: tuple[str, ...] = (
     # --- staged rows-only KLL rows (r13 verdict #1; last rows r8) ---
     "q_agg_percentiles_approx",  # rows-only by design (KLL), last row r8

@@ -384,3 +384,25 @@ def test_ivf_cell_psi_parity(spark, duck):
     # inflate PSI to ~0.69 (0.17 at sf0.1's ~5.4/cell) — the alarm
     # threshold is meaningful at production per-cell counts, and the
     # docstring documents the batch-size gate.
+
+
+def test_stream_ivf_maintenance_equals_rebuild(spark, duck):
+    """The streaming form of the delta path (pipeline.
+    stream_ivf_maintenance, r15 registration candidate): four landing
+    files drive multiple availableNow micro-batches, each
+    foreachBatch-appended into the cell tree — the final layout's
+    per-cell checksums must equal the DuckDB FULL-REBUILD oracle at
+    the scaled geometry, proving batch boundaries cannot show in the
+    applied index."""
+    from document_query_system_spark.operators.pipeline import (
+        _inc_ivf_oracle,
+        stream_ivf_maintenance,
+    )
+
+    got = sorted(
+        tuple(r) for r in stream_ivf_maintenance(spark, SF_DIR).collect()
+    )
+    want = sorted(
+        tuple(r) for r in duck.execute(_inc_ivf_oracle(scaled=True)).fetchall()
+    )
+    assert got == want
