@@ -977,6 +977,76 @@ def ivf_cell_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def delete_from_ivf(
+    spark: SparkSession, layout_path: str, ids: DataFrame
+) -> list[int]:
+    """Targeted delete from a cell-partitioned IVF layout — the last
+    CRUD verb of the index lifecycle (the reference delegates it to
+    Pinecone's delete endpoint; here the engine owns it): find the
+    cells that actually CONTAIN the victim ids (one semi-join over the
+    layout, projecting the partition column + id only), then rewrite
+    ONLY those cells with the victims anti-joined out (dynamic
+    partition overwrite — the compact_ivf_cells machinery). Returns
+    the rewritten cell ids.
+
+    Scale: the locate pass reads (doc_id, cell) — two pruned columns —
+    and the affected-cell list collected to the driver is bounded by
+    min(|ids|, cells): each victim lives in exactly one cell
+    (layout integrity pin), so a 1k-id delete touches ≤1k of the 70k
+    cells at 5B vectors and the rewrite reads/writes only those cells'
+    ~√N-row directories. A cell that becomes EMPTY cannot be rewritten
+    by a dynamic overwrite (no rows → no partition in the output, so
+    its stale files would survive and the delete would be SILENTLY
+    INCOMPLETE) — emptied cells are detected from the survivor set
+    (bounded: ≤|affected| cell ids) and their directories dropped
+    explicitly, the local form of the segment-drop manifest update an
+    object-store table runs. Pinned in tests/test_layout.py: deleting
+    the appended batch restores the base snapshot's checksums exactly,
+    untouched cells' files unrewritten, and a whole-cell delete leaves
+    no stale directory."""
+    victims = ids.select(F.col(ids.columns[0]).alias("doc_id"))
+    layout = spark.read.parquet(layout_path)
+    affected = [
+        r.cell
+        for r in layout.join(F.broadcast(victims), "doc_id", "semi")
+        .select("cell")
+        .distinct()
+        .collect()
+    ]
+    if not affected:
+        return affected
+    survivors = (
+        layout.filter(F.col("cell").isin(affected))
+        .join(F.broadcast(victims), "doc_id", "anti")
+        .localCheckpoint(eager=True)
+    )
+    surviving_cells = {
+        r.cell for r in survivors.select("cell").distinct().collect()
+    }
+    mode_key = "spark.sql.sources.partitionOverwriteMode"
+    old = spark.conf.get(mode_key, "static")
+    spark.conf.set(mode_key, "dynamic")
+    try:
+        (
+            survivors.repartition("cell")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(layout_path)
+        )
+    finally:
+        spark.conf.set(mode_key, old)
+    # Emptied cells never appear in the written data, so the dynamic
+    # overwrite cannot touch their directories — drop them explicitly
+    # or their stale files keep serving the deleted vectors.
+    import shutil
+
+    for cell in set(affected) - surviving_cells:
+        d = os.path.join(layout_path, f"cell={cell}")
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+    return affected
+
+
 def compact_ivf_cells(
     spark: SparkSession, layout_path: str, max_files_per_cell: int = 4
 ) -> list[int]:

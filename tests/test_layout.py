@@ -406,3 +406,87 @@ def test_stream_ivf_maintenance_equals_rebuild(spark, duck):
         tuple(r) for r in duck.execute(_inc_ivf_oracle(scaled=True)).fetchall()
     )
     assert got == want
+
+
+def test_delete_from_ivf_restores_base_and_drops_empty_cells(spark):
+    """The delete verb (pipeline.delete_from_ivf): removing the
+    appended batch from the applied layout must restore exactly the
+    base snapshot's per-cell checksums (over- or under-deletion both
+    fail), rewriting only the cells the victims lived in; a
+    whole-cell delete must leave NO stale directory (the dynamic
+    overwrite can't rewrite a partition absent from the output, so
+    the op must drop emptied cell dirs explicitly)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from document_query_system_spark.api import (
+        ensure_vector_index_ivf_scaled,
+    )
+    from document_query_system_spark.operators.pipeline import (
+        _INC_LSH_MOD,
+        append_ivf_delta,
+        delete_from_ivf,
+    )
+
+    path = append_ivf_delta(spark, SF_DIR, scaled=True)
+
+    def files_by_cell():
+        return {
+            d: sorted(os.listdir(os.path.join(path, d)))
+            for d in os.listdir(path)
+            if d.startswith("cell=")
+        }
+
+    before_files = files_by_cell()
+    batch_ids = (
+        spark.read.parquet(path)
+        .filter(F.col("doc_id") % _INC_LSH_MOD == 0)
+        .select("doc_id")
+    )
+    affected = delete_from_ivf(spark, path, batch_ids)
+    assert affected, "the appended batch must hit at least one cell"
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(path)
+        .groupBy("cell")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+        )
+        .collect()
+    )
+    layout, _, _ = ensure_vector_index_ivf_scaled(spark, SF_DIR)
+    want = sorted(
+        tuple(r)
+        for r in spark.read.parquet(layout)
+        .filter(F.col("doc_id") % _INC_LSH_MOD != 0)
+        .groupBy("cell")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+        )
+        .collect()
+    )
+    assert got == want, "delete did not restore the base snapshot"
+    after_files = files_by_cell()
+    for d, fs in after_files.items():
+        if int(d.split("=", 1)[1]) not in affected:
+            assert fs == before_files[d], f"{d} rewritten but unaffected"
+    # Whole-cell delete: wipe one entire cell, directory must vanish.
+    victim_cell = min(affected)
+    cell_ids = (
+        spark.read.parquet(path)
+        .filter(F.col("cell") == victim_cell)
+        .select("doc_id")
+    )
+    affected2 = delete_from_ivf(spark, path, cell_ids)
+    assert victim_cell in affected2
+    assert not os.path.isdir(
+        os.path.join(path, f"cell={victim_cell}")
+    ), "emptied cell directory left stale files behind"
+    # No-op delete: ids that don't exist touch nothing.
+    missing = spark.range(1).select(
+        (F.col("id") + 10_000_000_000).alias("doc_id")
+    )
+    assert delete_from_ivf(spark, path, missing) == []
