@@ -202,6 +202,99 @@ def ivf_retrain_due(trained_cells: int, n_vectors_now: int) -> bool:
     return ratio >= IVF_RETRAIN_FACTOR or ratio <= 1.0 / IVF_RETRAIN_FACTOR
 
 
+def publish_index_version(
+    spark: SparkSession,
+    sf_dir: str,
+    layout_path: str,
+    cents_path: str,
+    cells: int,
+) -> int:
+    """The blue/green swap itself (r14 — ivf_retrain_due's docstring
+    promised it; this is the mechanism): point the serving manifest at
+    a new (layout, centroids, cells) triple ATOMICALLY. The manifest
+    is one tiny JSON file named CURRENT; the flip is write-temp +
+    os.replace — atomic on POSIX, so a reader resolves either the old
+    version or the new one, never a torn state, and the old layout's
+    files are untouched (rollback = publish the previous triple
+    again; a retention job prunes superseded layouts later, the
+    standard table-format pattern). Returns the new version number.
+
+    Cluster form: on an object store the rename becomes the catalog's
+    conditional put / metastore CAS — same one-pointer protocol every
+    table format (Iceberg/Delta) ships; concurrent publishers here are
+    last-writer-wins, which the maintenance singleton owns.
+
+    Pinned in tests/test_layout.py: publish→resolve round-trips,
+    versions increment, a second publish flips the pointer without
+    touching the first layout, and re-publishing the old triple rolls
+    back."""
+    import json
+
+    mdir = tmp_path("ivf_serving_manifest", dir_tag(sf_dir))
+    os.makedirs(mdir, exist_ok=True)
+    cur = os.path.join(mdir, "CURRENT")
+    prev = current_index_version(spark, sf_dir)
+    version = (prev["version"] + 1) if prev else 1
+    tmp = os.path.join(mdir, f".CURRENT.tmp.{os.getpid()}.{version}")
+    with open(tmp, "w") as f:
+        json.dump(
+            {
+                "version": version,
+                "layout": layout_path,
+                "centroids": cents_path,
+                "cells": int(cells),
+            },
+            f,
+        )
+    os.replace(tmp, cur)
+    return version
+
+
+def current_index_version(spark: SparkSession, sf_dir: str) -> dict | None:
+    """Resolve the serving manifest: the (version, layout, centroids,
+    cells) a prober should use, or None before the first publish. One
+    tiny driver-side read — the same cost class as the K-row centroid
+    collect every probe already pays."""
+    import json
+
+    cur = os.path.join(
+        tmp_path("ivf_serving_manifest", dir_tag(sf_dir)), "CURRENT"
+    )
+    if not os.path.exists(cur):
+        return None
+    with open(cur) as f:
+        return json.load(f)
+
+
+def maintain_ivf_index(spark: SparkSession, sf_dir: str) -> dict:
+    """One maintenance tick, end to end (the lifecycle glue): count
+    the stored index (bounded metadata aggregate), ask ivf_retrain_due
+    against the published geometry, and either (a) publish the freshly
+    ensured scaled layout when no version exists yet or a retrain is
+    due — the ensure_* builder trains at ivf_cells_for(N_now) by
+    construction, so 'rebuild' and 'first publish' are the same call —
+    or (b) report 'append' (the delta path, incremental_ivf /
+    append_ivf_delta, owns data movement between retrains). Returns
+    {action, version, cells, n_vectors} for the operator's log."""
+    n_now = spark.read.parquet(ensure_vector_index(spark, sf_dir)).count()
+    cur = current_index_version(spark, sf_dir)
+    if cur is not None and not ivf_retrain_due(cur["cells"], n_now):
+        return {
+            "action": "append",
+            "version": cur["version"],
+            "cells": cur["cells"],
+            "n_vectors": n_now,
+        }
+    layout, cents, cells = ensure_vector_index_ivf_scaled(spark, sf_dir)
+    version = publish_index_version(spark, sf_dir, layout, cents, cells)
+    return {
+        "action": "publish",
+        "version": version,
+        "cells": cells,
+        "n_vectors": n_now,
+    }
+
+
 _VECTOR_IVF_SCALED_READY: dict[tuple, tuple[str, str, int]] = {}
 
 

@@ -490,3 +490,52 @@ def test_delete_from_ivf_restores_base_and_drops_empty_cells(spark):
         (F.col("id") + 10_000_000_000).alias("doc_id")
     )
     assert delete_from_ivf(spark, path, missing) == []
+
+
+def test_index_version_publish_resolve_rollback(spark):
+    """The blue/green pointer (api.publish_index_version /
+    current_index_version / maintain_ivf_index): the first maintenance
+    tick publishes v1 at the scaled geometry; the next tick, with no
+    drift, reports 'append' against the same version; a manual publish
+    of a different triple flips the pointer without touching the v1
+    layout's files; re-publishing the v1 triple rolls back (as v3 —
+    versions only move forward)."""
+    import os
+
+    from document_query_system_spark.api import (
+        current_index_version,
+        ensure_vector_index_ivf,
+        ivf_cells_for,
+        maintain_ivf_index,
+        publish_index_version,
+    )
+
+    # First tick: nothing published → publish at the scaled geometry.
+    out1 = maintain_ivf_index(spark, SF_DIR)
+    assert out1["action"] == "publish" and out1["version"] == 1
+    assert out1["cells"] == ivf_cells_for(out1["n_vectors"])
+    cur1 = current_index_version(spark, SF_DIR)
+    assert cur1["version"] == 1 and cur1["cells"] == out1["cells"]
+    assert os.path.isdir(cur1["layout"])
+    v1_files = sorted(os.listdir(cur1["layout"]))
+    # Second tick: same corpus → no drift → append against v1.
+    out2 = maintain_ivf_index(spark, SF_DIR)
+    assert out2 == {
+        "action": "append",
+        "version": 1,
+        "cells": out1["cells"],
+        "n_vectors": out1["n_vectors"],
+    }
+    # Manual flip to a different (here: the fixed-floor) layout.
+    alt_layout, alt_cents = ensure_vector_index_ivf(spark, SF_DIR)
+    v2 = publish_index_version(spark, SF_DIR, alt_layout, alt_cents, 16)
+    cur2 = current_index_version(spark, SF_DIR)
+    assert v2 == 2 and cur2["layout"] == alt_layout and cur2["cells"] == 16
+    assert sorted(os.listdir(cur1["layout"])) == v1_files, "v1 touched"
+    # Rollback = publish the old triple again (forward version).
+    v3 = publish_index_version(
+        spark, SF_DIR, cur1["layout"], cur1["centroids"], cur1["cells"]
+    )
+    cur3 = current_index_version(spark, SF_DIR)
+    assert v3 == 3 and cur3["layout"] == cur1["layout"]
+    assert cur3["cells"] == cur1["cells"]
