@@ -510,19 +510,25 @@ def test_index_version_publish_resolve_rollback(spark):
         publish_index_version,
     )
 
-    # First tick: nothing published → publish at the scaled geometry.
+    # First tick of this test: either nothing is published yet (fresh
+    # process — publish v1) or a sibling test already owns later
+    # versions; assert RELATIVE behavior so ordering can't matter.
+    pre = current_index_version(spark, SF_DIR)
     out1 = maintain_ivf_index(spark, SF_DIR)
-    assert out1["action"] == "publish" and out1["version"] == 1
+    if pre is None:
+        assert out1["action"] == "publish" and out1["version"] == 1
     assert out1["cells"] == ivf_cells_for(out1["n_vectors"])
     cur1 = current_index_version(spark, SF_DIR)
-    assert cur1["version"] == 1 and cur1["cells"] == out1["cells"]
+    assert cur1["version"] == out1["version"]
+    assert cur1["cells"] == out1["cells"]
     assert os.path.isdir(cur1["layout"])
     v1_files = sorted(os.listdir(cur1["layout"]))
-    # Second tick: same corpus → no drift → append against v1.
+    # Second tick: same corpus → no drift → append against the same
+    # version (whatever number it carries).
     out2 = maintain_ivf_index(spark, SF_DIR)
     assert out2 == {
         "action": "append",
-        "version": 1,
+        "version": out1["version"],
         "cells": out1["cells"],
         "n_vectors": out1["n_vectors"],
     }
@@ -530,12 +536,36 @@ def test_index_version_publish_resolve_rollback(spark):
     alt_layout, alt_cents = ensure_vector_index_ivf(spark, SF_DIR)
     v2 = publish_index_version(spark, SF_DIR, alt_layout, alt_cents, 16)
     cur2 = current_index_version(spark, SF_DIR)
-    assert v2 == 2 and cur2["layout"] == alt_layout and cur2["cells"] == 16
+    assert v2 == out2["version"] + 1
+    assert cur2["layout"] == alt_layout and cur2["cells"] == 16
     assert sorted(os.listdir(cur1["layout"])) == v1_files, "v1 touched"
     # Rollback = publish the old triple again (forward version).
     v3 = publish_index_version(
         spark, SF_DIR, cur1["layout"], cur1["centroids"], cur1["cells"]
     )
     cur3 = current_index_version(spark, SF_DIR)
-    assert v3 == 3 and cur3["layout"] == cur1["layout"]
+    assert v3 == v2 + 1 and cur3["layout"] == cur1["layout"]
     assert cur3["cells"] == cur1["cells"]
+
+
+def test_maintain_ivf_index_republishes_on_drift(spark):
+    """The drift → rebuild branch of api.maintain_ivf_index: publish a
+    deliberately stale geometry (5 trained cells — what a corpus ~25×
+    smaller would have trained), then tick — ivf_retrain_due(5, N)
+    fires and the tick republishes the freshly trained scaled layout
+    at ivf_cells_for(N), version moving forward."""
+    from document_query_system_spark.api import (
+        current_index_version,
+        ensure_vector_index_ivf_scaled,
+        ivf_cells_for,
+        maintain_ivf_index,
+        publish_index_version,
+    )
+
+    layout, cents, _cells = ensure_vector_index_ivf_scaled(spark, SF_DIR)
+    v_stale = publish_index_version(spark, SF_DIR, layout, cents, 5)
+    out = maintain_ivf_index(spark, SF_DIR)
+    assert out["action"] == "publish", out
+    assert out["version"] == v_stale + 1
+    assert out["cells"] == ivf_cells_for(out["n_vectors"])
+    assert current_index_version(spark, SF_DIR)["cells"] == out["cells"]
