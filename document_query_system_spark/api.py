@@ -202,12 +202,25 @@ def ivf_retrain_due(trained_cells: int, n_vectors_now: int) -> bool:
     return ratio >= IVF_RETRAIN_FACTOR or ratio <= 1.0 / IVF_RETRAIN_FACTOR
 
 
+def _manifest_dir(sf_dir: str, profile: str = "default") -> str:
+    """Directory of one serving manifest. ``profile`` namespaces
+    independent pointers over the same corpus (the registered
+    published-serving row keeps its own profile so test publishes of
+    doctored layouts can never perturb the driver-checked row, and
+    vice versa) — the same role a catalog namespace plays for two
+    tables built from one source."""
+    if profile == "default":
+        return tmp_path("ivf_serving_manifest", dir_tag(sf_dir))
+    return tmp_path(f"ivf_serving_manifest__{profile}", dir_tag(sf_dir))
+
+
 def publish_index_version(
     spark: SparkSession,
     sf_dir: str,
     layout_path: str,
     cents_path: str,
     cells: int,
+    profile: str = "default",
 ) -> int:
     """The blue/green swap itself (r14 — ivf_retrain_due's docstring
     promised it; this is the mechanism): point the serving manifest at
@@ -215,9 +228,17 @@ def publish_index_version(
     is one tiny JSON file named CURRENT; the flip is write-temp +
     os.replace — atomic on POSIX, so a reader resolves either the old
     version or the new one, never a torn state, and the old layout's
-    files are untouched (rollback = publish the previous triple
-    again; a retention job prunes superseded layouts later, the
-    standard table-format pattern). Returns the new version number.
+    files are untouched. Returns the new version number.
+
+    Every publish ALSO appends an immutable ``v{N}.json`` snapshot of
+    the triple next to CURRENT — the metadata log (Iceberg's
+    metadata.json sequence is this exact file-per-version shape). The
+    log is what makes rollback a mechanism instead of a memory
+    (rollback_index_version republishes the predecessor's triple
+    without the caller holding it) and gives retention something to
+    prune against (gc_index_versions deletes layouts referenced ONLY
+    by pruned log entries — CURRENT's files are unreachable to it by
+    construction).
 
     Cluster form: on an object store the rename becomes the catalog's
     conditional put / metastore CAS — same one-pointer protocol every
@@ -226,47 +247,189 @@ def publish_index_version(
 
     Pinned in tests/test_layout.py: publish→resolve round-trips,
     versions increment, a second publish flips the pointer without
-    touching the first layout, and re-publishing the old triple rolls
-    back."""
+    touching the first layout, re-publishing the old triple rolls
+    back, and the log/rollback/GC trio has its own pins."""
     import json
 
-    mdir = tmp_path("ivf_serving_manifest", dir_tag(sf_dir))
+    mdir = _manifest_dir(sf_dir, profile)
     os.makedirs(mdir, exist_ok=True)
     cur = os.path.join(mdir, "CURRENT")
-    prev = current_index_version(spark, sf_dir)
-    version = (prev["version"] + 1) if prev else 1
+    prev = current_index_version(spark, sf_dir, profile=profile)
+    # Next version = 1 + max(pointer, log): robust to a pointer that
+    # was rolled back below the log's high-water mark — version
+    # numbers must never be reused or the log entries stop being
+    # immutable.
+    high = prev["version"] if prev else 0
+    for entry in list_index_versions(spark, sf_dir, profile=profile):
+        high = max(high, entry["version"])
+    version = high + 1
+    payload = {
+        "version": version,
+        "layout": layout_path,
+        "centroids": cents_path,
+        "cells": int(cells),
+    }
+    # Log entry first, pointer second: a crash between the two leaves
+    # an orphan log entry (harmless; the next publish numbers past
+    # it), never a CURRENT pointing at an unlogged triple.
+    tmp = os.path.join(mdir, f".v.tmp.{os.getpid()}.{version}")
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+    os.replace(tmp, os.path.join(mdir, f"v{version}.json"))
     tmp = os.path.join(mdir, f".CURRENT.tmp.{os.getpid()}.{version}")
     with open(tmp, "w") as f:
-        json.dump(
-            {
-                "version": version,
-                "layout": layout_path,
-                "centroids": cents_path,
-                "cells": int(cells),
-            },
-            f,
-        )
+        json.dump(payload, f)
     os.replace(tmp, cur)
     return version
 
 
-def current_index_version(spark: SparkSession, sf_dir: str) -> dict | None:
+def current_index_version(
+    spark: SparkSession, sf_dir: str, profile: str = "default"
+) -> dict | None:
     """Resolve the serving manifest: the (version, layout, centroids,
     cells) a prober should use, or None before the first publish. One
     tiny driver-side read — the same cost class as the K-row centroid
     collect every probe already pays."""
     import json
 
-    cur = os.path.join(
-        tmp_path("ivf_serving_manifest", dir_tag(sf_dir)), "CURRENT"
-    )
+    cur = os.path.join(_manifest_dir(sf_dir, profile), "CURRENT")
     if not os.path.exists(cur):
         return None
     with open(cur) as f:
         return json.load(f)
 
 
-def maintain_ivf_index(spark: SparkSession, sf_dir: str) -> dict:
+def list_index_versions(
+    spark: SparkSession, sf_dir: str, profile: str = "default"
+) -> list[dict]:
+    """The manifest's version log, sorted ascending: one dict per
+    ``v{N}.json`` snapshot publish_index_version wrote. Bounded by
+    retention (gc_index_versions prunes old entries), so this is a
+    metadata listing, never a data scan."""
+    import json
+    import re
+
+    mdir = _manifest_dir(sf_dir, profile)
+    if not os.path.isdir(mdir):
+        return []
+    out = []
+    for name in os.listdir(mdir):
+        m = re.fullmatch(r"v(\d+)\.json", name)
+        if not m:
+            continue
+        with open(os.path.join(mdir, name)) as f:
+            out.append(json.load(f))
+    return sorted(out, key=lambda e: e["version"])
+
+
+def rollback_index_version(
+    spark: SparkSession, sf_dir: str, profile: str = "default"
+) -> dict | None:
+    """Roll serving back one step: republish the log entry preceding
+    CURRENT's version as a NEW forward version (versions never move
+    backwards — the pointer flips, the log only grows, exactly
+    Iceberg's rollback-as-new-snapshot). Returns the new CURRENT, or
+    None when there is nothing to roll back to (no pointer, or no
+    earlier log entry). The caller no longer needs to remember the
+    old triple — the log does."""
+    cur = current_index_version(spark, sf_dir, profile=profile)
+    if cur is None:
+        return None
+    older = [
+        e
+        for e in list_index_versions(spark, sf_dir, profile=profile)
+        if e["version"] < cur["version"]
+    ]
+    if not older:
+        return None
+    target = older[-1]
+    publish_index_version(
+        spark,
+        sf_dir,
+        target["layout"],
+        target["centroids"],
+        target["cells"],
+        profile=profile,
+    )
+    return current_index_version(spark, sf_dir, profile=profile)
+
+
+def gc_index_versions(
+    spark: SparkSession,
+    sf_dir: str,
+    keep_last: int = 2,
+    profile: str = "default",
+) -> dict:
+    """Retention for superseded index layouts — the 'prune later' the
+    publish docstring deferred, now a mechanism (Iceberg's
+    expire_snapshots analog). Keeps the newest ``keep_last`` log
+    entries plus whatever CURRENT references; prunes older log
+    entries and deletes layout/centroid directories that only pruned
+    entries reference. Three hard safety rails, each pinned in
+    tests/test_layout.py:
+
+    - CURRENT's paths are unconditionally protected, whatever its
+      version number (a rolled-back pointer may be OLDER than the
+      kept window);
+    - only paths under this process's artifact root are ever deleted
+      (the production analog: retention owns its table prefix and
+      nothing else) — out-of-root paths are reported, not removed;
+    - paths a live builder memo still hands out are skipped (a
+      session that re-asks ensure_vector_index_ivf_scaled must not
+      get a dangling path back), reported as skipped_live.
+
+    Returns {kept_versions, pruned_versions, removed_paths,
+    skipped_paths} for the maintenance log. Idempotent: a second run
+    with the same arguments removes nothing."""
+    import shutil
+
+    from .sources.tmputil import ROOT
+
+    log = list_index_versions(spark, sf_dir, profile=profile)
+    cur = current_index_version(spark, sf_dir, profile=profile)
+    keep_last = max(1, int(keep_last))
+    kept = log[-keep_last:]
+    pruned = log[:-keep_last] if len(log) > keep_last else []
+    protected: set[str] = set()
+    for e in kept:
+        protected.update((e["layout"], e["centroids"]))
+    if cur is not None:
+        protected.update((cur["layout"], cur["centroids"]))
+    # Live builder memos hand these paths to later ensure_* calls in
+    # this session — deleting them would turn a memo hit into a
+    # dangling read.
+    for triple in _VECTOR_IVF_SCALED_READY.values():
+        protected.update(triple[:2])
+    for triple in _EMB_IVF_SCALED_READY.values():
+        protected.update(triple[:2])
+    root = ROOT.rstrip(os.sep) + os.sep
+    removed: list[str] = []
+    skipped: list[str] = []
+    mdir = _manifest_dir(sf_dir, profile)
+    for e in pruned:
+        for p in (e["layout"], e["centroids"]):
+            if p in protected or p in removed:
+                continue
+            if not p.startswith(root):
+                skipped.append(p)
+                continue
+            if os.path.isdir(p):
+                shutil.rmtree(p, ignore_errors=True)
+                removed.append(p)
+        vfile = os.path.join(mdir, f"v{e['version']}.json")
+        if os.path.exists(vfile):
+            os.remove(vfile)
+    return {
+        "kept_versions": [e["version"] for e in kept],
+        "pruned_versions": [e["version"] for e in pruned],
+        "removed_paths": sorted(removed),
+        "skipped_paths": sorted(set(skipped)),
+    }
+
+
+def maintain_ivf_index(
+    spark: SparkSession, sf_dir: str, profile: str = "default"
+) -> dict:
     """One maintenance tick, end to end (the lifecycle glue): count
     the stored index (bounded metadata aggregate), ask ivf_retrain_due
     against the published geometry, and either (a) publish the freshly
@@ -277,7 +440,7 @@ def maintain_ivf_index(spark: SparkSession, sf_dir: str) -> dict:
     append_ivf_delta, owns data movement between retrains). Returns
     {action, version, cells, n_vectors} for the operator's log."""
     n_now = spark.read.parquet(ensure_vector_index(spark, sf_dir)).count()
-    cur = current_index_version(spark, sf_dir)
+    cur = current_index_version(spark, sf_dir, profile=profile)
     if cur is not None and not ivf_retrain_due(cur["cells"], n_now):
         return {
             "action": "append",
@@ -286,7 +449,9 @@ def maintain_ivf_index(spark: SparkSession, sf_dir: str) -> dict:
             "n_vectors": n_now,
         }
     layout, cents, cells = ensure_vector_index_ivf_scaled(spark, sf_dir)
-    version = publish_index_version(spark, sf_dir, layout, cents, cells)
+    version = publish_index_version(
+        spark, sf_dir, layout, cents, cells, profile=profile
+    )
     return {
         "action": "publish",
         "version": version,

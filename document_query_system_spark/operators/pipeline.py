@@ -2275,6 +2275,7 @@ def _ivf_probe_literals(
     sf_dir: str,
     scaled: bool = False,
     nprobe: int | None = None,
+    cents_path: str | None = None,
 ) -> tuple[list, list]:
     """(qb_rows, probe_cells) for the IVF probe: each golden question's
     IVF_NPROBE nearest trained cells, folded to PLAN-TIME literals so
@@ -2309,13 +2310,18 @@ def _ivf_probe_literals(
         "ivf_probe_scaled" if scaled else "ivf_probe",
         sf_dir,
         str(np_eff),
+        cents_path or "",
     )
     if key in _IVF_PROBE_CACHE:
         return _IVF_PROBE_CACHE[key]
-    if scaled:
-        _, cents_path, _ = ensure_vector_index_ivf_scaled(spark, sf_dir)
-    else:
-        _, cents_path = ensure_vector_index_ivf(spark, sf_dir)
+    if cents_path is None:
+        # Default: resolve the centroids from the session's builders.
+        # An explicit cents_path serves a MANIFEST-resolved version
+        # (published_ivf_topk) — same fold, caller-owned pointer.
+        if scaled:
+            _, cents_path, _ = ensure_vector_index_ivf_scaled(spark, sf_dir)
+        else:
+            _, cents_path = ensure_vector_index_ivf(spark, sf_dir)
     cents = spark.read.parquet(cents_path)
     qx = embed_df(questions_df(spark), "question_text", out_col="q_v").select(
         "question_id", "q_v", dot(F.col("q_v"), F.col("q_v")).alias("qq")
@@ -2346,6 +2352,7 @@ def mmr_ivf_pool_pairs(
     sf_dir: str,
     scaled: bool = False,
     nprobe: int | None = None,
+    paths: tuple[str, str] | None = None,
 ) -> DataFrame:
     """The IVF-served MMR candidate pool — (question_id, doc_id, rel),
     no vectors: literal probe cells prune the cell-partitioned stored
@@ -2358,16 +2365,25 @@ def mmr_ivf_pool_pairs(
     nprobe·N/cells vs the LSH probe's tables·flips·N/2^planes.
     ``scaled=True`` serves from the corpus-adaptive ivf_cells_for(N)
     layout (q_ivf_recall_scaled) — same plan shape, smaller probe
-    fraction."""
+    fraction. ``paths=(layout, centroids)`` overrides the session
+    builders entirely: the probe runs against exactly that stored
+    version — how published_ivf_topk serves whatever triple the
+    blue/green manifest currently points at."""
     from ..api import ensure_vector_index_ivf, ensure_vector_index_ivf_scaled
     from ..functions.embed import dot
 
-    if scaled:
-        layout, _, _ = ensure_vector_index_ivf_scaled(spark, sf_dir)
+    if paths is not None:
+        layout, probe_cents = paths
+    elif scaled:
+        layout, probe_cents, _ = ensure_vector_index_ivf_scaled(spark, sf_dir)
     else:
-        layout, _ = ensure_vector_index_ivf(spark, sf_dir)
+        layout, probe_cents = ensure_vector_index_ivf(spark, sf_dir)
     qb_rows, probe_cells = _ivf_probe_literals(
-        spark, sf_dir, scaled=scaled, nprobe=nprobe
+        spark,
+        sf_dir,
+        scaled=scaled,
+        nprobe=nprobe,
+        cents_path=probe_cents if paths is not None else None,
     )
     if not probe_cells:
         # Degenerate corpus slice (no questions → no probe keys):
@@ -2878,6 +2894,118 @@ def q_mmr_ivf_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mmr_score",
         F.lit(cells).cast("long").alias("cells"),
         F.lit(IVF_NPROBE_SCALED).cast("long").alias("nprobe"),
+    )
+
+
+# ------------------------------ serving through the published pointer
+
+_PUBLISHED_TOPK = 5
+#: The registered row's manifest namespace: isolated from the default
+#: profile so library tests that publish doctored/stale layouts (the
+#: blue/green pins in tests/test_layout.py) can never change what the
+#: driver-checked row serves, and the row's first tick in any fresh
+#: process deterministically publishes v1.
+PUBLISHED_PROFILE = "published_row"
+
+
+def _published_topk_oracle() -> str:
+    """Full re-derivation of the published serving path: retrain the
+    scaled geometry (greatest(16, ceil(sqrt(N))) cells — the triple
+    maintain_ivf_index publishes on first tick), probe each question's
+    IVF_NPROBE_SCALED nearest cells, take the top-{k} by exact dot
+    inside the probed cells. version is pinned to the literal 1: a
+    fresh serving profile must publish exactly ONCE — if the
+    maintenance tick ever republished per call (version churn is the
+    classic blue/green bug: every flip invalidates every reader's
+    cache), the second run's version column would be 2 and the row
+    would hash-mismatch."""
+    from ..api import IVF_NPROBE_SCALED
+    from ..functions.embed import embed_subquery_sql
+    from .questions import question_values_sql
+
+    qv = embed_subquery_sql("questions", "question_id", "question_text")
+    dv = embed_subquery_sql("documents", "doc_id", "text")
+    cells = (
+        "(SELECT greatest(16, CAST(ceil(sqrt(count(*))) AS BIGINT)) "
+        "FROM dv)"
+    )
+    return f"""
+WITH {question_values_sql()},
+qv AS (SELECT id AS question_id, embedding AS v FROM {qv}),
+dv AS (SELECT id AS doc_id, embedding AS v FROM {dv}),
+{_ivf_leg_ctes(scaled=True, nprobe=IVF_NPROBE_SCALED)}
+SELECT question_id, doc_id, CAST(rk AS BIGINT) AS rank, rel AS score,
+       CAST(1 AS BIGINT) AS version,
+       {cells} AS cells
+FROM (
+  SELECT question_id, doc_id, rel,
+         row_number() OVER (PARTITION BY question_id
+                            ORDER BY rel DESC, doc_id) AS rk
+  FROM ivf_hits)
+WHERE rk <= {_PUBLISHED_TOPK}
+"""
+
+
+def published_ivf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = _PUBLISHED_TOPK,
+    profile: str = PUBLISHED_PROFILE,
+) -> DataFrame:
+    """Vector top-k served THROUGH the blue/green pointer — the read
+    side of the api.publish_index_version / maintain_ivf_index
+    lifecycle (r14; registration staged for r15). One maintenance
+    tick first (first call in a process publishes v1 of the scaled
+    layout; later calls resolve the same version — no drift, no
+    republish), then the probe reads the layout and centroids FROM
+    THE RESOLVED MANIFEST, not from the session's builders: flip the
+    pointer and the very next query serves the new version, roll it
+    back and the old rows return (pinned end-to-end with a doctored
+    layout in tests/test_layout.py). The (version, cells) pair rides
+    every row, so the oracle cross-checks the publish-once contract
+    and the geometry rule, not just the ranking arithmetic.
+
+    Reference analog: the index connect-then-query lifecycle the
+    reference delegates to Pinecone (ref:
+    src/services/vector_engine/pinecone_manager.py:19-59 — connect
+    resolves a named index version, queries run against it until the
+    pointer moves).
+
+    Plan: identical to the q_mmr_ivf_serving probe — literal probe
+    cells → static PartitionFilters on the cell-partitioned layout,
+    exact dot only inside the probed ≤ nprobe·N/cells candidates,
+    one per-question window for the top-k. At 100 TB the manifest
+    read is one tiny catalog GET per query batch; the data read
+    stays the calibrated ~nprobe/√N fraction of the index."""
+    from ..api import (
+        IVF_NPROBE_SCALED,
+        current_index_version,
+        maintain_ivf_index,
+    )
+
+    maintain_ivf_index(spark, sf_dir, profile=profile)
+    cur = current_index_version(spark, sf_dir, profile=profile)
+    pairs = mmr_ivf_pool_pairs(
+        spark,
+        sf_dir,
+        scaled=True,
+        nprobe=IVF_NPROBE_SCALED,
+        paths=(cur["layout"], cur["centroids"]),
+    )
+    w = Window.partitionBy("question_id").orderBy(
+        F.desc("rel"), F.asc("doc_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "question_id",
+            "doc_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.col("rel").alias("score"),
+            F.lit(int(cur["version"])).cast("long").alias("version"),
+            F.lit(int(cur["cells"])).cast("long").alias("cells"),
+        )
     )
 
 

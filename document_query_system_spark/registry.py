@@ -115,9 +115,11 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # q_ivf_cell_psi = operators/pipeline.ivf_cell_psi with
 # _ivf_cell_psi_oracle; q_stream_ivf_maintenance =
 # operators/pipeline.stream_ivf_maintenance against the same
-# full-rebuild oracle as the scaled incremental row — all four
-# pre-flighted engine-vs-oracle MATCH at sf0.001/0.01/0.1,
-# BENCH_NOTES r14).
+# full-rebuild oracle as the scaled incremental row; and
+# q_vector_topk_published = operators/pipeline.published_ivf_topk
+# with _published_topk_oracle — the read side of the blue/green
+# manifest (version+cells pinned columns) — all five pre-flighted
+# engine-vs-oracle MATCH at sf0.001/0.01/0.1, BENCH_NOTES r14).
 _ROTATION_PREFIX: tuple[str, ...] = (
     # --- staged rows-only KLL rows (r13 verdict #1; last rows r8) ---
     "q_agg_percentiles_approx",  # rows-only by design (KLL), last row r8

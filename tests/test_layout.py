@@ -569,3 +569,200 @@ def test_maintain_ivf_index_republishes_on_drift(spark):
     assert out["version"] == v_stale + 1
     assert out["cells"] == ivf_cells_for(out["n_vectors"])
     assert current_index_version(spark, SF_DIR)["cells"] == out["cells"]
+
+
+def test_index_version_log_and_rollback_mechanism(spark):
+    """The manifest's metadata log (r14): every publish writes an
+    immutable v{N}.json beside CURRENT, list_index_versions reads the
+    log back in order, and rollback_index_version republishes the
+    predecessor's triple WITHOUT the caller holding it — versions only
+    move forward (rollback-as-new-snapshot, the Iceberg protocol).
+    Runs in its own manifest profile so the default-profile pins
+    above stay order-independent."""
+    import os
+
+    from document_query_system_spark.api import (
+        _manifest_dir,
+        current_index_version,
+        list_index_versions,
+        publish_index_version,
+        rollback_index_version,
+    )
+    from document_query_system_spark.sources.tmputil import tmp_path
+
+    prof = "t_log"
+    assert rollback_index_version(spark, SF_DIR, profile=prof) is None
+    la, lb = tmp_path("t_log_fix", "a"), tmp_path("t_log_fix", "b")
+    ca, cb = tmp_path("t_log_fix", "a_c"), tmp_path("t_log_fix", "b_c")
+    v1 = publish_index_version(spark, SF_DIR, la, ca, 16, profile=prof)
+    v2 = publish_index_version(spark, SF_DIR, lb, cb, 23, profile=prof)
+    assert (v1, v2) == (1, 2)
+    mdir = _manifest_dir(SF_DIR, prof)
+    assert sorted(
+        n for n in os.listdir(mdir) if n.startswith("v")
+    ) == ["v1.json", "v2.json"]
+    log = list_index_versions(spark, SF_DIR, profile=prof)
+    assert [e["version"] for e in log] == [1, 2]
+    assert log[0]["layout"] == la and log[1]["cells"] == 23
+    assert current_index_version(spark, SF_DIR, profile=prof)["layout"] == lb
+    # Rollback: pointer returns to v1's TRIPLE under a NEW version.
+    cur = rollback_index_version(spark, SF_DIR, profile=prof)
+    assert cur["version"] == 3
+    assert (cur["layout"], cur["centroids"], cur["cells"]) == (la, ca, 16)
+    # The log grew; nothing was renumbered.
+    assert [
+        e["version"]
+        for e in list_index_versions(spark, SF_DIR, profile=prof)
+    ] == [1, 2, 3]
+
+
+def test_gc_index_versions_retention_rails(spark):
+    """Retention (api.gc_index_versions): prunes log entries beyond
+    keep_last and deletes layout dirs referenced ONLY by pruned
+    entries — with the three rails live: a path a KEPT version still
+    references survives its pruned twin; an out-of-root path is
+    reported, never deleted; a path a live builder memo hands out is
+    skipped. Idempotent on re-run."""
+    import os
+    import tempfile
+
+    from document_query_system_spark.api import (
+        current_index_version,
+        ensure_vector_index_ivf_scaled,
+        gc_index_versions,
+        list_index_versions,
+        publish_index_version,
+    )
+    from document_query_system_spark.sources.tmputil import tmp_path
+
+    prof = "t_gc"
+
+    def mkdirs(*names):
+        out = []
+        for n in names:
+            p = tmp_path("t_gc_fix", n)
+            os.makedirs(p, exist_ok=True)
+            with open(os.path.join(p, "part-0"), "w") as f:
+                f.write("x")
+            out.append(p)
+        return out
+
+    l1, c1, l3, c3, l4, c4 = mkdirs("l1", "c1", "l3", "c3", "l4", "c4")
+    outside = tempfile.mkdtemp(prefix="dqs_outside_")
+    # The REAL scaled layout: its builder memo is live this session.
+    live_layout, live_cents, live_cells = ensure_vector_index_ivf_scaled(
+        spark, SF_DIR
+    )
+    publish_index_version(spark, SF_DIR, l1, c1, 16, profile=prof)
+    publish_index_version(spark, SF_DIR, outside, c1, 16, profile=prof)
+    publish_index_version(
+        spark, SF_DIR, live_layout, live_cents, live_cells, profile=prof
+    )
+    publish_index_version(spark, SF_DIR, l3, c3, 23, profile=prof)
+    publish_index_version(spark, SF_DIR, l4, c4, 23, profile=prof)
+    rep = gc_index_versions(spark, SF_DIR, keep_last=2, profile=prof)
+    assert rep["kept_versions"] == [4, 5]
+    assert rep["pruned_versions"] == [1, 2, 3]
+    # l1 was referenced only by pruned v1 → gone; c1 is ALSO gone —
+    # v2 (its other referent) was pruned too.
+    assert not os.path.exists(l1) and not os.path.exists(c1)
+    # Out-of-root: reported, not touched.
+    assert outside in rep["skipped_paths"] and os.path.isdir(outside)
+    # Live-memo rail: the real scaled layout survives its pruned entry.
+    assert os.path.isdir(live_layout) and os.path.isdir(live_cents)
+    assert live_layout not in rep["removed_paths"]
+    # Kept versions' files intact; pointer untouched; log pruned.
+    assert os.path.isdir(l3) and os.path.isdir(l4)
+    assert current_index_version(spark, SF_DIR, profile=prof)["layout"] == l4
+    assert [
+        e["version"]
+        for e in list_index_versions(spark, SF_DIR, profile=prof)
+    ] == [4, 5]
+    # Idempotent.
+    rep2 = gc_index_versions(spark, SF_DIR, keep_last=2, profile=prof)
+    assert rep2["removed_paths"] == [] and rep2["pruned_versions"] == []
+
+
+def test_published_topk_oracle_parity(spark, duck):
+    """The read side of the blue/green lifecycle
+    (pipeline.published_ivf_topk — r15 registration candidate): rows
+    served THROUGH the manifest equal a DuckDB full re-derivation of
+    the scaled-geometry probe, including the publish-once contract
+    (version column == 1 on a fresh profile) and the geometry rule
+    (cells column == greatest(16, ceil(sqrt(N))))."""
+    from document_query_system_spark.operators.pipeline import (
+        _published_topk_oracle,
+        published_ivf_topk,
+    )
+
+    got = sorted(
+        (r.question_id, r.doc_id, r.rank, round(r.score, 6), r.version, r.cells)
+        for r in published_ivf_topk(spark, SF_DIR).collect()
+    )
+    want = sorted(
+        (q, d, rk, round(s, 6), v, c)
+        for q, d, rk, s, v, c in duck.execute(
+            _published_topk_oracle()
+        ).fetchall()
+    )
+    assert got == want
+    # Second call: same version (the tick appends, never republishes).
+    again = published_ivf_topk(spark, SF_DIR)
+    assert {r.version for r in again.select("version").collect()} == {1}
+
+
+def test_published_topk_follows_pointer_swap(spark):
+    """Blue/green END-TO-END: doctor the published layout (drop one
+    served doc), flip the pointer — the very next query stops serving
+    the victim; roll back — the original rows return. Proves the
+    reader consumes the MANIFEST, not a session-memoized path. Own
+    profile ('t_swap') so the parity row above stays pristine."""
+    from pyspark.sql import functions as F
+
+    from document_query_system_spark.api import (
+        current_index_version,
+        publish_index_version,
+        rollback_index_version,
+    )
+    from document_query_system_spark.operators.pipeline import (
+        published_ivf_topk,
+    )
+    from document_query_system_spark.sources.tmputil import tmp_path
+
+    prof = "t_swap"
+    base = sorted(
+        (r.question_id, r.doc_id, r.rank)
+        for r in published_ivf_topk(spark, SF_DIR, profile=prof).collect()
+    )
+    v1 = current_index_version(spark, SF_DIR, profile=prof)
+    assert v1["version"] == 1
+    victim_q, victim_doc, _ = base[0]
+    doctored = tmp_path("t_swap_fix", "layout_minus_one")
+    (
+        spark.read.parquet(v1["layout"])
+        .filter(F.col("doc_id") != victim_doc)
+        .repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(doctored)
+    )
+    publish_index_version(
+        spark, SF_DIR, doctored, v1["centroids"], v1["cells"], profile=prof
+    )
+    swapped = published_ivf_topk(spark, SF_DIR, profile=prof)
+    srows = swapped.collect()
+    assert {r.version for r in srows} == {2}
+    assert all(r.doc_id != victim_doc for r in srows)
+    # Still a full top-k per question: the pool refills behind the
+    # removed doc.
+    per_q = {}
+    for r in srows:
+        per_q[r.question_id] = max(per_q.get(r.question_id, 0), r.rank)
+    assert per_q[victim_q] == 5
+    # Rollback: original rows, forward version.
+    rollback_index_version(spark, SF_DIR, profile=prof)
+    back = published_ivf_topk(spark, SF_DIR, profile=prof)
+    assert sorted(
+        (r.question_id, r.doc_id, r.rank) for r in back.collect()
+    ) == base
+    assert {r.version for r in back.select("version").collect()} == {3}
