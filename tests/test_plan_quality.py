@@ -725,3 +725,32 @@ def test_ivf_layout_stats_reads_no_vector_bytes(spark):
     assert locs and all("vector_index_ivf_c" in loc for loc in locs), locs
     assert all(s["columns"] == "" for s in rep.scans), rep.scans
     assert rep.n_shuffles <= 2
+
+
+def test_published_topk_probes_manifest_layout_statically(spark):
+    """The manifest-resolved read path (pipeline.published_ivf_topk —
+    staged r15 row) must keep the IVF probe's plan shape when the
+    layout and centroids come from the BLUE/GREEN POINTER instead of
+    the session builders: every scan sits on the manifest-resolved
+    cells-tagged layout, the probe cells land as static
+    PartitionFilters, no corpus embed, no cross join — resolving
+    through CURRENT changes only WHERE the plan reads, never its
+    shape."""
+    import re
+
+    from document_query_system_spark.operators.pipeline import (
+        published_ivf_topk,
+    )
+
+    rep = plan_report(published_ivf_topk(spark, SF_DIR))
+    locs = [s.get("location", "") for s in rep.scans]
+    assert locs and all("vector_index_ivf_c" in loc for loc in locs), locs
+    assert "BroadcastHashJoin" in rep.raw
+    assert rep.n_bnlj == 0
+    assert _CORPUS_SPLIT not in rep.raw
+    pfs = [
+        m
+        for m in re.findall(r"PartitionFilters: \[([^\]]*)\]", rep.raw)
+        if "cell" in m
+    ]
+    assert pfs and any("INSET" in m or " IN " in m for m in pfs), pfs
