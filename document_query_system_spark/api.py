@@ -427,37 +427,114 @@ def gc_index_versions(
     }
 
 
+#: PSI alarm for the tick's drift branch — the standard 0.25
+#: "significant shift" bar the monitoring ops already use
+#: (q_psi_drift, ivf_cell_psi), applied to the index's own cell
+#: occupancy.
+IVF_PSI_ALARM = 0.25
+#: Small-batch gate: PSI's 0.1/0.25 stability rules assume each
+#: cell's expected batch count is ≳10 (ivf_cell_psi's measured
+#: inflation: 0.69 at ~1.7 docs/cell on a SAME-distribution slice) —
+#: batches below 10·cells record their PSI but cannot fire the alarm.
+IVF_PSI_MIN_PER_CELL = 10
+
+
 def maintain_ivf_index(
-    spark: SparkSession, sf_dir: str, profile: str = "default"
+    spark: SparkSession,
+    sf_dir: str,
+    profile: str = "default",
+    batch: DataFrame | None = None,
+    gc_keep: int | None = None,
 ) -> dict:
-    """One maintenance tick, end to end (the lifecycle glue): count
-    the stored index (bounded metadata aggregate), ask ivf_retrain_due
-    against the published geometry, and either (a) publish the freshly
-    ensured scaled layout when no version exists yet or a retrain is
-    due — the ensure_* builder trains at ivf_cells_for(N_now) by
-    construction, so 'rebuild' and 'first publish' are the same call —
-    or (b) report 'append' (the delta path, incremental_ivf /
-    append_ivf_delta, owns data movement between retrains). Returns
-    {action, version, cells, n_vectors} for the operator's log."""
+    """One maintenance tick, end to end (the lifecycle glue), now
+    carrying BOTH halves of the retrain policy plus retention:
+
+    - SIZE: count the stored index (bounded metadata aggregate), ask
+      ivf_retrain_due against the published geometry;
+    - DATA (when ``batch`` — a (id, dv) DataFrame of the incoming
+      vectors — is supplied): broadcast-assign the batch to the
+      PUBLISHED centroids and PSI its cell histogram against the
+      published layout's occupancy (operators/pipeline.psi_report —
+      the same arithmetic as the ivf_cell_psi row, so the tick and
+      the monitor cannot drift apart). The alarm is gated on
+      n_batch ≥ IVF_PSI_MIN_PER_CELL·cells — small batches record
+      psi but cannot fire it (the measured small-batch inflation in
+      ivf_cell_psi's docstring);
+    - on either trigger (or no version yet): publish the freshly
+      ensured scaled layout — the ensure_* builder trains at
+      ivf_cells_for(N_now) by construction, so 'rebuild' and 'first
+      publish' are the same call. Otherwise report 'append' (the
+      delta path, incremental_ivf / append_ivf_delta, owns data
+      movement between retrains);
+    - RETENTION (when ``gc_keep`` is set): after the decision, run
+      gc_index_versions(keep_last=gc_keep) so superseded layouts are
+      pruned by the same singleton that publishes them.
+
+    Returns {action, version, cells, n_vectors} plus {psi, psi_gated,
+    psi_due} when a batch was checked and {gc: report} when retention
+    ran. Cost: one count, one ≤cells-row PSI aggregate over the batch
+    assignment, one metadata GC listing — the corpus-scale work stays
+    in the builders."""
     n_now = spark.read.parquet(ensure_vector_index(spark, sf_dir)).count()
     cur = current_index_version(spark, sf_dir, profile=profile)
-    if cur is not None and not ivf_retrain_due(cur["cells"], n_now):
-        return {
+    extra: dict = {}
+    psi_due = False
+    if cur is not None and batch is not None:
+        from .functions.embed import dot as vdot
+        from .operators.clustering import _assign, _cents_df
+        from .operators.pipeline import psi_report
+
+        cents_rows = [
+            (int(r.cid), [float(v) for v in r.cv], float(r.cc))
+            for r in spark.read.parquet(cur["centroids"]).collect()
+        ]
+        idc, vecc = batch.columns[0], batch.columns[1]
+        vx = batch.select(
+            F.col(idc).alias("vec_id"), F.col(vecc).alias("x")
+        ).withColumn("xx", vdot(F.col("x"), F.col("x")))
+        delta = _assign(vx, _cents_df(spark, cents_rows)).select(
+            F.col("cid").cast("long").alias("cell")
+        )
+        base = spark.read.parquet(cur["layout"]).select(
+            F.col("cell").cast("long").alias("cell")
+        )
+        r = psi_report(spark, cur["centroids"], base, delta).collect()[0]
+        gated = r.n_batch < IVF_PSI_MIN_PER_CELL * r.cells
+        psi_due = (not gated) and float(r.psi) > IVF_PSI_ALARM
+        extra = {
+            "psi": float(r.psi),
+            "psi_gated": bool(gated),
+            "psi_due": bool(psi_due),
+        }
+    if (
+        cur is not None
+        and not psi_due
+        and not ivf_retrain_due(cur["cells"], n_now)
+    ):
+        out = {
             "action": "append",
             "version": cur["version"],
             "cells": cur["cells"],
             "n_vectors": n_now,
+            **extra,
         }
-    layout, cents, cells = ensure_vector_index_ivf_scaled(spark, sf_dir)
-    version = publish_index_version(
-        spark, sf_dir, layout, cents, cells, profile=profile
-    )
-    return {
-        "action": "publish",
-        "version": version,
-        "cells": cells,
-        "n_vectors": n_now,
-    }
+    else:
+        layout, cents, cells = ensure_vector_index_ivf_scaled(spark, sf_dir)
+        version = publish_index_version(
+            spark, sf_dir, layout, cents, cells, profile=profile
+        )
+        out = {
+            "action": "publish",
+            "version": version,
+            "cells": cells,
+            "n_vectors": n_now,
+            **extra,
+        }
+    if gc_keep is not None:
+        out["gc"] = gc_index_versions(
+            spark, sf_dir, keep_last=gc_keep, profile=profile
+        )
+    return out
 
 
 _VECTOR_IVF_SCALED_READY: dict[tuple, tuple[str, str, int]] = {}

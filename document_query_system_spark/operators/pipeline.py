@@ -932,6 +932,18 @@ def ivf_cell_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir
     )
     base, delta = _ivf_base_and_delta(spark, sf_dir, scaled=True)
+    return psi_report(spark, cents_path, base, delta)
+
+
+def psi_report(
+    spark: SparkSession, cents_path: str, base: DataFrame, delta: DataFrame
+) -> DataFrame:
+    """The PSI arithmetic of ivf_cell_psi as a reusable core (r14 —
+    api.maintain_ivf_index's drift branch computes the same number
+    against the PUBLISHED layout, so the tick and the registered-row
+    candidate cannot drift apart): +0.5-smoothed occupancy histograms
+    over the centroid domain for any two cell-assigned frames, one
+    (cells, n_base, n_batch, psi) row out."""
     cent = (
         spark.read.parquet(cents_path)
         .select(F.col("cid").alias("cell"))

@@ -766,3 +766,59 @@ def test_published_topk_follows_pointer_swap(spark):
         (r.question_id, r.doc_id, r.rank) for r in back.collect()
     ) == base
     assert {r.version for r in back.select("version").collect()} == {3}
+
+
+def test_maintain_tick_psi_branch_and_retention(spark):
+    """Both halves of the retrain policy plus retention in ONE tick
+    (api.maintain_ivf_index with batch/gc_keep): a same-distribution
+    batch records a tiny PSI and appends; a collapsed batch (every
+    vector identical → one cell) fires the 0.25 alarm and republishes
+    — but ONLY when the batch clears the 10·cells gate (the measured
+    small-batch inflation cannot trigger rebuilds); gc_keep prunes
+    superseded log entries from the same call. Own profile."""
+    from pyspark.sql import functions as F
+
+    from document_query_system_spark.api import (
+        IVF_PSI_MIN_PER_CELL,
+        current_index_version,
+        maintain_ivf_index,
+    )
+
+    prof = "t_psi"
+    out1 = maintain_ivf_index(spark, SF_DIR, profile=prof)
+    assert out1["action"] == "publish" and "psi" not in out1
+    cur = current_index_version(spark, SF_DIR, profile=prof)
+    layout = spark.read.parquet(cur["layout"]).select("doc_id", "dv")
+    # Same-distribution batch: the layout's own vectors → psi ≈ 0,
+    # above the gate (n == N ≥ 10·cells at sf0.01: 500 ≥ 230).
+    out2 = maintain_ivf_index(spark, SF_DIR, profile=prof, batch=layout)
+    assert out2["action"] == "append" and not out2["psi_due"]
+    assert not out2["psi_gated"] and out2["psi"] < 0.25
+    # Collapsed batch, BELOW the gate: psi records, alarm held.
+    one = layout.limit(1).select(F.col("dv").alias("v"))
+    small = (
+        spark.range(20)
+        .crossJoin(F.broadcast(one))
+        .select(F.col("id").alias("vec_id"), F.col("v").alias("dv"))
+    )
+    out3 = maintain_ivf_index(spark, SF_DIR, profile=prof, batch=small)
+    assert out3["action"] == "append"
+    assert out3["psi_gated"] and not out3["psi_due"]
+    # Collapsed batch, ABOVE the gate: drift alarm → republish.
+    big = (
+        spark.range(IVF_PSI_MIN_PER_CELL * cur["cells"] + 10)
+        .crossJoin(F.broadcast(one))
+        .select(F.col("id").alias("vec_id"), F.col("v").alias("dv"))
+    )
+    out4 = maintain_ivf_index(spark, SF_DIR, profile=prof, batch=big)
+    assert out4["psi"] > 0.25 and out4["psi_due"] and not out4["psi_gated"]
+    assert out4["action"] == "publish"
+    assert out4["version"] == out1["version"] + 1
+    # Retention from the tick: keep only the newest entry.
+    out5 = maintain_ivf_index(spark, SF_DIR, profile=prof, gc_keep=1)
+    assert out5["action"] == "append"
+    assert out5["gc"]["pruned_versions"] == [out1["version"]]
+    assert (
+        current_index_version(spark, SF_DIR, profile=prof)["version"]
+        == out4["version"]
+    )
