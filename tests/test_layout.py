@@ -822,3 +822,58 @@ def test_maintain_tick_psi_branch_and_retention(spark):
         current_index_version(spark, SF_DIR, profile=prof)["version"]
         == out4["version"]
     )
+
+
+def test_manifest_pointer_flip_is_atomic_under_read_load(spark):
+    """The publish docstring's atomicity claim, exercised: a reader
+    polling CURRENT while 150 publishes flip it must NEVER see a torn
+    state — every read parses as a complete (version, layout,
+    centroids, cells) triple and versions are monotone non-decreasing
+    (write-temp + os.replace; on an object store this is the
+    catalog's CAS). Own profile."""
+    import threading
+
+    from document_query_system_spark.api import (
+        current_index_version,
+        publish_index_version,
+    )
+    from document_query_system_spark.sources.tmputil import tmp_path
+
+    prof = "t_atomic"
+    publish_index_version(
+        spark, SF_DIR, tmp_path("t_atomic_fix", "l0"),
+        tmp_path("t_atomic_fix", "c0"), 16, profile=prof,
+    )
+    stop = threading.Event()
+    torn: list[str] = []
+    seen: list[int] = []
+
+    def reader():
+        last = 0
+        while not stop.is_set():
+            try:
+                cur = current_index_version(spark, SF_DIR, profile=prof)
+                assert cur is not None
+                if set(cur) != {"version", "layout", "centroids", "cells"}:
+                    torn.append(f"keys: {sorted(cur)}")
+                if cur["version"] < last:
+                    torn.append(f"regressed: {last} -> {cur['version']}")
+                last = cur["version"]
+                seen.append(last)
+            except Exception as exc:  # json decode of a torn file, etc.
+                torn.append(repr(exc))
+
+    t = threading.Thread(target=reader)
+    t.start()
+    try:
+        for i in range(150):
+            publish_index_version(
+                spark, SF_DIR, tmp_path("t_atomic_fix", f"l{i}"),
+                tmp_path("t_atomic_fix", f"c{i}"), 16 + (i % 7),
+                profile=prof,
+            )
+    finally:
+        stop.set()
+        t.join(timeout=30)
+    assert not torn, torn[:5]
+    assert len(seen) > 10 and seen[-1] >= 100
