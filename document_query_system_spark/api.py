@@ -488,7 +488,22 @@ def maintain_ivf_index(
             (int(r.cid), [float(v) for v in r.cv], float(r.cc))
             for r in spark.read.parquet(cur["centroids"]).collect()
         ]
-        idc, vecc = batch.columns[0], batch.columns[1]
+        # Resolve the vector column BY TYPE (the layouts' array<double>
+        # shape), not by position — a (dv, id)-ordered batch would
+        # otherwise silently PSI the id column. Ambiguity (two vector
+        # columns) is an error, not a guess.
+        vec_cols = [
+            f.name
+            for f in batch.schema.fields
+            if f.dataType.simpleString().startswith("array<")
+        ]
+        if len(vec_cols) != 1:
+            raise ValueError(
+                "maintain_ivf_index batch needs exactly one array vector "
+                f"column, got {vec_cols or batch.columns}"
+            )
+        vecc = vec_cols[0]
+        idc = next(c for c in batch.columns if c != vecc)
         vx = batch.select(
             F.col(idc).alias("vec_id"), F.col(vecc).alias("x")
         ).withColumn("xx", vdot(F.col("x"), F.col("x")))
