@@ -3021,6 +3021,57 @@ def published_ivf_topk(
     )
 
 
+#: Version-keyed result cache for the published serving path — keyed
+#: by (session, corpus, profile, VERSION, k), so a pointer flip
+#: invalidates every cached answer without any explicit purge (the
+#: operational payoff of blue/green over in-place mutation: readers
+#: key caches by the version they served from). Entries are tiny
+#: (≤|questions|·k id/score rows); FIFO-capped like the triplet memo.
+_PUBLISHED_RESULT_CACHE: dict[tuple, list] = {}
+_PUBLISHED_RESULT_CACHE_MAX = 8
+
+
+def published_topk_cached(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = _PUBLISHED_TOPK,
+    profile: str = PUBLISHED_PROFILE,
+) -> tuple[list, bool]:
+    """published_ivf_topk behind a VERSION-KEYED driver-side cache:
+    returns (rows, cache_hit). The key carries the manifest version
+    the rows were served from — a blue/green flip changes the version
+    and the stale entry simply stops being addressed (no invalidation
+    protocol, no TTL guess; rollback re-bumps the version so even
+    'back to the old layout' never resurrects a stale key). Pinned in
+    tests/test_layout.py: hit on repeat, miss + fresh rows after a
+    doctored-layout flip, miss + original rows after rollback.
+
+    At 100 TB this is the per-gateway answer cache every serving tier
+    runs; the bounded maintenance tick (one count) is the cost of
+    knowing the version is still current. FIFO eviction at
+    _PUBLISHED_RESULT_CACHE_MAX entries — insertion order, not
+    recency (a hit does not refresh a key's position)."""
+    from ..api import current_index_version, maintain_ivf_index
+
+    from ..sources.tmputil import session_key
+
+    maintain_ivf_index(spark, sf_dir, profile=profile)
+    cur = current_index_version(spark, sf_dir, profile=profile)
+    key = session_key(spark, sf_dir, profile, str(cur["version"]), str(k))
+    if key in _PUBLISHED_RESULT_CACHE:
+        return _PUBLISHED_RESULT_CACHE[key], True
+    rows = sorted(
+        tuple(r)
+        for r in published_ivf_topk(
+            spark, sf_dir, k=k, profile=profile
+        ).collect()
+    )
+    if len(_PUBLISHED_RESULT_CACHE) >= _PUBLISHED_RESULT_CACHE_MAX:
+        _PUBLISHED_RESULT_CACHE.pop(next(iter(_PUBLISHED_RESULT_CACHE)))
+    _PUBLISHED_RESULT_CACHE[key] = rows
+    return rows, False
+
+
 # --------------------------------- late-interaction (MaxSim) re-rank
 #
 # ColBERT-style late interaction (Khattab & Zaharia, SIGIR 2020): a

@@ -877,3 +877,53 @@ def test_manifest_pointer_flip_is_atomic_under_read_load(spark):
         t.join(timeout=30)
     assert not torn, torn[:5]
     assert len(seen) > 10 and seen[-1] >= 100
+
+
+def test_published_cache_invalidates_on_version_flip(spark):
+    """The version-keyed answer cache
+    (pipeline.published_topk_cached): repeat queries hit; a
+    doctored-layout FLIP changes the version so the next query
+    misses and serves the new layout's rows; rollback bumps the
+    version again — the old layout's rows return via a MISS, never a
+    stale key. Own profile."""
+    from pyspark.sql import functions as F
+
+    from document_query_system_spark.api import (
+        current_index_version,
+        publish_index_version,
+        rollback_index_version,
+    )
+    from document_query_system_spark.operators.pipeline import (
+        published_topk_cached,
+    )
+    from document_query_system_spark.sources.tmputil import tmp_path
+
+    prof = "t_cache"
+    r1, hit1 = published_topk_cached(spark, SF_DIR, profile=prof)
+    r2, hit2 = published_topk_cached(spark, SF_DIR, profile=prof)
+    assert (hit1, hit2) == (False, True) and r2 is r1
+    cur = current_index_version(spark, SF_DIR, profile=prof)
+    victim_doc = r1[0][1]
+    doctored = tmp_path("t_cache_fix", "layout_minus_one")
+    (
+        spark.read.parquet(cur["layout"])
+        .filter(F.col("doc_id") != victim_doc)
+        .repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(doctored)
+    )
+    publish_index_version(
+        spark, SF_DIR, doctored, cur["centroids"], cur["cells"], profile=prof
+    )
+    r3, hit3 = published_topk_cached(spark, SF_DIR, profile=prof)
+    assert not hit3 and all(row[1] != victim_doc for row in r3)
+    rollback_index_version(spark, SF_DIR, profile=prof)
+    r4, hit4 = published_topk_cached(spark, SF_DIR, profile=prof)
+    assert not hit4
+    # Same selections as v1 (version/cells columns differ: the
+    # rollback is a FORWARD version serving the original layout).
+    assert [row[:4] for row in r4] == [row[:4] for row in r1]
+    # And the repeat on the rolled-back version hits again.
+    r5, hit5 = published_topk_cached(spark, SF_DIR, profile=prof)
+    assert hit5 and r5 is r4

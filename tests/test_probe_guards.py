@@ -32,7 +32,10 @@ def test_ivf_pool_empty_probe_returns_empty_pool(spark):
 
     from document_query_system_spark.api import IVF_NPROBE
 
-    key = session_key(spark, "ivf_probe", SF_DIR, str(IVF_NPROBE))
+    # Key layout mirrors _ivf_probe_literals: (tag, geometry, sf_dir,
+    # nprobe, cents_path-override) — "" = builder-resolved centroids
+    # (r14: the manifest-resolved serving path carries its own path).
+    key = session_key(spark, "ivf_probe", SF_DIR, str(IVF_NPROBE), "")
     restore = _patched(P._IVF_PROBE_CACHE, key, ([], []))
     try:
         df = P.mmr_ivf_pool_pairs(spark, SF_DIR)
