@@ -2963,6 +2963,7 @@ def published_ivf_topk(
     sf_dir: str,
     k: int = _PUBLISHED_TOPK,
     profile: str = PUBLISHED_PROFILE,
+    version: int | None = None,
 ) -> DataFrame:
     """Vector top-k served THROUGH the blue/green pointer — the read
     side of the api.publish_index_version / maintain_ivf_index
@@ -2988,15 +2989,37 @@ def published_ivf_topk(
     exact dot only inside the probed ≤ nprobe·N/cells candidates,
     one per-question window for the top-k. At 100 TB the manifest
     read is one tiny catalog GET per query batch; the data read
-    stays the calibrated ~nprobe/√N fraction of the index."""
+    stays the calibrated ~nprobe/√N fraction of the index.
+
+    ``version`` pins a HISTORICAL log entry instead of CURRENT — the
+    time-travel read every version log buys for free (debug 'what did
+    v1 serve', A/B two index builds, reproduce an eval against the
+    exact index a training run mined from). Raises KeyError when the
+    requested version is not in the log (never published, or pruned
+    by gc_index_versions — retention bounds how far back a reader can
+    travel, exactly Iceberg's expire-snapshots contract)."""
     from ..api import (
         IVF_NPROBE_SCALED,
         current_index_version,
+        list_index_versions,
         maintain_ivf_index,
     )
 
     maintain_ivf_index(spark, sf_dir, profile=profile)
-    cur = current_index_version(spark, sf_dir, profile=profile)
+    if version is None:
+        cur = current_index_version(spark, sf_dir, profile=profile)
+    else:
+        byv = {
+            e["version"]: e
+            for e in list_index_versions(spark, sf_dir, profile=profile)
+        }
+        if version not in byv:
+            raise KeyError(
+                f"index version {version} not in the log "
+                f"(have {sorted(byv)}); pruned by retention or never "
+                "published"
+            )
+        cur = byv[version]
     pairs = mmr_ivf_pool_pairs(
         spark,
         sf_dir,

@@ -927,3 +927,55 @@ def test_published_cache_invalidates_on_version_flip(spark):
     # And the repeat on the rolled-back version hits again.
     r5, hit5 = published_topk_cached(spark, SF_DIR, profile=prof)
     assert hit5 and r5 is r4
+
+
+def test_published_topk_time_travel_reads_pinned_version(spark):
+    """Time-travel through the version log
+    (published_ivf_topk(version=N)): after a doctored flip, version=1
+    still serves the ORIGINAL layout's rows while CURRENT serves the
+    doctored ones; a version outside the log (pruned or never
+    published) raises KeyError naming what IS available. Own
+    profile."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from document_query_system_spark.api import (
+        current_index_version,
+        publish_index_version,
+    )
+    from document_query_system_spark.operators.pipeline import (
+        published_ivf_topk,
+    )
+    from document_query_system_spark.sources.tmputil import tmp_path
+
+    prof = "t_travel"
+    base = sorted(
+        (r.question_id, r.doc_id, r.rank)
+        for r in published_ivf_topk(spark, SF_DIR, profile=prof).collect()
+    )
+    v1 = current_index_version(spark, SF_DIR, profile=prof)
+    victim_doc = base[0][1]
+    doctored = tmp_path("t_travel_fix", "layout_minus_one")
+    (
+        spark.read.parquet(v1["layout"])
+        .filter(F.col("doc_id") != victim_doc)
+        .repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(doctored)
+    )
+    publish_index_version(
+        spark, SF_DIR, doctored, v1["centroids"], v1["cells"], profile=prof
+    )
+    # CURRENT serves the doctored layout...
+    now = published_ivf_topk(spark, SF_DIR, profile=prof).collect()
+    assert {r.version for r in now} == {2}
+    assert all(r.doc_id != victim_doc for r in now)
+    # ...while the pinned read reproduces v1 exactly.
+    past = published_ivf_topk(
+        spark, SF_DIR, profile=prof, version=1
+    ).collect()
+    assert {r.version for r in past} == {1}
+    assert sorted((r.question_id, r.doc_id, r.rank) for r in past) == base
+    with pytest.raises(KeyError, match=r"version 99 not in the log"):
+        published_ivf_topk(spark, SF_DIR, profile=prof, version=99)
