@@ -258,10 +258,16 @@ def publish_index_version(
     # Next version = 1 + max(pointer, log): robust to a pointer that
     # was rolled back below the log's high-water mark — version
     # numbers must never be reused or the log entries stop being
-    # immutable.
+    # immutable. The log's high-water comes from the FILENAMES alone
+    # (r14 review: parsing every v{N}.json made N publishes O(N²)
+    # JSON loads; the number is already in the name).
+    import re
+
     high = prev["version"] if prev else 0
-    for entry in list_index_versions(spark, sf_dir, profile=profile):
-        high = max(high, entry["version"])
+    for name in os.listdir(mdir):
+        m = re.fullmatch(r"v(\d+)\.json", name)
+        if m:
+            high = max(high, int(m.group(1)))
     version = high + 1
     payload = {
         "version": version,
@@ -368,19 +374,27 @@ def gc_index_versions(
     entries reference. Three hard safety rails, each pinned in
     tests/test_layout.py:
 
-    - CURRENT's paths are unconditionally protected, whatever its
-      version number (a rolled-back pointer may be OLDER than the
-      kept window);
+    - every pointer's paths are unconditionally protected — this
+      profile's CURRENT (whatever its version number: a rolled-back
+      pointer may be OLDER than the kept window) AND every other
+      manifest's CURRENT and log entries under the artifact root
+      (r14 review: two profiles can publish the same layout path;
+      one profile's retention must never break another's reader);
     - only paths under this process's artifact root are ever deleted
       (the production analog: retention owns its table prefix and
-      nothing else) — out-of-root paths are reported, not removed;
+      nothing else) — out-of-root paths are reported, not removed,
+      and their log entries RETAINED so a later run can still see
+      them;
     - paths a live builder memo still hands out are skipped (a
       session that re-asks ensure_vector_index_ivf_scaled must not
-      get a dangling path back), reported as skipped_live.
+      get a dangling path back), reported as skipped_live, their
+      log entries retained.
 
     Returns {kept_versions, pruned_versions, removed_paths,
-    skipped_paths} for the maintenance log. Idempotent: a second run
-    with the same arguments removes nothing."""
+    skipped_paths, skipped_live} for the maintenance log;
+    pruned_versions lists only entries whose log file was actually
+    removed. Idempotent: a second run with the same arguments
+    removes nothing."""
     import shutil
 
     from .sources.tmputil import ROOT
@@ -389,29 +403,54 @@ def gc_index_versions(
     cur = current_index_version(spark, sf_dir, profile=profile)
     keep_last = max(1, int(keep_last))
     kept = log[-keep_last:]
-    pruned = log[:-keep_last] if len(log) > keep_last else []
+    candidates = log[:-keep_last] if len(log) > keep_last else []
     protected: set[str] = set()
     for e in kept:
         protected.update((e["layout"], e["centroids"]))
     if cur is not None:
         protected.update((cur["layout"], cur["centroids"]))
+    protected |= _foreign_manifest_paths(sf_dir, profile)
     # Live builder memos hand these paths to later ensure_* calls in
     # this session — deleting them would turn a memo hit into a
-    # dangling read.
+    # dangling read. Tracked separately so the skip is REPORTED.
+    live: set[str] = set()
     for triple in _VECTOR_IVF_SCALED_READY.values():
-        protected.update(triple[:2])
+        live.update(triple[:2])
     for triple in _EMB_IVF_SCALED_READY.values():
-        protected.update(triple[:2])
+        live.update(triple[:2])
     root = ROOT.rstrip(os.sep) + os.sep
     removed: list[str] = []
     skipped: list[str] = []
+    skipped_live: list[str] = []
+    pruned: list[int] = []
     mdir = _manifest_dir(sf_dir, profile)
-    for e in pruned:
+    # Pass 1 — decide per ENTRY: an entry holding any path retention
+    # does not own (foreign root) or must not break (live builder
+    # memo) keeps its log file, so the path stays tracked for a later
+    # run. Its OTHER paths then also become protected — a retained
+    # log entry must never reference a deleted directory.
+    deletable: list[dict] = []
+    for e in candidates:
+        reasons = []
         for p in (e["layout"], e["centroids"]):
-            if p in protected or p in removed:
-                continue
+            # Foreign-root and live-memo checks run BEFORE the
+            # protected-set shortcut: a live path may ALSO be
+            # referenced by another manifest, and which rail held it
+            # must not depend on what else this session published.
             if not p.startswith(root):
                 skipped.append(p)
+                reasons.append(p)
+            elif p in live:
+                skipped_live.append(p)
+                reasons.append(p)
+        if reasons:
+            protected.update((e["layout"], e["centroids"]))
+        else:
+            deletable.append(e)
+    # Pass 2 — delete what only deletable entries reference.
+    for e in deletable:
+        for p in (e["layout"], e["centroids"]):
+            if p in protected or p in removed:
                 continue
             if os.path.isdir(p):
                 shutil.rmtree(p, ignore_errors=True)
@@ -419,12 +458,52 @@ def gc_index_versions(
         vfile = os.path.join(mdir, f"v{e['version']}.json")
         if os.path.exists(vfile):
             os.remove(vfile)
+        pruned.append(e["version"])
     return {
         "kept_versions": [e["version"] for e in kept],
-        "pruned_versions": [e["version"] for e in pruned],
+        "pruned_versions": pruned,
         "removed_paths": sorted(removed),
         "skipped_paths": sorted(set(skipped)),
+        "skipped_live": sorted(set(skipped_live)),
     }
+
+
+def _foreign_manifest_paths(sf_dir: str, profile: str) -> set[str]:
+    """Every (layout, centroids) path any OTHER manifest — different
+    profile, or a different corpus tag — still references via its
+    CURRENT pointer or log entries. One metadata walk of the
+    manifest directories under the artifact root (each holds a
+    handful of tiny JSON files); the cluster form is the catalog
+    listing every retention job consults before deleting data files
+    another table might share."""
+    import json
+
+    from .sources.tmputil import ROOT
+
+    own = _manifest_dir(sf_dir, profile)
+    out: set[str] = set()
+    if not os.path.isdir(ROOT):
+        return out
+    for d in os.listdir(ROOT):
+        if not d.startswith("ivf_serving_manifest"):
+            continue
+        base = os.path.join(ROOT, d)
+        for tag in os.listdir(base):
+            mdir = os.path.join(base, tag)
+            if mdir == own or not os.path.isdir(mdir):
+                continue
+            for name in os.listdir(mdir):
+                if name != "CURRENT" and not (
+                    name.startswith("v") and name.endswith(".json")
+                ):
+                    continue
+                try:
+                    with open(os.path.join(mdir, name)) as f:
+                        e = json.load(f)
+                    out.update((e["layout"], e["centroids"]))
+                except (OSError, ValueError, KeyError):
+                    continue  # torn temp file or foreign junk
+    return out
 
 
 #: PSI alarm for the tick's drift branch — the standard 0.25
@@ -503,7 +582,13 @@ def maintain_ivf_index(
                 f"column, got {vec_cols or batch.columns}"
             )
         vecc = vec_cols[0]
-        idc = next(c for c in batch.columns if c != vecc)
+        others = [c for c in batch.columns if c != vecc]
+        if not others:
+            raise ValueError(
+                "maintain_ivf_index batch needs an id column besides "
+                f"the vector column {vecc!r}"
+            )
+        idc = others[0]
         vx = batch.select(
             F.col(idc).alias("vec_id"), F.col(vecc).alias("x")
         ).withColumn("xx", vdot(F.col("x"), F.col("x")))
@@ -535,16 +620,36 @@ def maintain_ivf_index(
         }
     else:
         layout, cents, cells = ensure_vector_index_ivf_scaled(spark, sf_dir)
-        version = publish_index_version(
-            spark, sf_dir, layout, cents, cells, profile=profile
-        )
-        out = {
-            "action": "publish",
-            "version": version,
-            "cells": cells,
-            "n_vectors": n_now,
-            **extra,
-        }
+        if cur is not None and (
+            cur["layout"],
+            cur["centroids"],
+            cur["cells"],
+        ) == (layout, cents, cells):
+            # The rebuild resolved to the EXACT published triple (the
+            # builder re-trains in place, or this session's memo
+            # already holds the retrained layout) — minting a new
+            # version would be pure churn: every flip invalidates
+            # every reader's version-keyed cache for byte-identical
+            # content (r14 review). Surface the decision, keep the
+            # pointer.
+            out = {
+                "action": "retrain_noop",
+                "version": cur["version"],
+                "cells": cells,
+                "n_vectors": n_now,
+                **extra,
+            }
+        else:
+            version = publish_index_version(
+                spark, sf_dir, layout, cents, cells, profile=profile
+            )
+            out = {
+                "action": "publish",
+                "version": version,
+                "cells": cells,
+                "n_vectors": n_now,
+                **extra,
+            }
     if gc_keep is not None:
         out["gc"] = gc_index_versions(
             spark, sf_dir, keep_last=gc_keep, profile=profile

@@ -2964,6 +2964,7 @@ def published_ivf_topk(
     k: int = _PUBLISHED_TOPK,
     profile: str = PUBLISHED_PROFILE,
     version: int | None = None,
+    tick: bool = True,
 ) -> DataFrame:
     """Vector top-k served THROUGH the blue/green pointer — the read
     side of the api.publish_index_version / maintain_ivf_index
@@ -2997,7 +2998,12 @@ def published_ivf_topk(
     exact index a training run mined from). Raises KeyError when the
     requested version is not in the log (never published, or pruned
     by gc_index_versions — retention bounds how far back a reader can
-    travel, exactly Iceberg's expire-snapshots contract)."""
+    travel, exactly Iceberg's expire-snapshots contract).
+
+    ``tick=False`` skips the maintenance tick — for a caller that
+    just ran it and resolved the version itself (published_topk_cached
+    keys its cache on that resolution; re-resolving here could race a
+    concurrent flip and serve rows under the wrong key)."""
     from ..api import (
         IVF_NPROBE_SCALED,
         current_index_version,
@@ -3005,7 +3011,8 @@ def published_ivf_topk(
         maintain_ivf_index,
     )
 
-    maintain_ivf_index(spark, sf_dir, profile=profile)
+    if tick:
+        maintain_ivf_index(spark, sf_dir, profile=profile)
     if version is None:
         cur = current_index_version(spark, sf_dir, profile=profile)
     else:
@@ -3082,17 +3089,28 @@ def published_topk_cached(
     cur = current_index_version(spark, sf_dir, profile=profile)
     key = session_key(spark, sf_dir, profile, str(cur["version"]), str(k))
     if key in _PUBLISHED_RESULT_CACHE:
-        return _PUBLISHED_RESULT_CACHE[key], True
+        # Copy out: callers may sort/mutate their result; the cached
+        # rows must stay exactly what the version served (r14 review).
+        return list(_PUBLISHED_RESULT_CACHE[key]), True
+    # Serve the EXACT version this key was resolved from, with the
+    # tick skipped (it just ran): re-resolving inside the probe could
+    # race a concurrent flip and file version N+1's rows under key N —
+    # an entry the version-keyed invalidation could never evict.
     rows = sorted(
         tuple(r)
         for r in published_ivf_topk(
-            spark, sf_dir, k=k, profile=profile
+            spark,
+            sf_dir,
+            k=k,
+            profile=profile,
+            version=cur["version"],
+            tick=False,
         ).collect()
     )
     if len(_PUBLISHED_RESULT_CACHE) >= _PUBLISHED_RESULT_CACHE_MAX:
         _PUBLISHED_RESULT_CACHE.pop(next(iter(_PUBLISHED_RESULT_CACHE)))
     _PUBLISHED_RESULT_CACHE[key] = rows
-    return rows, False
+    return list(rows), False
 
 
 # --------------------------------- late-interaction (MaxSim) re-rank

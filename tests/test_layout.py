@@ -662,25 +662,35 @@ def test_gc_index_versions_retention_rails(spark):
     publish_index_version(spark, SF_DIR, l4, c4, 23, profile=prof)
     rep = gc_index_versions(spark, SF_DIR, keep_last=2, profile=prof)
     assert rep["kept_versions"] == [4, 5]
-    assert rep["pruned_versions"] == [1, 2, 3]
-    # l1 was referenced only by pruned v1 → gone; c1 is ALSO gone —
-    # v2 (its other referent) was pruned too.
-    assert not os.path.exists(l1) and not os.path.exists(c1)
+    # Only v1 is actually pruned: v2 (out-of-root layout) and v3
+    # (live-memo layout) RETAIN their log entries so their paths stay
+    # tracked for a later run.
+    assert rep["pruned_versions"] == [1]
+    # l1 was referenced only by pruned v1 → gone; c1 SURVIVES — the
+    # retained v2 entry still references it as centroids, and a
+    # retained log entry must never point at a deleted directory.
+    assert not os.path.exists(l1) and os.path.isdir(c1)
     # Out-of-root: reported, not touched.
     assert outside in rep["skipped_paths"] and os.path.isdir(outside)
-    # Live-memo rail: the real scaled layout survives its pruned entry.
+    # Live-memo rail: the real scaled layout survives AND the skip is
+    # reported (r13-ADVICE class: a silent skip is invisible to the
+    # maintenance log).
     assert os.path.isdir(live_layout) and os.path.isdir(live_cents)
+    assert live_layout in rep["skipped_live"]
     assert live_layout not in rep["removed_paths"]
-    # Kept versions' files intact; pointer untouched; log pruned.
+    # Kept versions' files intact; pointer untouched; v1 out of the
+    # log, the two retained entries still in it.
     assert os.path.isdir(l3) and os.path.isdir(l4)
     assert current_index_version(spark, SF_DIR, profile=prof)["layout"] == l4
     assert [
         e["version"]
         for e in list_index_versions(spark, SF_DIR, profile=prof)
-    ] == [4, 5]
-    # Idempotent.
+    ] == [2, 3, 4, 5]
+    # Idempotent on deletions: the retained entries re-report their
+    # skips, but nothing further is removed or pruned.
     rep2 = gc_index_versions(spark, SF_DIR, keep_last=2, profile=prof)
     assert rep2["removed_paths"] == [] and rep2["pruned_versions"] == []
+    assert outside in rep2["skipped_paths"]
 
 
 def test_published_topk_oracle_parity(spark, duck):
@@ -804,7 +814,12 @@ def test_maintain_tick_psi_branch_and_retention(spark):
     out3 = maintain_ivf_index(spark, SF_DIR, profile=prof, batch=small)
     assert out3["action"] == "append"
     assert out3["psi_gated"] and not out3["psi_due"]
-    # Collapsed batch, ABOVE the gate: drift alarm → republish.
+    # Collapsed batch, ABOVE the gate: the drift alarm FIRES — but the
+    # rebuild resolves to the exact published triple (this session's
+    # memoized builder, fixed corpus), so the tick surfaces the
+    # decision WITHOUT minting a version: republishing identical
+    # content is pure churn (every flip would invalidate every
+    # reader's version-keyed cache for byte-identical rows).
     big = (
         spark.range(IVF_PSI_MIN_PER_CELL * cur["cells"] + 10)
         .crossJoin(F.broadcast(one))
@@ -812,15 +827,32 @@ def test_maintain_tick_psi_branch_and_retention(spark):
     )
     out4 = maintain_ivf_index(spark, SF_DIR, profile=prof, batch=big)
     assert out4["psi"] > 0.25 and out4["psi_due"] and not out4["psi_gated"]
-    assert out4["action"] == "publish"
-    assert out4["version"] == out1["version"] + 1
-    # Retention from the tick: keep only the newest entry.
+    assert out4["action"] == "retrain_noop"
+    assert out4["version"] == out1["version"]
+    # Re-ticking with the same drifted batch stays churn-free.
+    out4b = maintain_ivf_index(spark, SF_DIR, profile=prof, batch=big)
+    assert out4b["action"] == "retrain_noop"
+    assert out4b["version"] == out1["version"]
+    # A publish that actually MOVES the triple (the fixed-floor
+    # layout) gives retention something to prune from the tick.
+    from document_query_system_spark.api import ensure_vector_index_ivf
+
+    alt_layout, alt_cents = ensure_vector_index_ivf(spark, SF_DIR)
+    from document_query_system_spark.api import publish_index_version
+
+    v2 = publish_index_version(
+        spark, SF_DIR, alt_layout, alt_cents, 16, profile=prof
+    )
     out5 = maintain_ivf_index(spark, SF_DIR, profile=prof, gc_keep=1)
     assert out5["action"] == "append"
-    assert out5["gc"]["pruned_versions"] == [out1["version"]]
+    # v1's scaled-layout paths are live-memo'd (and served by other
+    # manifests), so the entry is retained — retention reports the
+    # skip instead of deleting what the session still hands out.
+    assert out5["gc"]["pruned_versions"] == []
+    assert out5["gc"]["removed_paths"] == []
+    assert out5["gc"]["skipped_live"]
     assert (
-        current_index_version(spark, SF_DIR, profile=prof)["version"]
-        == out4["version"]
+        current_index_version(spark, SF_DIR, profile=prof)["version"] == v2
     )
 
 
@@ -901,7 +933,10 @@ def test_published_cache_invalidates_on_version_flip(spark):
     prof = "t_cache"
     r1, hit1 = published_topk_cached(spark, SF_DIR, profile=prof)
     r2, hit2 = published_topk_cached(spark, SF_DIR, profile=prof)
-    assert (hit1, hit2) == (False, True) and r2 is r1
+    # Copies out, equal rows: the cache hands back a fresh list so a
+    # caller's mutation can never corrupt the stored entry.
+    assert (hit1, hit2) == (False, True)
+    assert r2 == r1 and r2 is not r1
     cur = current_index_version(spark, SF_DIR, profile=prof)
     victim_doc = r1[0][1]
     doctored = tmp_path("t_cache_fix", "layout_minus_one")
@@ -926,7 +961,11 @@ def test_published_cache_invalidates_on_version_flip(spark):
     assert [row[:4] for row in r4] == [row[:4] for row in r1]
     # And the repeat on the rolled-back version hits again.
     r5, hit5 = published_topk_cached(spark, SF_DIR, profile=prof)
-    assert hit5 and r5 is r4
+    assert hit5 and r5 == r4
+    # Mutating a returned result must not poison later hits.
+    r5.clear()
+    r6, hit6 = published_topk_cached(spark, SF_DIR, profile=prof)
+    assert hit6 and r6 == r4
 
 
 def test_published_topk_time_travel_reads_pinned_version(spark):
