@@ -28,6 +28,7 @@ SURVEY §1.1 note)."""
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -214,6 +215,14 @@ def _manifest_dir(sf_dir: str, profile: str = "default") -> str:
     return tmp_path(f"ivf_serving_manifest__{profile}", dir_tag(sf_dir))
 
 
+#: Serializes in-process publishers across ALL manifest dirs (r14
+#: ADVICE: two concurrent publishers could read one filename
+#: high-water and collide). One module-wide lock, not per-dir: a
+#: publish holds it for two tiny JSON writes, so granularity cannot
+#: matter, and per-dir lock registries leak.
+_PUBLISH_LOCK = threading.Lock()
+
+
 def publish_index_version(
     spark: SparkSession,
     sf_dir: str,
@@ -242,50 +251,74 @@ def publish_index_version(
 
     Cluster form: on an object store the rename becomes the catalog's
     conditional put / metastore CAS — same one-pointer protocol every
-    table format (Iceberg/Delta) ships; concurrent publishers here are
-    last-writer-wins, which the maintenance singleton owns.
+    table format (Iceberg/Delta) ships. Concurrent publishers are
+    serialized two ways (r14 ADVICE — two in-process publishers could
+    both read one high-water and overwrite each other's v{N}.json,
+    breaking the log's immutability): a module lock serializes
+    in-process publishers, and the log slot itself is CLAIMED with
+    O_CREAT|O_EXCL — a cross-process collision re-derives the version
+    instead of silently replacing an existing entry. CURRENT remains
+    last-writer-wins across processes, which the maintenance
+    singleton owns.
 
     Pinned in tests/test_layout.py: publish→resolve round-trips,
     versions increment, a second publish flips the pointer without
     touching the first layout, re-publishing the old triple rolls
-    back, and the log/rollback/GC trio has its own pins."""
+    back, concurrent same-process publishers mint distinct immutable
+    log entries, and the log/rollback/GC trio has its own pins."""
     import json
+    import re
 
     mdir = _manifest_dir(sf_dir, profile)
     os.makedirs(mdir, exist_ok=True)
     cur = os.path.join(mdir, "CURRENT")
-    prev = current_index_version(spark, sf_dir, profile=profile)
-    # Next version = 1 + max(pointer, log): robust to a pointer that
-    # was rolled back below the log's high-water mark — version
-    # numbers must never be reused or the log entries stop being
-    # immutable. The log's high-water comes from the FILENAMES alone
-    # (r14 review: parsing every v{N}.json made N publishes O(N²)
-    # JSON loads; the number is already in the name).
-    import re
-
-    high = prev["version"] if prev else 0
-    for name in os.listdir(mdir):
-        m = re.fullmatch(r"v(\d+)\.json", name)
-        if m:
-            high = max(high, int(m.group(1)))
-    version = high + 1
-    payload = {
-        "version": version,
-        "layout": layout_path,
-        "centroids": cents_path,
-        "cells": int(cells),
-    }
-    # Log entry first, pointer second: a crash between the two leaves
-    # an orphan log entry (harmless; the next publish numbers past
-    # it), never a CURRENT pointing at an unlogged triple.
-    tmp = os.path.join(mdir, f".v.tmp.{os.getpid()}.{version}")
-    with open(tmp, "w") as f:
-        json.dump(payload, f)
-    os.replace(tmp, os.path.join(mdir, f"v{version}.json"))
-    tmp = os.path.join(mdir, f".CURRENT.tmp.{os.getpid()}.{version}")
-    with open(tmp, "w") as f:
-        json.dump(payload, f)
-    os.replace(tmp, cur)
+    with _PUBLISH_LOCK:
+        prev = current_index_version(spark, sf_dir, profile=profile)
+        # Next version = 1 + max(pointer, log): robust to a pointer
+        # that was rolled back below the log's high-water mark —
+        # version numbers must never be reused or the log entries stop
+        # being immutable. The log's high-water comes from the
+        # FILENAMES alone (r14 review: parsing every v{N}.json made N
+        # publishes O(N²) JSON loads; the number is already in the
+        # name).
+        high = prev["version"] if prev else 0
+        for name in os.listdir(mdir):
+            m = re.fullmatch(r"v(\d+)\.json", name)
+            if m:
+                high = max(high, int(m.group(1)))
+        # Claim the log slot with O_EXCL (zero-byte placeholder): a
+        # concurrent PROCESS that claimed this number first surfaces
+        # as FileExistsError and we take the next slot — never an
+        # os.replace over someone else's immutable entry. readers
+        # (list_index_versions) skip zero-byte in-flight claims.
+        while True:
+            version = high + 1
+            vfile = os.path.join(mdir, f"v{version}.json")
+            try:
+                os.close(os.open(vfile, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+                break
+            except FileExistsError:
+                high = version
+        payload = {
+            "version": version,
+            "layout": layout_path,
+            "centroids": cents_path,
+            "cells": int(cells),
+        }
+        # Log entry first, pointer second: a crash between the two
+        # leaves an orphan log entry (harmless; the next publish
+        # numbers past it), never a CURRENT pointing at an unlogged
+        # triple. The content lands via temp + os.replace onto our own
+        # claimed slot, so a reader sees empty-claim or full entry,
+        # never a torn write.
+        tmp = os.path.join(mdir, f".v.tmp.{os.getpid()}.{version}")
+        with open(tmp, "w") as f:
+            json.dump(payload, f)
+        os.replace(tmp, vfile)
+        tmp = os.path.join(mdir, f".CURRENT.tmp.{os.getpid()}.{version}")
+        with open(tmp, "w") as f:
+            json.dump(payload, f)
+        os.replace(tmp, cur)
     return version
 
 
@@ -323,7 +356,14 @@ def list_index_versions(
         m = re.fullmatch(r"v(\d+)\.json", name)
         if not m:
             continue
-        with open(os.path.join(mdir, name)) as f:
+        p = os.path.join(mdir, name)
+        # A zero-byte entry is a concurrent publisher's O_EXCL slot
+        # claim whose content hasn't landed yet (publish_index_version)
+        # — not-yet-published, so not listed. Anything else unreadable
+        # is real corruption and propagates.
+        if os.path.getsize(p) == 0:
+            continue
+        with open(p) as f:
             out.append(json.load(f))
     return sorted(out, key=lambda e: e["version"])
 
@@ -393,8 +433,12 @@ def gc_index_versions(
     Returns {kept_versions, pruned_versions, removed_paths,
     skipped_paths, skipped_live} for the maintenance log;
     pruned_versions lists only entries whose log file was actually
-    removed. Idempotent: a second run with the same arguments
-    removes nothing."""
+    removed. When any FOREIGN manifest file fails to read, the pass
+    degrades to protect-all — nothing deleted or pruned, the failure
+    reported as unreadable_foreign (r14 ADVICE: a transiently
+    unreadable foreign CURRENT must not lose its reference).
+    Idempotent: a second run with the same arguments removes
+    nothing."""
     import shutil
 
     from .sources.tmputil import ROOT
@@ -409,15 +453,48 @@ def gc_index_versions(
         protected.update((e["layout"], e["centroids"]))
     if cur is not None:
         protected.update((cur["layout"], cur["centroids"]))
-    protected |= _foreign_manifest_paths(sf_dir, profile)
+    foreign, unreadable = _foreign_manifest_paths(sf_dir, profile)
+    if unreadable:
+        # A REAL foreign CURRENT/v{N}.json failed to read (not a torn
+        # temp — those never match the name filter): that manifest's
+        # references are unknown, so this pass must be protect-all —
+        # deleting nothing beats deleting a layout another profile's
+        # reader still resolves (r14 ADVICE). Log entries retained;
+        # the next pass retries.
+        return {
+            "kept_versions": [e["version"] for e in log],
+            "pruned_versions": [],
+            "removed_paths": [],
+            "skipped_paths": [],
+            "skipped_live": [],
+            "unreadable_foreign": sorted(unreadable),
+        }
+    protected |= foreign
     # Live builder memos hand these paths to later ensure_* calls in
     # this session — deleting them would turn a memo hit into a
     # dangling read. Tracked separately so the skip is REPORTED.
+    # Flag-set memos guard DETERMINISTIC paths (r14 ADVICE: a test can
+    # publish ensure_vector_index_ivf's triple into a manifest; once
+    # that entry ages past keep_last, gc must not rmtree a path the
+    # session memo still returns) — re-derive each flagged key's paths
+    # exactly as its builder does.
     live: set[str] = set()
     for triple in _VECTOR_IVF_SCALED_READY.values():
         live.update(triple[:2])
     for triple in _EMB_IVF_SCALED_READY.values():
         live.update(triple[:2])
+    for key in _VECTOR_INDEX_READY:
+        live.add(tmp_path("vector_index", dir_tag(key[1])))
+    for key in _VECTOR_LSH_READY:
+        live.add(tmp_path("vector_index_lsh", dir_tag(key[1])))
+    for key in _VECTOR_IVF_READY:
+        tag = dir_tag(key[1])
+        live.add(tmp_path("vector_index_ivf", tag))
+        live.add(tmp_path("vector_index_ivf_cents", tag))
+    for key in _EMB_IVF_READY:
+        tag = dir_tag(key[1])
+        live.add(tmp_path("emb_index_ivf", tag))
+        live.add(tmp_path("emb_index_ivf_cents", tag))
     root = ROOT.rstrip(os.sep) + os.sep
     removed: list[str] = []
     skipped: list[str] = []
@@ -468,22 +545,34 @@ def gc_index_versions(
     }
 
 
-def _foreign_manifest_paths(sf_dir: str, profile: str) -> set[str]:
+def _foreign_manifest_paths(
+    sf_dir: str, profile: str
+) -> tuple[set[str], list[str]]:
     """Every (layout, centroids) path any OTHER manifest — different
     profile, or a different corpus tag — still references via its
-    CURRENT pointer or log entries. One metadata walk of the
-    manifest directories under the artifact root (each holds a
-    handful of tiny JSON files); the cluster form is the catalog
-    listing every retention job consults before deleting data files
-    another table might share."""
+    CURRENT pointer or log entries, plus the list of manifest files
+    that FAILED to read. One metadata walk of the manifest directories
+    under the artifact root (each holds a handful of tiny JSON files);
+    the cluster form is the catalog listing every retention job
+    consults before deleting data files another table might share.
+
+    In-flight publish artifacts are benign and not failures: temp
+    files never match the CURRENT/v{N}.json name filter (they start
+    with '.'), and a zero-byte v{N}.json is an O_EXCL slot claim whose
+    content hasn't landed. Anything ELSE unreadable goes into the
+    failure list — the caller (gc_index_versions) treats a non-empty
+    list as protect-all, because a manifest whose references cannot be
+    read might reference anything (r14 ADVICE: the old per-entry
+    swallow silently dropped that manifest's protection)."""
     import json
 
     from .sources.tmputil import ROOT
 
     own = _manifest_dir(sf_dir, profile)
     out: set[str] = set()
+    bad: list[str] = []
     if not os.path.isdir(ROOT):
-        return out
+        return out, bad
     for d in os.listdir(ROOT):
         if not d.startswith("ivf_serving_manifest"):
             continue
@@ -497,13 +586,16 @@ def _foreign_manifest_paths(sf_dir: str, profile: str) -> set[str]:
                     name.startswith("v") and name.endswith(".json")
                 ):
                     continue
+                p = os.path.join(mdir, name)
                 try:
-                    with open(os.path.join(mdir, name)) as f:
+                    if name != "CURRENT" and os.path.getsize(p) == 0:
+                        continue  # publisher's in-flight slot claim
+                    with open(p) as f:
                         e = json.load(f)
                     out.update((e["layout"], e["centroids"]))
                 except (OSError, ValueError, KeyError):
-                    continue  # torn temp file or foreign junk
-    return out
+                    bad.append(p)
+    return out, bad
 
 
 #: PSI alarm for the tick's drift branch — the standard 0.25
@@ -542,9 +634,17 @@ def maintain_ivf_index(
     - on either trigger (or no version yet): publish the freshly
       ensured scaled layout — the ensure_* builder trains at
       ivf_cells_for(N_now) by construction, so 'rebuild' and 'first
-      publish' are the same call. Otherwise report 'append' (the
-      delta path, incremental_ivf / append_ivf_delta, owns data
-      movement between retrains);
+      publish' are the same call. NOTE the psi_due retrain trains
+      from the STORED index, never from the probed batch itself:
+      drifted vectors only enter the stored index via the append/delta
+      path (or a corpus refresh, which re-keys the builder memo), so a
+      psi_due tick fired BEFORE the drifted batch has landed resolves
+      to byte-identical content and reports 'retrain_noop' — by
+      design, repeatedly, until the batch lands and the rebuild has
+      something new to train on. Otherwise report 'append' (the delta
+      path,
+      incremental_ivf / append_ivf_delta, owns data movement between
+      retrains);
     - RETENTION (when ``gc_keep`` is set): after the decision, run
       gc_index_versions(keep_last=gc_keep) so superseded layouts are
       pruned by the same singleton that publishes them.
@@ -567,19 +667,23 @@ def maintain_ivf_index(
             (int(r.cid), [float(v) for v in r.cv], float(r.cc))
             for r in spark.read.parquet(cur["centroids"]).collect()
         ]
-        # Resolve the vector column BY TYPE (the layouts' array<double>
-        # shape), not by position — a (dv, id)-ordered batch would
-        # otherwise silently PSI the id column. Ambiguity (two vector
-        # columns) is an error, not a guess.
+        # Resolve the vector column BY TYPE — specifically a FLOAT
+        # array (the layouts' array<double> shape; array<float>
+        # accepted for a caller that kept the parquet source type),
+        # not by position and not any array (r14 ADVICE: an
+        # array<string> metadata column used to pass the ambiguity
+        # guard and mis-assign downstream). Ambiguity is an error,
+        # not a guess.
         vec_cols = [
             f.name
             for f in batch.schema.fields
-            if f.dataType.simpleString().startswith("array<")
+            if f.dataType.simpleString() in ("array<double>", "array<float>")
         ]
         if len(vec_cols) != 1:
             raise ValueError(
-                "maintain_ivf_index batch needs exactly one array vector "
-                f"column, got {vec_cols or batch.columns}"
+                "maintain_ivf_index batch needs exactly one "
+                "array<double>/array<float> vector column, got "
+                f"{vec_cols or batch.columns}"
             )
         vecc = vec_cols[0]
         others = [c for c in batch.columns if c != vecc]
@@ -588,7 +692,19 @@ def maintain_ivf_index(
                 "maintain_ivf_index batch needs an id column besides "
                 f"the vector column {vecc!r}"
             )
-        idc = others[0]
+        # Prefer an explicitly id-NAMED column; a batch with extra
+        # metadata columns must not get an arbitrary id (r14 ADVICE).
+        named = [c for c in others if c in ("id", "vec_id", "doc_id")]
+        if named:
+            idc = named[0]
+        elif len(others) == 1:
+            idc = others[0]
+        else:
+            raise ValueError(
+                "maintain_ivf_index batch id column is ambiguous: "
+                f"{others} (name one of id/vec_id/doc_id, or pass "
+                "exactly two columns)"
+            )
         vx = batch.select(
             F.col(idc).alias("vec_id"), F.col(vecc).alias("x")
         ).withColumn("xx", vdot(F.col("x"), F.col("x")))
@@ -606,6 +722,16 @@ def maintain_ivf_index(
             "psi_gated": bool(gated),
             "psi_due": bool(psi_due),
         }
+    # A fired psi_due deliberately does NOT drop the scaled-builder
+    # memo (r14 ADVICE adjudication): popping it makes the rebuild
+    # overwrite the layout path IN PLACE mid-session, and every reader
+    # holding Spark's cached file listing for that path then fails
+    # FILE_NOT_EXIST — the exact mutating-a-served-path hazard
+    # append_ivf_delta's docstring forbids. The alarm's semantics are
+    # documented instead (docstring above): drifted vectors only enter
+    # the stored index via the append/delta path or a corpus refresh
+    # (which changes sf_dir and thus the memo key), so until the batch
+    # lands, a psi_due tick correctly re-reports retrain_noop.
     if (
         cur is not None
         and not psi_due

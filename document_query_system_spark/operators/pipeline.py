@@ -3113,6 +3113,74 @@ def published_topk_cached(
     return list(rows), False
 
 
+# --------------------- r15 registrations of the r14 lifecycle library
+#
+# The five index-lifecycle operators landed in r14 as library + pytest
+# parity pins (tests/test_layout.py) under that round's zero-new-
+# registrations mandate, pre-flighted engine-vs-oracle MATCH at
+# sf0.001/0.01/0.1 (tools/preflight_staged.py). These wrappers give
+# each one its driver-contract row; the engine and oracle pairings are
+# byte-identical to the preflight tool's.
+
+
+@register("q_incremental_ivf_scaled", oracle=_inc_ivf_oracle(scaled=True))
+def q_incremental_ivf_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta maintenance of the PROMOTED scaled IVF serving layout:
+    base (stored layout minus the batch) ∪ delta (batch embedded and
+    broadcast-assigned to the STORED centroids) must equal a FULL
+    corpus rebuild at the corpus-adaptive geometry — per-cell count,
+    id checksum, and first-component vector checksum, all cross-engine
+    (see incremental_ivf). Reference analog: the upsert half of the
+    index lifecycle the reference delegates to Pinecone (ref:
+    src/services/vector_engine/pinecone_manager.py:61-103)."""
+    return incremental_ivf(spark, sf_dir, scaled=True)
+
+
+@register("q_ivf_layout_stats", oracle=_ivf_layout_stats_oracle())
+def q_ivf_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-stats dashboard row for the scaled serving layout: trained
+    geometry (cells, nprobe, probe fraction) + measured cell population
+    spread (min/max/avg, imbalance), all from one pruned groupBy(cell)
+    count — the describe_index_stats analog (ref:
+    src/services/vector_engine/pinecone_manager.py:19-59). The oracle
+    re-trains from the corpus and re-derives cells via
+    greatest(16, ceil(sqrt(N))), cross-checking the geometry rule."""
+    return ivf_layout_stats(spark, sf_dir)
+
+
+@register("q_ivf_cell_psi", oracle=_ivf_cell_psi_oracle())
+def q_ivf_cell_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-drift half of the IVF retrain policy: +0.5-smoothed PSI
+    between the stored layout's build-assignment cell histogram and an
+    incoming batch broadcast-assigned to the SAME stored centroids —
+    one (cells, n_base, n_batch, psi) row, metadata-class cost (see
+    ivf_cell_psi for the small-batch gating discipline)."""
+    return ivf_cell_psi(spark, sf_dir)
+
+
+@register("q_stream_ivf_maintenance", oracle=_inc_ivf_oracle(scaled=True))
+def q_stream_ivf_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF delta maintenance as a Structured Stream: landing dir →
+    availableNow micro-batches → foreachBatch embed + assign +
+    partitioned append. The final applied layout's per-cell checksums
+    equal the FULL-REBUILD oracle whatever the micro-batch split —
+    batch boundaries provably invisible to readers (see
+    stream_ivf_maintenance)."""
+    return stream_ivf_maintenance(spark, sf_dir)
+
+
+@register("q_vector_topk_published", oracle=_published_topk_oracle())
+def q_vector_topk_published(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector top-k served THROUGH the blue/green manifest pointer:
+    one maintenance tick (first call publishes v1; later calls resolve
+    the same version — the publish-once contract rides the hashed row
+    as the version column), then the calibrated cell-pruned probe
+    against the RESOLVED layout (see published_ivf_topk). Reference
+    analog: Pinecone's connect-then-query lifecycle (ref:
+    src/services/vector_engine/pinecone_manager.py:19-59)."""
+    return published_ivf_topk(spark, sf_dir)
+
+
 # --------------------------------- late-interaction (MaxSim) re-rank
 #
 # ColBERT-style late interaction (Khattab & Zaharia, SIGIR 2020): a

@@ -92,89 +92,26 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # first (in listed order), then everything else in registration order.
 # Unknown names fail loudly (a typo would silently burn a prefix slot).
 #
-# Round-14 prefix (r13 verdict "Next round" #1): rotation stays on
-# ROW AGE, budget ZERO new/changed registrations — the registry's own
-# r14 note said so and the verdict repeated it; all new operator work
-# this round (scaled-IVF incremental maintenance + retrain trigger)
-# lands as library + tests and registers in r15. Order: (1) the 3
-# staged r8-vintage rows-only KLL sketch rows — r13's positions 51-53,
-# promoted to head the prefix exactly as the verdict orders
-# (q_agg_percentiles_approx, q_quantile_bins_approx, q_winsorize_approx
-# — the oldest rows of any kind left in the ledger, each rows-only by
-# design with a local KLL error-bound check in tests/test_oracle.py);
-# (2) the 47 r9-VINTAGE ORACLED rows — the oldest oracled rows — so
-# the oldest ORACLED vintage becomes r10, the verdict bar.
-# 3 + 47 = exactly the 50 driver slots. Positions 51+ stage the
-# next-oldest re-observations (the full 49-row r10-vintage cohort)
-# for whatever the driver reaches, and as the ready-made r15 prefix
-# tail behind r15's new registrations (planned, all already built +
-# oracle-pinned in tests/test_layout.py: q_incremental_ivf_scaled =
-# operators/pipeline.incremental_ivf(scaled=True) with
-# _inc_ivf_oracle(scaled=True); q_ivf_layout_stats =
-# operators/pipeline.ivf_layout_stats with _ivf_layout_stats_oracle;
-# q_ivf_cell_psi = operators/pipeline.ivf_cell_psi with
-# _ivf_cell_psi_oracle; q_stream_ivf_maintenance =
-# operators/pipeline.stream_ivf_maintenance against the same
-# full-rebuild oracle as the scaled incremental row; and
-# q_vector_topk_published = operators/pipeline.published_ivf_topk
-# with _published_topk_oracle — the read side of the blue/green
-# manifest (version+cells pinned columns) — all five pre-flighted
-# engine-vs-oracle MATCH at sf0.001/0.01/0.1, BENCH_NOTES r14).
+# Round-15 prefix (r14 verdict "Next round" #1, followed exactly):
+# (1) the FIVE r14 lifecycle registrations — built + oracle-pinned in
+# r14 (tests/test_layout.py), pre-flighted engine-vs-oracle MATCH at
+# sf0.001/0.01/0.1 (tools/preflight_staged.py, re-run on this round's
+# opening tree), registered this round in operators/pipeline.py —
+# all five ORACLED, so no rows-only rows this rotation;
+# (2) 45 of the 49 staged r10-VINTAGE oracled rows (name order) — the
+# oldest rows left in the ledger — so the oldest oracled vintage
+# moves r10 → mostly-r11. 5 + 45 = exactly the 50 driver slots.
+# Positions 51+ stage the remaining 4 r10-vintage rows as the
+# ready-made r16 prefix tail (the r14-refreshed cohort follows in
+# registration order after them; nothing else is older than r11).
 _ROTATION_PREFIX: tuple[str, ...] = (
-    # --- staged rows-only KLL rows (r13 verdict #1; last rows r8) ---
-    "q_agg_percentiles_approx",  # rows-only by design (KLL), last row r8
-    "q_quantile_bins_approx",  # rows-only by design (KLL), last row r8
-    "q_winsorize_approx",  # rows-only by design (KLL), last row r8
-    # --- r9-vintage refresh (the 47 oracled rows) ---
-    "q_agg_pricing_summary",
-    "q_agg_wordcount",
-    "q_api_run_keyword",
-    "q_api_run_vector",
-    "q_array_funcs",
-    "q_cross_score",
-    "q_date_funcs",
-    "q_dedup_hash",
-    "q_embed_pandas",
-    "q_embed_quantize_int8",
-    "q_except",
-    "q_extract_cascade",
-    "q_filter_chunk_type",
-    "q_fingerprint",
-    "q_http_ingest",
-    "q_intersect",
-    "q_join_asof",
-    "q_json_corrupt_tolerant",
-    "q_json_funcs",
-    "q_l2_normalize",
-    "q_lag_lead",
-    "q_lang_id",
-    "q_map_funcs",
-    "q_math_funcs",
-    "q_merge_small_chunks",
-    "q_paragraph_explode",
-    "q_prf_expansion",
-    "q_quality_score",
-    "q_rank_family",
-    "q_regex_sections",
-    "q_running_sum",
-    "q_sentence_split",
-    "q_session_window",
-    "q_sort_limit",
-    "q_source_csv",
-    "q_source_json",
-    "q_source_orc",
-    "q_string_funcs",
-    "q_table_flatten",
-    "q_token_count",
-    "q_topk_per_group",
-    "q_topk_per_question",
-    "q_tumbling_window",
-    "q_udtf_sentences",
-    "q_union_all",
-    "q_union_distinct",
-    "q_vector_topk_filtered",
-    # --- positions 51+: staged re-observations (the r10-vintage ---
-    # --- cohort, in name order; the ready-made r15 prefix tail)  ---
+    # --- the five r14 lifecycle pairs, first driver rows (r15) ---
+    "q_incremental_ivf_scaled",
+    "q_ivf_layout_stats",
+    "q_ivf_cell_psi",
+    "q_stream_ivf_maintenance",
+    "q_vector_topk_published",
+    # --- r10-vintage refresh (45 of the 49 oldest oracled rows) ---
     "q_agg_distinct",
     "q_agg_doc_stats",
     "q_agg_index_stats",
@@ -220,6 +157,8 @@ _ROTATION_PREFIX: tuple[str, ...] = (
     "q_stream_stream_join",
     "q_stream_tumbling",
     "q_stream_upsert_foreachbatch",
+    # --- positions 51+: the 4 remaining r10-vintage rows (name ---
+    # --- order; the ready-made r16 prefix tail)                ---
     "q_to_json",
     "q_training_triplets",
     "q_upsert_last_writer",

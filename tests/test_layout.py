@@ -1018,3 +1018,212 @@ def test_published_topk_time_travel_reads_pinned_version(spark):
     assert sorted((r.question_id, r.doc_id, r.rank) for r in past) == base
     with pytest.raises(KeyError, match=r"version 99 not in the log"):
         published_ivf_topk(spark, SF_DIR, profile=prof, version=99)
+
+
+def test_gc_protects_flag_memo_paths(spark):
+    """The r14-ADVICE live-memo rail extension: flag-SET builder memos
+    (ensure_vector_index_ivf's _VECTOR_IVF_READY etc.) guard
+    deterministic paths just like the scaled dict memos — once such a
+    triple is published into a manifest and ages past keep_last,
+    retention must skip it (reported as skipped_live), not rmtree a
+    path the session memo still returns."""
+    import os
+
+    from document_query_system_spark.api import (
+        ensure_vector_index_ivf,
+        gc_index_versions,
+        publish_index_version,
+    )
+    from document_query_system_spark.sources.tmputil import tmp_path
+
+    prof = "t_gc_flagmemo"
+    flag_layout, flag_cents = ensure_vector_index_ivf(spark, SF_DIR)
+
+    def mkdirs(*names):
+        out = []
+        for n in names:
+            p = tmp_path("t_gc_flag_fix", n)
+            os.makedirs(p, exist_ok=True)
+            with open(os.path.join(p, "part-0"), "w") as f:
+                f.write("x")
+            out.append(p)
+        return out
+
+    l2, c2, l3, c3 = mkdirs("l2", "c2", "l3", "c3")
+    publish_index_version(spark, SF_DIR, flag_layout, flag_cents, 16, profile=prof)
+    publish_index_version(spark, SF_DIR, l2, c2, 16, profile=prof)
+    publish_index_version(spark, SF_DIR, l3, c3, 16, profile=prof)
+    rep = gc_index_versions(spark, SF_DIR, keep_last=1, profile=prof)
+    # v1 (the flag-memo triple) is retained: both paths live-skipped,
+    # directories intact, log entry kept. v2 is genuinely pruned.
+    assert flag_layout in rep["skipped_live"]
+    assert flag_cents in rep["skipped_live"]
+    assert os.path.isdir(flag_layout) and os.path.isdir(flag_cents)
+    assert flag_layout not in rep["removed_paths"]
+    assert rep["pruned_versions"] == [2]
+    assert not os.path.exists(l2)
+    # A later ensure_* memo hit still resolves to a readable layout.
+    again_layout, _ = ensure_vector_index_ivf(spark, SF_DIR)
+    assert again_layout == flag_layout
+    assert spark.read.parquet(again_layout).count() > 0
+
+
+def test_publish_concurrent_writers_mint_distinct_versions(spark):
+    """publish_index_version under concurrent in-process publishers
+    (r14 ADVICE): every writer gets a DISTINCT version, every
+    v{N}.json log entry is immutable (no silent os.replace overwrite),
+    and CURRENT resolves to one of the published triples."""
+    import os
+    import threading
+
+    from document_query_system_spark.api import (
+        current_index_version,
+        list_index_versions,
+        publish_index_version,
+    )
+    from document_query_system_spark.sources.tmputil import tmp_path
+
+    prof = "t_pub_conc"
+    n = 8
+    paths = []
+    for i in range(n):
+        p = tmp_path("t_pub_conc_fix", f"l{i}")
+        os.makedirs(p, exist_ok=True)
+        paths.append(p)
+    got = [None] * n
+    barrier = threading.Barrier(n)
+
+    def worker(i):
+        barrier.wait()
+        got[i] = publish_index_version(
+            spark, SF_DIR, paths[i], paths[i], 16, profile=prof
+        )
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert sorted(got) == list(range(1, n + 1))
+    log = list_index_versions(spark, SF_DIR, profile=prof)
+    assert [e["version"] for e in log] == list(range(1, n + 1))
+    # Each log entry kept the triple its publisher wrote (immutable).
+    assert len({e["layout"] for e in log}) == n
+    cur = current_index_version(spark, SF_DIR, profile=prof)
+    assert cur["layout"] in {e["layout"] for e in log}
+
+
+def test_gc_protect_all_on_unreadable_foreign(spark):
+    """r14 ADVICE: a REAL foreign CURRENT that fails to read must turn
+    the gc pass into protect-all (nothing deleted or pruned, the
+    failure reported) — the old per-entry swallow silently dropped
+    that manifest's protection. A zero-byte v{N}.json, by contrast, is
+    a publisher's in-flight slot claim and is benignly skipped."""
+    import json
+    import os
+
+    from document_query_system_spark.api import (
+        _manifest_dir,
+        gc_index_versions,
+        list_index_versions,
+        publish_index_version,
+    )
+    from document_query_system_spark.sources.tmputil import tmp_path
+
+    prof = "t_gc_unreadable"
+    foreign_prof = "t_gc_unreadable_foreign"
+
+    def mk(n):
+        p = tmp_path("t_gc_unread_fix", n)
+        os.makedirs(p, exist_ok=True)
+        with open(os.path.join(p, "part-0"), "w") as f:
+            f.write("x")
+        return p
+
+    l1, l2, l3 = mk("l1"), mk("l2"), mk("l3")
+    publish_index_version(spark, SF_DIR, l1, l1, 16, profile=prof)
+    publish_index_version(spark, SF_DIR, l2, l2, 16, profile=prof)
+    publish_index_version(spark, SF_DIR, l3, l3, 16, profile=prof)
+    fdir = _manifest_dir(SF_DIR, foreign_prof)
+    os.makedirs(fdir, exist_ok=True)
+    corrupt = os.path.join(fdir, "CURRENT")
+    try:
+        with open(corrupt, "w") as f:
+            f.write("{not json")
+        rep = gc_index_versions(spark, SF_DIR, keep_last=1, profile=prof)
+        assert rep["pruned_versions"] == [] and rep["removed_paths"] == []
+        assert corrupt in rep["unreadable_foreign"]
+        assert os.path.isdir(l1) and os.path.isdir(l2)
+        assert [
+            e["version"]
+            for e in list_index_versions(spark, SF_DIR, profile=prof)
+        ] == [1, 2, 3]
+    finally:
+        os.remove(corrupt)
+    # With the corruption gone the same pass prunes normally…
+    rep2 = gc_index_versions(spark, SF_DIR, keep_last=1, profile=prof)
+    assert rep2["pruned_versions"] == [1, 2]
+    assert not os.path.exists(l1) and not os.path.exists(l2)
+    # …and an in-flight zero-byte claim in the foreign dir is benign:
+    # not a failure, not listed as a version.
+    claim = os.path.join(fdir, "v7.json")
+    try:
+        os.close(os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+        with open(os.path.join(fdir, "v1.json"), "w") as f:
+            json.dump(
+                {"version": 1, "layout": l3, "centroids": l3, "cells": 16},
+                f,
+            )
+        rep3 = gc_index_versions(spark, SF_DIR, keep_last=1, profile=prof)
+        assert "unreadable_foreign" not in rep3
+        assert [
+            e["version"]
+            for e in list_index_versions(spark, SF_DIR, profile=foreign_prof)
+        ] == [1]
+    finally:
+        os.remove(claim)
+        os.remove(os.path.join(fdir, "v1.json"))
+
+
+def test_maintain_batch_column_resolution(spark):
+    """r14 ADVICE: maintain_ivf_index's batch resolution must ignore
+    non-float array columns (an array<string> metadata column used to
+    pass the type guard), prefer an id-NAMED column over positional
+    choice, and refuse an ambiguous id instead of guessing."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from document_query_system_spark.api import (
+        current_index_version,
+        maintain_ivf_index,
+    )
+
+    prof = "t_batch_cols"
+    maintain_ivf_index(spark, SF_DIR, profile=prof)
+    cur = current_index_version(spark, SF_DIR, profile=prof)
+    layout = spark.read.parquet(cur["layout"])
+    # Extra array<string> metadata + shuffled column order + id-named
+    # column: resolves (vector by float-array type, id by name).
+    batch = layout.select(
+        F.array(F.lit("a"), F.lit("b")).alias("tags"),
+        F.col("dv"),
+        F.col("doc_id"),
+    )
+    out = maintain_ivf_index(spark, SF_DIR, profile=prof, batch=batch)
+    assert out["action"] == "append" and out["psi"] < 0.25
+    # Two candidate id columns, neither id-named → explicit error.
+    ambiguous = layout.select(
+        F.col("dv"),
+        F.col("doc_id").alias("k1"),
+        F.col("doc_id").alias("k2"),
+    )
+    with pytest.raises(ValueError, match="ambiguous"):
+        maintain_ivf_index(spark, SF_DIR, profile=prof, batch=ambiguous)
+    # No float-array column at all → explicit error (array<string>
+    # must not satisfy the vector guard).
+    novec = layout.select(
+        F.col("doc_id"),
+        F.array(F.lit("x")).alias("tags"),
+    )
+    with pytest.raises(ValueError, match="vector column"):
+        maintain_ivf_index(spark, SF_DIR, profile=prof, batch=novec)
