@@ -3169,6 +3169,101 @@ def q_stream_ivf_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_ivf_maintenance(spark, sf_dir)
 
 
+#: Victim rule for the lifecycle roundtrip row: multiples of 29 (base
+#: snapshot members at test scales) PLUS doc 26 = 2·13 — a guaranteed
+#: member of the appended batch (doc_id % 13 == 0) at every scale, so
+#: the delete provably reaches rows the append just wrote.
+_LIFECYCLE_DEL_MOD = 29
+_LIFECYCLE_DEL_BATCH_DOC = 26
+
+
+def _ivf_lifecycle_oracle() -> str:
+    """Full-rebuild oracle for the CRUD roundtrip: train the scaled
+    geometry on the whole corpus, assign every doc, REMOVE the victim
+    set, aggregate per cell — the end state the engine must reach by
+    physically appending, deleting, and compacting the stored layout.
+    Compaction is content-neutral by contract, so it has no term here
+    (its file-count effect is pinned separately in tests)."""
+    from ..functions.embed import embed_subquery_sql
+    from .clustering import kmeans_sql_rounds_ctes
+
+    dv = embed_subquery_sql("documents", "doc_id", "text")
+    vx_body = f"""
+  SELECT id AS vec_id, embedding AS x,
+         list_dot_product(embedding, embedding) AS xx
+  FROM (SELECT id, embedding FROM {dv})
+"""
+    return f"""
+WITH {kmeans_sql_rounds_ctes(vx_body, _IVF_CELLS_SQL_SCALED)}
+SELECT CAST(cid AS BIGINT) AS cell,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(vec_id) AS BIGINT) AS id_sum,
+       CAST(sum(CAST(round(x[1] * 1000000) AS BIGINT)) AS BIGINT) AS v1_micros
+FROM a2
+WHERE vec_id % {_LIFECYCLE_DEL_MOD} <> 0
+  AND vec_id <> {_LIFECYCLE_DEL_BATCH_DOC}
+GROUP BY cid
+"""
+
+
+@register("q_ivf_lifecycle_roundtrip", oracle=_ivf_lifecycle_oracle())
+def q_ivf_lifecycle_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PHYSICAL index CRUD chain in one oracled row (r14 verdict
+    #2: append_ivf_delta / delete_from_ivf / compact_ivf_cells were
+    content-pinned in tests but had no cross-engine row): write the
+    base snapshot + append the batch (append_ivf_delta, scaled
+    geometry), DELETE a victim set that includes one appended doc
+    (semi-join locate → dynamic-overwrite rewrite of only the affected
+    cells → explicit emptied-cell drop), COMPACT the cells the append
+    fragmented (file-count flag → rewrite of only flagged cells), then
+    emit the layout's per-cell (count, id checksum, first-component
+    vector checksum) table. The oracle reaches the same end state from
+    the opposite direction — a full corpus retrain minus the victims —
+    so one hash-green row proves the whole verb chain cross-engine.
+
+    Scale: each verb's cost is bounded by what it touches — append ∝
+    batch, delete ∝ affected cells (≤|victims| dirs of ~√N rows each),
+    compaction ∝ flagged cells — never a full-layout rewrite; the
+    final report is the ≤cells-row aggregate every stats query pays.
+    Runs against a TAGGED COPY of the serving layout (append_ivf_delta
+    isolation), so the registered row can never mutate what other
+    queries probe. Reference analog: the upsert/delete index verbs the
+    reference delegates to Pinecone (ref:
+    src/services/vector_engine/pinecone_manager.py:61-166)."""
+    victims = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(
+            (F.col("doc_id") % _LIFECYCLE_DEL_MOD == 0)
+            | (F.col("doc_id") == _LIFECYCLE_DEL_BATCH_DOC)
+        )
+    )
+    path = append_ivf_delta(spark, sf_dir, scaled=True)
+    delete_from_ivf(spark, path, victims)
+    # Threshold 1: flags exactly the cells the append fragmented (2
+    # files) that the delete didn't already rewrite back to 1.
+    compact_ivf_cells(spark, path, max_files_per_cell=1)
+    return (
+        spark.read.parquet(path)
+        .groupBy("cell")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+            F.sum(
+                F.round(F.element_at(F.col("dv"), 1) * 1_000_000).cast("long")
+            )
+            .cast("long")
+            .alias("v1_micros"),
+        )
+        .select(
+            F.col("cell").cast("long").alias("cell"),
+            "n_docs",
+            "id_sum",
+            "v1_micros",
+        )
+    )
+
+
 @register("q_vector_topk_published", oracle=_published_topk_oracle())
 def q_vector_topk_published(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector top-k served THROUGH the blue/green manifest pointer:

@@ -92,18 +92,22 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # first (in listed order), then everything else in registration order.
 # Unknown names fail loudly (a typo would silently burn a prefix slot).
 #
-# Round-15 prefix (r14 verdict "Next round" #1, followed exactly):
-# (1) the FIVE r14 lifecycle registrations — built + oracle-pinned in
-# r14 (tests/test_layout.py), pre-flighted engine-vs-oracle MATCH at
-# sf0.001/0.01/0.1 (tools/preflight_staged.py, re-run on this round's
-# opening tree), registered this round in operators/pipeline.py —
-# all five ORACLED, so no rows-only rows this rotation;
-# (2) 45 of the 49 staged r10-VINTAGE oracled rows (name order) — the
-# oldest rows left in the ledger — so the oldest oracled vintage
-# moves r10 → mostly-r11. 5 + 45 = exactly the 50 driver slots.
-# Positions 51+ stage the remaining 4 r10-vintage rows as the
-# ready-made r16 prefix tail (the r14-refreshed cohort follows in
-# registration order after them; nothing else is older than r11).
+# Round-15 prefix (r14 verdict "Next round" #1 and #2, followed
+# exactly): (1) the FIVE r14 lifecycle registrations — built +
+# oracle-pinned in r14 (tests/test_layout.py), pre-flighted
+# engine-vs-oracle MATCH at sf0.001/0.01/0.1
+# (tools/preflight_staged.py, re-run on this round's opening tree),
+# registered this round in operators/pipeline.py; (2) the NEW
+# composed CRUD row q_ivf_lifecycle_roundtrip (verdict #2: one
+# oracled row proving append_ivf_delta → delete_from_ivf →
+# compact_ivf_cells cross-engine); (3) 44 of the 49 staged
+# r10-VINTAGE oracled rows (name order) — the oldest rows left in
+# the ledger — so the oldest oracled vintage moves r10 → mostly-r11.
+# 6 + 44 = exactly the 50 driver slots, all ORACLED (no rows-only
+# rows this rotation). Positions 51+ stage the remaining 5
+# r10-vintage rows as the ready-made r16 prefix tail (the
+# r14-refreshed cohort follows in registration order after them;
+# nothing else is older than r11).
 _ROTATION_PREFIX: tuple[str, ...] = (
     # --- the five r14 lifecycle pairs, first driver rows (r15) ---
     "q_incremental_ivf_scaled",
@@ -111,7 +115,9 @@ _ROTATION_PREFIX: tuple[str, ...] = (
     "q_ivf_cell_psi",
     "q_stream_ivf_maintenance",
     "q_vector_topk_published",
-    # --- r10-vintage refresh (45 of the 49 oldest oracled rows) ---
+    # --- the composed physical-CRUD row, first driver row (r15) ---
+    "q_ivf_lifecycle_roundtrip",
+    # --- r10-vintage refresh (44 of the 49 oldest oracled rows) ---
     "q_agg_distinct",
     "q_agg_doc_stats",
     "q_agg_index_stats",
@@ -156,9 +162,9 @@ _ROTATION_PREFIX: tuple[str, ...] = (
     "q_stream_stateful_counts",
     "q_stream_stream_join",
     "q_stream_tumbling",
-    "q_stream_upsert_foreachbatch",
-    # --- positions 51+: the 4 remaining r10-vintage rows (name ---
+    # --- positions 51+: the 5 remaining r10-vintage rows (name ---
     # --- order; the ready-made r16 prefix tail)                ---
+    "q_stream_upsert_foreachbatch",
     "q_to_json",
     "q_training_triplets",
     "q_upsert_last_writer",
