@@ -219,10 +219,22 @@ def main() -> None:
             pass
         return {"settle_wait_sec": round(waited, 1), "settled": settled}
 
+    # Adaptive second clause (r14 verdict #3): r14's strict gate
+    # exhausted 4 attempts on B1/B2 with best JIT deltas 1,118/2,133 ms
+    # — on this host class the 500 ms bar can be plain unreachable, and
+    # burning every attempt to then fall back to min-of-all rewards
+    # nothing. After the attempts, a run also qualifies when its JIT
+    # delta is within 25% of the BEST delta observed — the quietest
+    # window the box actually offered — and the gate row reports which
+    # clause fired (strict / adaptive / none) so the artifact stays
+    # honest about what the min means.
+    _JIT_ADAPTIVE_FACTOR = 1.25
+
     def _gated_min(tag: str, thunk) -> float:
         settle = _jit_settle()
         walls_q: list[float] = []
         walls_all: list[float] = []
+        jits: list[float] = []
         for i in range(_BLANE_MAX_ATTEMPTS):
             wall = _attrib_run(f"{tag}_run{i}", thunk)
             rec = golden_attrib[f"{tag}_run{i}"]
@@ -230,14 +242,35 @@ def main() -> None:
             jit = rec.get("jit_ms_delta")
             qualified = jit is None or jit <= _JIT_GATE_MS
             rec["qualified"] = qualified
+            if jit is not None:
+                jits.append(jit)
             if qualified:
                 walls_q.append(wall)
                 if len(walls_q) >= 2:
                     break
+        clause = "strict" if walls_q else "none"
+        adaptive_gate_ms = None
+        if not walls_q and jits:
+            adaptive_gate_ms = int(min(jits) * _JIT_ADAPTIVE_FACTOR)
+            for i in range(len(walls_all)):
+                rec = golden_attrib[f"{tag}_run{i}"]
+                jit = rec.get("jit_ms_delta")
+                if jit is not None and jit <= adaptive_gate_ms:
+                    rec["qualified"] = True
+                    rec["qualified_by"] = "adaptive"
+                    walls_q.append(walls_all[i])
+            if walls_q:
+                clause = "adaptive"
         golden_attrib[f"{tag}_gate"] = {
             "attempts": len(walls_all),
             "qualifying_runs": len(walls_q),
             "jit_gate_ms": _JIT_GATE_MS,
+            "clause": clause,
+            **(
+                {"adaptive_gate_ms": adaptive_gate_ms}
+                if adaptive_gate_ms is not None
+                else {}
+            ),
             **settle,
         }
         return min(walls_q) if walls_q else min(walls_all)

@@ -8,10 +8,20 @@ cost) before anyone touches a plan that has no diff.
 
 Run: python tools/reprobe.py q_dedup_tier_eval q_stream_dedup ...
      [--runs N]  (default 3 steady runs after 1 cold run)
+     [--band [--round rN]]  (band mode, see below)
 
 Prints one JSON line per query:
   {"query": ..., "cold": {...}, "steady": [{...}, ...],
    "load_before": [...], "load_after": [...]}
+
+Band mode (r14 verdict #4): ``--band`` measures every named query —
+default: the ~20 historically driver-scattered ones (_BAND_QUERIES)
+— and writes repo-root BANDS.json mapping each query to its
+fresh-session steady range, so the next round's verdict can classify
+a driver sample MECHANICALLY (inside band = host noise class;
+above band = investigate a plan diff) instead of re-arguing host
+noise from ad-hoc reprobes. Refresh each round:
+    python tools/reprobe.py --band --round r15
 """
 
 from __future__ import annotations
@@ -28,10 +38,39 @@ from document_query_system_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+#: The historically driver-scattered set — every query a round-9..14
+#: verdict or BENCH_NOTES entry had to reprobe-adjudicate at least
+#: once (dedup family, eval harnesses, MMR/ANN servers, streaming,
+#: the golden comparator). Band mode measures these by default.
+_BAND_QUERIES = (
+    "q_ann_recall",
+    "q_bloom_prefilter_join",
+    "q_dedup_embedding_lsh",
+    "q_dedup_keep_canonical",
+    "q_dedup_levenshtein",
+    "q_dedup_lines",
+    "q_dedup_tier_eval",
+    "q_extract_cascade",
+    "q_golden_vector_search",
+    "q_late_interaction",
+    "q_mmr_ann_pool",
+    "q_mmr_diversify",
+    "q_mmr_ivf_serving",
+    "q_mmr_pool_recall",
+    "q_ndcg_eval",
+    "q_pagerank",
+    "q_prf_expansion",
+    "q_python_datasource",
+    "q_stream_dedup",
+    "q_stream_ivf_maintenance",
+)
+
 
 def main() -> None:
     args: list[str] = []
     runs = 3
+    band = False
+    round_tag = None
     argv = sys.argv[1:]
     i = 0
     while i < len(argv):
@@ -42,9 +81,21 @@ def main() -> None:
             else:
                 runs = int(argv[i + 1])
                 i += 2
+        elif argv[i] == "--band":
+            band = True
+            i += 1
+        elif argv[i].startswith("--round"):
+            if "=" in argv[i]:
+                round_tag = argv[i].split("=", 1)[1]
+                i += 1
+            else:
+                round_tag = argv[i + 1]
+                i += 2
         else:
             args.append(argv[i])
             i += 1
+    if band and not args:
+        args = list(_BAND_QUERIES)
     spark = get_spark(app_name="dqs-reprobe")
     spark.sparkContext.setLogLevel("ERROR")
     specs = registry.all_specs()
@@ -79,6 +130,7 @@ def main() -> None:
         lambda it: it, "id long"
     ).count()
 
+    records = []
     for name in args:
         spec = specs[name]
         load_before = list(os.getloadavg())
@@ -92,7 +144,39 @@ def main() -> None:
             ],
         }
         rec["load_after"] = [round(x, 2) for x in os.getloadavg()]
+        records.append(rec)
         print(json.dumps(rec))
+    if band:
+        # One committed artifact per refresh: query → fresh-session
+        # steady band [min, max] (+ cold, the first-run ceiling), so a
+        # verdict classifies driver samples against MEASURED ranges.
+        # Band width reflects this box's scatter at measurement time;
+        # a sample above max(cold, band_hi) is the investigate signal.
+        out = {
+            "sf_dir": SF_DIR,
+            "runs_per_query": runs,
+            **({"round": round_tag} if round_tag else {}),
+            "queries": {
+                r["query"]: {
+                    "cold_sec": r["cold"]["wall_sec"],
+                    "band_sec": [
+                        min(s["wall_sec"] for s in r["steady"]),
+                        max(s["wall_sec"] for s in r["steady"]),
+                    ],
+                    "load_before": r["load_before"],
+                    "load_after": r["load_after"],
+                }
+                for r in records
+            },
+        }
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "BANDS.json",
+        )
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+            f.write("\n")
+        print(f"wrote {path} ({len(records)} queries)")
 
 
 if __name__ == "__main__":
