@@ -1157,8 +1157,12 @@ def stream_ivf_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     run = _uuid.uuid4().hex[:8]
     # One-time landing-dir build: the incoming batch slice as FOUR
-    # parquet files so availableNow takes multiple micro-batches (the
-    # split-independence claim is exercised, not vacuous).
+    # parquet files, drained two-per-trigger so availableNow takes TWO
+    # micro-batches (the split-independence claim is exercised, not
+    # vacuous — per-cell content is union-associative, so ANY split
+    # yields the same checksums; two batches proves it at half the
+    # per-batch engine overhead of four, the dominant cost of this
+    # row at bench scale).
     landing = tmp_path(f"stream_ivf_landing_{run}")
     batch = spread(
         load(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1196,7 +1200,7 @@ def stream_ivf_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = (
         spark.readStream.schema("doc_id LONG, text STRING")
-        .option("maxFilesPerTrigger", "1")
+        .option("maxFilesPerTrigger", "2")
         .parquet(landing)
     )
     with _scoped_shuffle_partitions(spark, "4"):
