@@ -248,9 +248,15 @@ def main() -> None:
                 walls_q.append(wall)
                 if len(walls_q) >= 2:
                     break
-        clause = "strict" if walls_q else "none"
+        # Exactly one of the two clauses always fires (r15 review): an
+        # empty walls_q means every attempt had a NON-None jit delta
+        # (a None delta qualifies strictly), so jits is non-empty and
+        # the min-jit attempt satisfies the adaptive bar by
+        # construction — there is no third outcome.
+        clause = "strict"
         adaptive_gate_ms = None
-        if not walls_q and jits:
+        if not walls_q:
+            clause = "adaptive"
             adaptive_gate_ms = int(min(jits) * _JIT_ADAPTIVE_FACTOR)
             for i in range(len(walls_all)):
                 rec = golden_attrib[f"{tag}_run{i}"]
@@ -259,8 +265,6 @@ def main() -> None:
                     rec["qualified"] = True
                     rec["qualified_by"] = "adaptive"
                     walls_q.append(walls_all[i])
-            if walls_q:
-                clause = "adaptive"
         golden_attrib[f"{tag}_gate"] = {
             "attempts": len(walls_all),
             "qualifying_runs": len(walls_q),
@@ -273,7 +277,7 @@ def main() -> None:
             ),
             **settle,
         }
-        return min(walls_q) if walls_q else min(walls_all)
+        return min(walls_q)
 
     # BASELINE.md headline benches — measured BEFORE the two full
     # suite passes (r8 verdict #1): B1/B2/B3 are reference-envelope

@@ -41,6 +41,15 @@ from .operators.questions import GOLDEN_QUESTIONS, SNIPPET_LEN, TOP_K
 
 _VECTOR_INDEX_READY: set[tuple] = set()
 
+#: Every artifact path a live builder memo hands out this process —
+#: each ensure_* builder registers its returned paths here on every
+#: call (r15 review: gc_index_versions used to RE-DERIVE these by
+#: duplicating the builders' tmp_path leaf names inline, so renaming
+#: a leaf would silently break gc's live protection for that
+#: builder). gc consults this one set; deleting a member would turn a
+#: later memo hit into a dangling read.
+_LIVE_ARTIFACT_PATHS: set[str] = set()
+
 
 def ensure_vector_index(spark: SparkSession, sf_dir: str) -> str:
     """Materialize the document vector index ONCE per (session,
@@ -80,6 +89,7 @@ def ensure_vector_index(spark: SparkSession, sf_dir: str) -> str:
         )
         idx.write.mode("overwrite").parquet(path)
         _VECTOR_INDEX_READY.add(key)
+    _LIVE_ARTIFACT_PATHS.add(path)
     return path
 
 
@@ -126,6 +136,7 @@ def ensure_vector_index_lsh(spark: SparkSession, sf_dir: str) -> str:
             .parquet(path)
         )
         _VECTOR_LSH_READY.add(key)
+    _LIVE_ARTIFACT_PATHS.add(path)
     return path
 
 
@@ -473,28 +484,17 @@ def gc_index_versions(
     # Live builder memos hand these paths to later ensure_* calls in
     # this session — deleting them would turn a memo hit into a
     # dangling read. Tracked separately so the skip is REPORTED.
-    # Flag-set memos guard DETERMINISTIC paths (r14 ADVICE: a test can
+    # Every ensure_* builder (flag-set AND dict-memo) registers its
+    # returned paths in _LIVE_ARTIFACT_PATHS (r14 ADVICE: a test can
     # publish ensure_vector_index_ivf's triple into a manifest; once
     # that entry ages past keep_last, gc must not rmtree a path the
-    # session memo still returns) — re-derive each flagged key's paths
-    # exactly as its builder does.
-    live: set[str] = set()
+    # session memo still returns; r15 review: the registry replaces
+    # gc re-deriving the builders' tmp_path leaf names inline).
+    live: set[str] = set(_LIVE_ARTIFACT_PATHS)
     for triple in _VECTOR_IVF_SCALED_READY.values():
         live.update(triple[:2])
     for triple in _EMB_IVF_SCALED_READY.values():
         live.update(triple[:2])
-    for key in _VECTOR_INDEX_READY:
-        live.add(tmp_path("vector_index", dir_tag(key[1])))
-    for key in _VECTOR_LSH_READY:
-        live.add(tmp_path("vector_index_lsh", dir_tag(key[1])))
-    for key in _VECTOR_IVF_READY:
-        tag = dir_tag(key[1])
-        live.add(tmp_path("vector_index_ivf", tag))
-        live.add(tmp_path("vector_index_ivf_cents", tag))
-    for key in _EMB_IVF_READY:
-        tag = dir_tag(key[1])
-        live.add(tmp_path("emb_index_ivf", tag))
-        live.add(tmp_path("emb_index_ivf_cents", tag))
     root = ROOT.rstrip(os.sep) + os.sep
     removed: list[str] = []
     skipped: list[str] = []
@@ -536,12 +536,41 @@ def gc_index_versions(
         if os.path.exists(vfile):
             os.remove(vfile)
         pruned.append(e["version"])
+    # Janitor pass for crashed publishers (r15 review): a zero-byte
+    # v{N}.json is an O_EXCL slot claim whose publisher died before
+    # the content os.replace. Readers skip it and it never enters the
+    # log, so nothing else would ever remove it — sweep claims old
+    # enough (10 min) that no live publisher can still be inside the
+    # claim→replace window (that window is two tiny JSON writes).
+    stale_claims: list[str] = []
+    if os.path.isdir(mdir):
+        import re as _re
+        import time as _time
+
+        for name in os.listdir(mdir):
+            if not _re.fullmatch(r"v(\d+)\.json", name):
+                continue
+            p = os.path.join(mdir, name)
+            try:
+                if (
+                    os.path.getsize(p) == 0
+                    and _time.time() - os.path.getmtime(p) > 600
+                ):
+                    os.remove(p)
+                    stale_claims.append(name)
+            except OSError:
+                continue
     return {
         "kept_versions": [e["version"] for e in kept],
         "pruned_versions": pruned,
         "removed_paths": sorted(removed),
         "skipped_paths": sorted(set(skipped)),
         "skipped_live": sorted(set(skipped_live)),
+        **(
+            {"removed_stale_claims": sorted(stale_claims)}
+            if stale_claims
+            else {}
+        ),
     }
 
 
@@ -694,16 +723,19 @@ def maintain_ivf_index(
             )
         # Prefer an explicitly id-NAMED column; a batch with extra
         # metadata columns must not get an arbitrary id (r14 ADVICE).
+        # TWO id-named columns are as ambiguous as none (r15 review:
+        # picking named[0] would choose by column position, the exact
+        # guess the guard exists to refuse).
         named = [c for c in others if c in ("id", "vec_id", "doc_id")]
-        if named:
+        if len(named) == 1:
             idc = named[0]
-        elif len(others) == 1:
+        elif not named and len(others) == 1:
             idc = others[0]
         else:
             raise ValueError(
                 "maintain_ivf_index batch id column is ambiguous: "
-                f"{others} (name one of id/vec_id/doc_id, or pass "
-                "exactly two columns)"
+                f"{others} (name exactly one of id/vec_id/doc_id, or "
+                "pass exactly two columns)"
             )
         vx = batch.select(
             F.col(idc).alias("vec_id"), F.col(vecc).alias("x")
@@ -804,6 +836,7 @@ def ensure_vector_index_ivf_scaled(
 
     key = session_key(spark, sf_dir)
     if key in _VECTOR_IVF_SCALED_READY:
+        _LIVE_ARTIFACT_PATHS.update(_VECTOR_IVF_SCALED_READY[key][:2])
         return _VECTOR_IVF_SCALED_READY[key]
     idx = spark.read.parquet(ensure_vector_index(spark, sf_dir))
     cells = ivf_cells_for(idx.count())
@@ -827,6 +860,7 @@ def ensure_vector_index_ivf_scaled(
         cells=cells,
     )
     _VECTOR_IVF_SCALED_READY[key] = (path, cents_path, cells)
+    _LIVE_ARTIFACT_PATHS.update((path, cents_path))
     return path, cents_path, cells
 
 
@@ -912,6 +946,7 @@ def ensure_vector_index_ivf(spark: SparkSession, sf_dir: str) -> tuple[str, str]
             cents_path=cents_path,
         )
         _VECTOR_IVF_READY.add(key)
+    _LIVE_ARTIFACT_PATHS.update((path, cents_path))
     return path, cents_path
 
 
@@ -957,6 +992,7 @@ def ensure_embeddings_index_ivf(spark: SparkSession, sf_dir: str) -> tuple[str, 
             cents_path=cents_path,
         )
         _EMB_IVF_READY.add(key)
+    _LIVE_ARTIFACT_PATHS.update((path, cents_path))
     return path, cents_path
 
 
@@ -985,6 +1021,7 @@ def ensure_embeddings_index_ivf_scaled(
 
     key = session_key(spark, sf_dir)
     if key in _EMB_IVF_SCALED_READY:
+        _LIVE_ARTIFACT_PATHS.update(_EMB_IVF_SCALED_READY[key][:2])
         return _EMB_IVF_SCALED_READY[key]
     vx = load(spark, sf_dir, "embeddings").select(
         "vec_id",
@@ -1010,6 +1047,7 @@ def ensure_embeddings_index_ivf_scaled(
         cells=cells,
     )
     _EMB_IVF_SCALED_READY[key] = (path, cents_path, cells)
+    _LIVE_ARTIFACT_PATHS.update((path, cents_path))
     return path, cents_path, cells
 
 

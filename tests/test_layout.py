@@ -1227,3 +1227,65 @@ def test_maintain_batch_column_resolution(spark):
     )
     with pytest.raises(ValueError, match="vector column"):
         maintain_ivf_index(spark, SF_DIR, profile=prof, batch=novec)
+
+
+def test_gc_sweeps_stale_zero_byte_claims(spark):
+    """r15 review: a publisher that crashes between the O_EXCL slot
+    claim and the content os.replace leaves a zero-byte v{N}.json
+    nothing else removes (readers skip it; it never enters the log).
+    gc sweeps claims older than 10 minutes and reports them; a FRESH
+    claim (possibly an in-flight publisher) is left alone."""
+    import os
+    import time
+
+    from document_query_system_spark.api import (
+        _manifest_dir,
+        gc_index_versions,
+        list_index_versions,
+        publish_index_version,
+    )
+    from document_query_system_spark.sources.tmputil import tmp_path
+
+    prof = "t_gc_claims"
+    p = tmp_path("t_gc_claims_fix", "l1")
+    os.makedirs(p, exist_ok=True)
+    publish_index_version(spark, SF_DIR, p, p, 16, profile=prof)
+    mdir = _manifest_dir(SF_DIR, prof)
+    stale = os.path.join(mdir, "v7.json")
+    fresh = os.path.join(mdir, "v8.json")
+    os.close(os.open(stale, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+    os.close(os.open(fresh, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+    old = time.time() - 3600
+    os.utime(stale, (old, old))
+    rep = gc_index_versions(spark, SF_DIR, keep_last=2, profile=prof)
+    assert rep["removed_stale_claims"] == ["v7.json"]
+    assert not os.path.exists(stale) and os.path.exists(fresh)
+    # The real log entry is untouched; the fresh claim still unlisted.
+    assert [
+        e["version"] for e in list_index_versions(spark, SF_DIR, profile=prof)
+    ] == [1]
+    os.remove(fresh)
+
+
+def test_maintain_batch_two_named_ids_is_ambiguous(spark):
+    """r15 review follow-up to the id-name guard: TWO id-named
+    columns are refused, not resolved by column position."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from document_query_system_spark.api import (
+        current_index_version,
+        maintain_ivf_index,
+    )
+
+    prof = "t_batch_cols2"
+    maintain_ivf_index(spark, SF_DIR, profile=prof)
+    cur = current_index_version(spark, SF_DIR, profile=prof)
+    layout = spark.read.parquet(cur["layout"])
+    two_named = layout.select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("dv"),
+        F.col("doc_id"),
+    )
+    with pytest.raises(ValueError, match="ambiguous"):
+        maintain_ivf_index(spark, SF_DIR, profile=prof, batch=two_named)

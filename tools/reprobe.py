@@ -17,11 +17,20 @@ Prints one JSON line per query:
 Band mode (r14 verdict #4): ``--band`` measures every named query —
 default: the ~20 historically driver-scattered ones (_BAND_QUERIES)
 — and writes repo-root BANDS.json mapping each query to its
-fresh-session steady range, so the next round's verdict can classify
+measured steady range, so the next round's verdict can classify
 a driver sample MECHANICALLY (inside band = host noise class;
 above band = investigate a plan diff) instead of re-arguing host
 noise from ad-hoc reprobes. Refresh each round:
     python tools/reprobe.py --band --round r15
+
+Band semantics, stated honestly: all named queries run SEQUENTIALLY
+in ONE fresh session (per-query subprocesses would pay a JVM start +
+full artifact rebuild each — ~30+ min for the default set), so
+early-listed queries carry the session's tiered-compilation backlog
+and late-listed ones its accumulated codegen profile; the per-run
+jit/gc deltas printed alongside attribute exactly that. A re-run of
+a SUBSET (--band q_x q_y) MERGES into the existing BANDS.json —
+other queries' bands are preserved, never clobbered.
 """
 
 from __future__ import annotations
@@ -73,24 +82,27 @@ def main() -> None:
     round_tag = None
     argv = sys.argv[1:]
     i = 0
+    def _flag_value(flag: str) -> tuple[str, int]:
+        """Value of ``--flag X`` or ``--flag=X`` at argv[i]; exits
+        with a usage message when the value is missing (r15 review:
+        a trailing valueless flag used to IndexError)."""
+        if "=" in argv[i]:
+            return argv[i].split("=", 1)[1], 1
+        if i + 1 >= len(argv):
+            sys.exit(f"usage: {flag} requires a value")
+        return argv[i + 1], 2
+
     while i < len(argv):
-        if argv[i].startswith("--runs"):
-            if "=" in argv[i]:
-                runs = int(argv[i].split("=", 1)[1])
-                i += 1
-            else:
-                runs = int(argv[i + 1])
-                i += 2
+        if argv[i] == "--runs" or argv[i].startswith("--runs="):
+            v, step = _flag_value("--runs")
+            runs = int(v)
+            i += step
         elif argv[i] == "--band":
             band = True
             i += 1
-        elif argv[i].startswith("--round"):
-            if "=" in argv[i]:
-                round_tag = argv[i].split("=", 1)[1]
-                i += 1
-            else:
-                round_tag = argv[i + 1]
-                i += 2
+        elif argv[i] == "--round" or argv[i].startswith("--round="):
+            round_tag, step = _flag_value("--round")
+            i += step
         else:
             args.append(argv[i])
             i += 1
@@ -147,36 +159,49 @@ def main() -> None:
         records.append(rec)
         print(json.dumps(rec))
     if band:
-        # One committed artifact per refresh: query → fresh-session
+        # One committed artifact per refresh: query → one-session
         # steady band [min, max] (+ cold, the first-run ceiling), so a
         # verdict classifies driver samples against MEASURED ranges.
         # Band width reflects this box's scatter at measurement time;
         # a sample above max(cold, band_hi) is the investigate signal.
-        out = {
-            "sf_dir": SF_DIR,
-            "runs_per_query": runs,
-            **({"round": round_tag} if round_tag else {}),
-            "queries": {
-                r["query"]: {
-                    "cold_sec": r["cold"]["wall_sec"],
-                    "band_sec": [
-                        min(s["wall_sec"] for s in r["steady"]),
-                        max(s["wall_sec"] for s in r["steady"]),
-                    ],
-                    "load_before": r["load_before"],
-                    "load_after": r["load_after"],
-                }
-                for r in records
-            },
-        }
+        # A subset run MERGES into the existing file (r15 review: a
+        # one-query re-check used to clobber the other 19 bands).
         path = os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             "BANDS.json",
         )
+        prior: dict = {}
+        if os.path.exists(path):
+            try:
+                with open(path) as f:
+                    prior = json.load(f).get("queries", {})
+            except (OSError, ValueError):
+                prior = {}
+        measured = {
+            r["query"]: {
+                "cold_sec": r["cold"]["wall_sec"],
+                "band_sec": [
+                    min(s["wall_sec"] for s in r["steady"]),
+                    max(s["wall_sec"] for s in r["steady"]),
+                ],
+                "load_before": r["load_before"],
+                "load_after": r["load_after"],
+            }
+            for r in records
+        }
+        out = {
+            "sf_dir": SF_DIR,
+            "runs_per_query": runs,
+            **({"round": round_tag} if round_tag else {}),
+            "queries": {**prior, **measured},
+        }
         with open(path, "w") as f:
             json.dump(out, f, indent=1, sort_keys=True)
             f.write("\n")
-        print(f"wrote {path} ({len(records)} queries)")
+        print(
+            f"wrote {path} ({len(measured)} measured, "
+            f"{len(out['queries'])} total)"
+        )
 
 
 if __name__ == "__main__":
