@@ -576,8 +576,24 @@ def q_dedup_tier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates. At 100 TB the eval runs on a hash-sampled slice
     (md5(doc_id) head — q_sample_hash's device) rather than the full
     corpus; the metric semantics are unchanged."""
-    cand = _minhash_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    truth = _ngram_jaccard(spark, sf_dir, df_cap=None).select("doc_a", "doc_b")
+    # Each leg feeds TWO consumers (its own count + the TP join);
+    # without a materialization barrier Spark recomputes the whole
+    # MinHash/banding pipeline and the whole inverted-index Jaccard
+    # pipeline once per consumer — the r15 opt pass measured the
+    # un-checkpointed plan at 40 Exchanges / 12 scans (each leg's
+    # corpus scan + shingle pass duplicated) vs 9 justified. The lazy
+    # checkpoints run each leg exactly once; the scorer consumes two
+    # tiny (pair-count-sized) tables, the q_ann_recall discipline.
+    cand = (
+        _minhash_candidate_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
+    truth = (
+        _ngram_jaccard(spark, sf_dir, df_cap=None)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
     tp = cand.join(truth, ["doc_a", "doc_b"])
     nc = cand.agg(F.count("*").alias("n_candidates"))
     nt = truth.agg(F.count("*").alias("n_truth"))

@@ -1638,7 +1638,17 @@ def q_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = [0] * (_BLOOM_BITS // 64)
     for r in packed:
         words[r.word_idx] = r.bits
-    bf = F.lit(words)  # array<bigint> literal, constant-folded once
+    # ONE ArrayType Literal, not CreateArray-of-4096-literals:
+    # F.lit(list) builds a CreateArray whose 4096 children each
+    # codegen a per-row store — janino source in the hundreds of KB,
+    # seconds of compile+JIT per fresh plan, and the bit array is
+    # re-materialized per row batch. F.lit(ndarray) goes through the
+    # direct Literal(ArrayData) path: one reference-array constant,
+    # no per-element codegen (measured 2-3× on the end-to-end query,
+    # identical values/results — r15 opt pass).
+    import numpy as np
+
+    bf = F.lit(np.asarray(words, dtype=np.int64))
     orders = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
@@ -2666,14 +2676,26 @@ def q_mmr_pool_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-agg dedup; cell-pruned IVF probe — each WITHOUT the
     pool-vector fetch the MMR rounds need); the comparison joins
     ≤|questions|·pool row sets."""
-    exact_pool = exact_pool_topn(spark, sf_dir, _MMR_POOL).select(
-        "question_id", "doc_id"
+    # Materialize each pool once (lazy checkpoint): exact_pool feeds
+    # THREE consumers (n_exact + both overlap joins) and each ANN pool
+    # two — un-checkpointed, Spark recomputes the full probe pipeline
+    # per consumer (the r15 opt pass measured 48 Exchanges / 28 scans
+    # in one plan: the exact probe tripled, each ANN probe doubled).
+    # The report then joins ≤|questions|·pool-row tables only.
+    exact_pool = (
+        exact_pool_topn(spark, sf_dir, _MMR_POOL)
+        .select("question_id", "doc_id")
+        .localCheckpoint(eager=False)
     )
-    ann_pool = mmr_ann_pool_pairs(spark, sf_dir).select(
-        "question_id", "doc_id"
+    ann_pool = (
+        mmr_ann_pool_pairs(spark, sf_dir)
+        .select("question_id", "doc_id")
+        .localCheckpoint(eager=False)
     )
-    ivf_pool = mmr_ivf_pool_pairs(spark, sf_dir).select(
-        "question_id", "doc_id"
+    ivf_pool = (
+        mmr_ivf_pool_pairs(spark, sf_dir)
+        .select("question_id", "doc_id")
+        .localCheckpoint(eager=False)
     )
     ne = exact_pool.groupBy("question_id").agg(F.count("*").alias("n_exact"))
     na = ann_pool.groupBy("question_id").agg(F.count("*").alias("n_ann"))
@@ -2807,11 +2829,18 @@ def q_ivf_recall_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..api import IVF_NPROBE, ensure_vector_index_ivf_scaled
 
     _, _, cells = ensure_vector_index_ivf_scaled(spark, sf_dir)
-    exact_pool = exact_pool_topn(spark, sf_dir, _MMR_POOL).select(
-        "question_id", "doc_id"
+    # Materialize each pool once (lazy checkpoint): both pools feed
+    # two consumers (their count + the overlap join) — the
+    # q_mmr_pool_recall fix (r15 opt pass), same rationale.
+    exact_pool = (
+        exact_pool_topn(spark, sf_dir, _MMR_POOL)
+        .select("question_id", "doc_id")
+        .localCheckpoint(eager=False)
     )
-    ivf_pool = mmr_ivf_pool_pairs(spark, sf_dir, scaled=True).select(
-        "question_id", "doc_id"
+    ivf_pool = (
+        mmr_ivf_pool_pairs(spark, sf_dir, scaled=True)
+        .select("question_id", "doc_id")
+        .localCheckpoint(eager=False)
     )
     ne = exact_pool.groupBy("question_id").agg(F.count("*").alias("n_exact"))
     ni = ivf_pool.groupBy("question_id").agg(F.count("*").alias("n_ivf"))
