@@ -386,33 +386,45 @@ def _parse_docx_minimal(payload: bytes) -> tuple[str, int]:
     return "\n".join(parts), len(paras)
 
 
-def real_container_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, file_name, payload) where payload is a REAL container:
+def _real_container_gen(
+    batches: Iterator["pd.DataFrame"],
+) -> Iterator["pd.DataFrame"]:
+    """(doc_id, text) batches → (doc_id, file_name, payload) batches;
     even doc_ids become actual PDFs, odd become actual DOCX archives.
-    Built in mapInPandas (compression needs Python); deterministic
-    given the source text."""
+    Module-level so consumers can COMPOSE it with their parse pass in
+    one mapInPandas (q_extract_real_containers) instead of paying a
+    second Python boundary round-trip for the container bytes."""
     import pandas as pd
 
-    docs = spread(
+    for pdf in batches:
+        out = {"doc_id": [], "file_name": [], "payload": []}
+        for did, text in zip(pdf["doc_id"], pdf["text"]):
+            if did % 2 == 0:
+                fn, pl = f"doc_{did}.pdf", _build_pdf_minimal(text)
+            else:
+                fn, pl = f"doc_{did}.docx", _build_docx_minimal(text)
+            out["doc_id"].append(did)
+            out["file_name"].append(fn)
+            out["payload"].append(pl)
+        yield pd.DataFrame(out)
+
+
+def _real_container_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spread(
         load(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 200)
         .select("doc_id", "text")
     )
 
-    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        for pdf in batches:
-            out = {"doc_id": [], "file_name": [], "payload": []}
-            for did, text in zip(pdf["doc_id"], pdf["text"]):
-                if did % 2 == 0:
-                    fn, pl = f"doc_{did}.pdf", _build_pdf_minimal(text)
-                else:
-                    fn, pl = f"doc_{did}.docx", _build_docx_minimal(text)
-                out["doc_id"].append(did)
-                out["file_name"].append(fn)
-                out["payload"].append(pl)
-            yield pd.DataFrame(out)
 
-    return docs.mapInPandas(gen, "doc_id long, file_name string, payload binary")
+def real_container_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, file_name, payload) where payload is a REAL container:
+    even doc_ids become actual PDFs, odd become actual DOCX archives.
+    Built in mapInPandas (compression needs Python); deterministic
+    given the source text."""
+    return _real_container_docs(spark, sf_dir).mapInPandas(
+        _real_container_gen, "doc_id long, file_name string, payload binary"
+    )
 
 
 @register(
@@ -435,9 +447,7 @@ def q_extract_real_containers(spark: SparkSession, sf_dir: str) -> DataFrame:
     error anywhere in them shows up as a text or doc_type mismatch."""
     import pandas as pd
 
-    rc = real_container_table(spark, sf_dir)
-
-    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+    def parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             out = {"doc_id": [], "doc_type": [], "body_text": [],
                    "body_chars": []}
@@ -455,8 +465,18 @@ def q_extract_real_containers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["body_chars"].append(len(body))
             yield pd.DataFrame(out)
 
-    return rc.mapInPandas(
-        gen,
+    # ONE Python pass (r15 opt pass, the q_extract_cascade fix): the
+    # build and parse generators compose inside a single mapInPandas,
+    # so the PDF/DOCX container bytes never make the Python → JVM →
+    # Python round-trip between two MapInPandas nodes. Rows out are
+    # byte-identical (same per-row functions, same order).
+    def build_parse(
+        batches: Iterator["pd.DataFrame"],
+    ) -> Iterator["pd.DataFrame"]:
+        return parse(_real_container_gen(batches))
+
+    return _real_container_docs(spark, sf_dir).mapInPandas(
+        build_parse,
         "doc_id long, doc_type string, body_text string, body_chars long",
     )
 
@@ -963,8 +983,6 @@ def q_extract_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    landing = docs.mapInPandas(build, "doc_id long, payload binary")
-
     def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             rows = [_extract_cascade_one(bytes(p)) for p in pdf["payload"]]
@@ -977,7 +995,19 @@ def q_extract_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return landing.mapInPandas(
-        extract,
+    # ONE Python pass, not two chained mapInPandas (r15 opt pass):
+    # the build→extract composition ran as two MapInPandas nodes, so
+    # every container payload (text layers + raster bytes) crossed
+    # Python → Arrow → JVM → Arrow → Python between them — pure
+    # serialization of the heaviest column. Composing the generators
+    # keeps the payload inside one worker pass; rows out are
+    # byte-identical (same per-row functions, same order).
+    def build_extract(
+        batches: Iterator["pd.DataFrame"],
+    ) -> Iterator["pd.DataFrame"]:
+        return extract(build(batches))
+
+    return docs.mapInPandas(
+        build_extract,
         "doc_id long, strategy_used string, body_text string, n_words long",
     )
