@@ -104,6 +104,10 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda s: F.array_join(F.slice(F.col("toks"), s * _SEG_W + 1, _SEG_W), " "),
         ).alias("segs"),
     )
+    # post feeds THREE consumers (the owner aggregate, the keep join's
+    # probe side, the per-doc totals) — the lazy checkpoint runs the
+    # tokenize → segment → explode → md5 pass once instead of once per
+    # consumer (r15 opt pass; the plan carried the whole pass 3×).
     post = segs.select(
         "doc_id", F.posexplode("segs").alias("pos0", "seg")
     ).select(
@@ -111,7 +115,7 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pos0") + 1).alias("pos"),
         F.md5("seg").alias("seg_key"),
         "seg",
-    )
+    ).localCheckpoint(eager=False)
     own = post.groupBy("seg_key").agg(F.min("doc_id").alias("keeper"))
     kept = post.join(own, "seg_key").filter(F.col("doc_id") == F.col("keeper"))
     tot = post.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_segments"))
@@ -622,7 +626,13 @@ def q_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles are the two counts, both partial-aggregated map-side;
     everything after operates on vocabulary-sized data."""
     docs = spread(load(spark, sf_dir, "documents").select("text"))
-    toks = docs.select(tokens(F.col("text")).alias("l"))
+    # toks feeds BOTH count aggregates (bigrams + unigrams); the lazy
+    # checkpoint runs the tokenize fold once instead of once per
+    # aggregate (r15 opt pass — the bc/uni checkpoints below already
+    # share everything downstream, but each re-ran the tokenize).
+    toks = docs.select(tokens(F.col("text")).alias("l")).localCheckpoint(
+        eager=False
+    )
     big = toks.select(
         F.explode(
             F.expr(

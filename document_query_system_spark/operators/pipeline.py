@@ -1164,9 +1164,14 @@ def stream_ivf_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-batch engine overhead of four, the dominant cost of this
     # row at bench scale).
     landing = tmp_path(f"stream_ivf_landing_{run}")
-    batch = spread(
-        load(spark, sf_dir, "documents").select("doc_id", "text")
-    ).filter(F.col("doc_id") % _INC_LSH_MOD == 0)
+    # No spread() here (r15 opt pass): the landing build writes the
+    # RAW batch — the heavy per-row work (embed + assign) happens per
+    # micro-batch inside apply_batch, which gets its parallelism from
+    # the scan of the landing files — so a spread exchange feeding a
+    # repartition(4) was two back-to-back shuffles doing one job.
+    batch = load(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") % _INC_LSH_MOD == 0
+    )
     batch.repartition(4).write.mode("overwrite").parquet(landing)
     # Yesterday's snapshot: the stored layout minus the batch, written
     # once (same leg as append_ivf_delta's).
