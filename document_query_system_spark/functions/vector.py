@@ -599,7 +599,15 @@ def _triplets_from_scored(scored: DataFrame) -> DataFrame:
     ANN-pool (q_training_triplets_ann) variants, extracted so the
     triplet semantics can never silently diverge between them (r11
     review). Both rank windows and the final join share one
-    hash(anchor) partitioning, so the join adds no exchange."""
+    hash(anchor) partitioning, so the join adds no exchange.
+
+    scored feeds BOTH legs (positive + negative rank windows) — the
+    lazy checkpoint runs the candidate-scoring pipeline (the pool
+    probe / crossJoin cosine pass) once instead of once per leg (r15
+    opt pass; the join-pool variant's plan carried the whole
+    DPP-pruned probe twice). The cell-equi-join/DPP plan shape stays
+    pinned on triplet_join_pool directly in test_plan_quality."""
+    scored = scored.localCheckpoint(eager=False)
     w = Window.partitionBy("anchor_id").orderBy(
         F.desc("cos_sim"), F.asc("cand_id")
     )
