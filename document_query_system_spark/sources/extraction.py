@@ -417,16 +417,6 @@ def _real_container_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def real_container_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, file_name, payload) where payload is a REAL container:
-    even doc_ids become actual PDFs, odd become actual DOCX archives.
-    Built in mapInPandas (compression needs Python); deterministic
-    given the source text."""
-    return _real_container_docs(spark, sf_dir).mapInPandas(
-        _real_container_gen, "doc_id long, file_name string, payload binary"
-    )
-
-
 @register(
     "q_extract_real_containers",
     oracle="""

@@ -333,21 +333,30 @@ def q_stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = sdf.groupBy("bucket").agg(
         F.count("*").alias("n"), F.sum("score").alias("total_score")
     )
-    return _run_available_now(spark, agg, "pyfeed_stream_sink")
+    return _run_available_now(
+        spark, agg, "pyfeed_stream_sink", _STREAM_MAX_ROWS
+    )
 
 
 _STREAM_STATE_PARTITIONS = 4
 
 
-def _run_available_now(spark, agg, name: str):
+def _run_available_now(spark, agg, name: str, expected_rows: int):
     """Run the complete-mode memory sink under trigger(availableNow):
     the stream plans every batch available at start, processes them,
     and TERMINATES ITSELF — no sink polling, no stop() negotiation
     (the pre-r15 drive loop polled the memory table every 50 ms under
     a processingTime trigger and then negotiated stop(); on a
     single-batch feed that was ~2-3 s of pure fixed cost per run).
-    Fails loud on stream exception or a 120 s stall, never returns a
-    partial table.
+    Fails loud on stream exception or a 120 s stall, and — like the
+    drive loop it replaced — never returns a partial table: after
+    termination ONE bounded check verifies the aggregate accounts for
+    every feed row (``expected_rows``), so a reader that under-delivers
+    at runtime (reader bug, engine-version change in availableNow
+    snapshot semantics) raises instead of silently shipping a short
+    aggregate. The module-constant asserts at the call sites guard
+    only the single-batch PRECONDITION and vanish under ``python -O``;
+    this check guards the runtime OUTCOME and does not.
 
     The streaming aggregate's STATE partition count is scoped to 4 for
     the stream's lifetime (saved/restored around start): state-store
@@ -383,6 +392,13 @@ def _run_available_now(spark, agg, name: str):
             )
     finally:
         q.stop()
+    got = spark.sql(f"SELECT coalesce(sum(n), 0) FROM {name}").first()[0]
+    if got < expected_rows:
+        raise RuntimeError(
+            f"feed stream {name!r} under-delivered: the terminated "
+            f"availableNow run aggregated {got}/{expected_rows} rows — "
+            "partial table refused"
+        )
     return spark.table(name)
 
 
@@ -588,4 +604,6 @@ def q_stream_python_source_partitioned(
         "availableNow plans one latestOffset() head snapshot; a "
         "multi-batch feed needs the poll-to-fixpoint drive"
     )
-    return _run_available_now(spark, agg, "pyfeed_pstream_sink")
+    return _run_available_now(
+        spark, agg, "pyfeed_pstream_sink", _PSTREAM_MAX_ROWS
+    )
