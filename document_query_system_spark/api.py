@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .registry import register
-from .sources.tables import load, spread
+from .sources.tables import cluster_by_dirs, load, spread
 from .sources.tmputil import dir_tag, session_key, tmp_path
 from .functions.embed import dot, embed_df, embed_pandas
 from .operators.questions import GOLDEN_QUESTIONS, SNIPPET_LEN, TOP_K
@@ -112,7 +112,7 @@ def ensure_vector_index_lsh(spark: SparkSession, sf_dir: str) -> str:
     each), and everything downstream (exact re-rank, MMR) works on
     that bounded candidate set. Index size is N_TABLES× the plain
     index — the standard LSH storage/recall trade."""
-    from .operators.similarity import N_TABLES, _bucket_expr
+    from .operators.similarity import N_PLANES, N_TABLES, _bucket_expr
 
     tag = dir_tag(sf_dir)
     path = tmp_path("vector_index_lsh", tag)
@@ -123,14 +123,22 @@ def ensure_vector_index_lsh(spark: SparkSession, sf_dir: str) -> str:
             *[_bucket_expr(F.col("dv"), t) for t in range(N_TABLES)]
         )
         (
-            idx.select(
-                "doc_id", "dv", F.posexplode(buckets).alias("tbl", "bucket")
-            )
             # Cluster rows by their target directory before the
             # partitioned write: without this every task writes a
             # sliver into every (tbl, bucket) dir — cores×48 tiny
             # files whose per-file open cost dominates later probes.
-            .repartition("tbl", "bucket")
+            # Explicit tables×2^planes count so the write
+            # parallelizes (cluster_by_dirs).
+            cluster_by_dirs(
+                idx.select(
+                    "doc_id",
+                    "dv",
+                    F.posexplode(buckets).alias("tbl", "bucket"),
+                ),
+                N_TABLES * 2**N_PLANES,
+                "tbl",
+                "bucket",
+            )
             .write.mode("overwrite")
             .partitionBy("tbl", "bucket")
             .parquet(path)
@@ -890,11 +898,13 @@ def _build_ivf_layout(
         "cid LONG, cv ARRAY<DOUBLE>, cc DOUBLE",
     ).write.mode("overwrite").parquet(cents_path)
     (
-        assigned.select(*out_cols)
         # Cluster rows by their target directory before the
         # partitioned write (the LSH-layout lesson: without this
-        # every task writes a sliver into every cell dir).
-        .repartition("cell")
+        # every task writes a sliver into every cell dir), with the
+        # explicit cells count so the write parallelizes
+        # (cluster_by_dirs: the keyless form AQE-coalesced the tiny
+        # pre-write shuffle to ONE task at bench scale).
+        cluster_by_dirs(assigned.select(*out_cols), cells, "cell")
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(path)

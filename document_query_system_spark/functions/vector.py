@@ -606,7 +606,10 @@ def _triplets_from_scored(scored: DataFrame) -> DataFrame:
     probe / crossJoin cosine pass) once instead of once per leg (r15
     opt pass; the join-pool variant's plan carried the whole
     DPP-pruned probe twice). The cell-equi-join/DPP plan shape stays
-    pinned on triplet_join_pool directly in test_plan_quality."""
+    pinned on triplet_join_pool directly in test_plan_quality.
+    Cluster-scale caveat: localCheckpoint blocks are executor-local
+    and lineage-free — an executor loss mid-query fails the job; at
+    cluster scale this becomes a reliable checkpoint (SCALE.md)."""
     scored = scored.localCheckpoint(eager=False)
     w = Window.partitionBy("anchor_id").orderBy(
         F.desc("cos_sim"), F.asc("cand_id")

@@ -108,6 +108,9 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     # probe side, the per-doc totals) — the lazy checkpoint runs the
     # tokenize → segment → explode → md5 pass once instead of once per
     # consumer (r15 opt pass; the plan carried the whole pass 3×).
+    # Cluster-scale caveat: localCheckpoint blocks are executor-local
+    # and lineage-free — an executor loss mid-query fails the job; at
+    # cluster scale this becomes a reliable checkpoint (SCALE.md).
     post = segs.select(
         "doc_id", F.posexplode("segs").alias("pos0", "seg")
     ).select(
@@ -630,6 +633,9 @@ def q_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpoint runs the tokenize fold once instead of once per
     # aggregate (r15 opt pass — the bc/uni checkpoints below already
     # share everything downstream, but each re-ran the tokenize).
+    # Cluster-scale caveat: localCheckpoint blocks are executor-local
+    # and lineage-free — an executor loss mid-query fails the job; at
+    # cluster scale this becomes a reliable checkpoint (SCALE.md).
     toks = docs.select(tokens(F.col("text")).alias("l")).localCheckpoint(
         eager=False
     )

@@ -584,6 +584,10 @@ def q_dedup_tier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus scan + shingle pass duplicated) vs 9 justified. The lazy
     # checkpoints run each leg exactly once; the scorer consumes two
     # tiny (pair-count-sized) tables, the q_ann_recall discipline.
+    # Cluster-scale caveat: localCheckpoint blocks live on executors
+    # with no lineage — an executor loss mid-query fails the job
+    # instead of recomputing; at cluster scale this becomes a reliable
+    # checkpoint to shared storage (SCALE.md known-deltas).
     cand = (
         _minhash_candidate_pairs(spark, sf_dir)
         .select("doc_a", "doc_b")

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import tokens, tokens_sql
 from ..registry import register
-from ..sources.tables import load, spread
+from ..sources.tables import cluster_by_dirs, load, spread
 from ..functions.hashing import (
     shingle_hashes as _shingle_hashes,
     shingle_hashes_sql as _shingle_hashes_sql,
@@ -843,18 +843,31 @@ def append_ivf_delta(
     mutating that mid-session would silently change every downstream
     probe's stored input (the same isolation rule dir_tag enforces
     across corpora)."""
+    from ..api import (
+        IVF_CELLS,
+        ensure_vector_index_ivf_scaled,
+    )
     from ..sources.tmputil import dir_tag, tmp_path
 
     base, delta = _ivf_base_and_delta(spark, sf_dir, scaled)
+    # Directory count for the write clustering (memoized ensure call —
+    # the layout is already built by _ivf_base_and_delta above).
+    cells = (
+        ensure_vector_index_ivf_scaled(spark, sf_dir)[2]
+        if scaled
+        else IVF_CELLS
+    )
     suffix = "_scaled" if scaled else ""
     path = tmp_path(f"vector_index_ivf_applied{suffix}", dir_tag(sf_dir))
     # Cluster rows by target directory before each partitioned write
     # (the LSH-layout lesson: without this every task writes a sliver
-    # into every cell dir — file-count explosion at scale).
-    base.repartition("cell").write.mode("overwrite").partitionBy(
+    # into every cell dir — file-count explosion at scale), with the
+    # explicit cells count so the write parallelizes (cluster_by_dirs:
+    # the keyless form AQE-coalesced to ONE write task).
+    cluster_by_dirs(base, cells, "cell").write.mode("overwrite").partitionBy(
         "cell"
     ).parquet(path)
-    delta.repartition("cell").write.mode("append").partitionBy(
+    cluster_by_dirs(delta, cells, "cell").write.mode("append").partitionBy(
         "cell"
     ).parquet(path)
     return path
@@ -1040,7 +1053,10 @@ def delete_from_ivf(
     spark.conf.set(mode_key, "dynamic")
     try:
         (
-            survivors.repartition("cell")
+            # One write task per rewritten cell (cluster_by_dirs; the
+            # keyless count let AQE coalesce this tiny shuffle to ONE
+            # task writing every affected dir sequentially).
+            cluster_by_dirs(survivors, len(affected), "cell")
             .write.mode("overwrite")
             .partitionBy("cell")
             .parquet(layout_path)
@@ -1106,7 +1122,9 @@ def compact_ivf_cells(
     spark.conf.set(mode_key, "dynamic")
     try:
         (
-            rows.repartition("cell")
+            # One write task per flagged cell (cluster_by_dirs; see
+            # delete_from_ivf — same single-task AQE-coalesce trap).
+            cluster_by_dirs(rows, len(flagged), "cell")
             .write.mode("overwrite")
             .partitionBy("cell")
             .parquet(layout_path)
@@ -1177,10 +1195,13 @@ def stream_ivf_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # once (same leg as append_ivf_delta's).
     applied = tmp_path(f"stream_ivf_applied_{run}")
     (
-        spark.read.parquet(layout)
-        .filter(F.col("doc_id") % _INC_LSH_MOD != 0)
-        .select("doc_id", "dv", F.col("cell").cast("long").alias("cell"))
-        .repartition("cell")
+        cluster_by_dirs(  # one write task per cell, not one for all
+            spark.read.parquet(layout)
+            .filter(F.col("doc_id") % _INC_LSH_MOD != 0)
+            .select("doc_id", "dv", F.col("cell").cast("long").alias("cell")),
+            _cells,
+            "cell",
+        )
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(applied)
@@ -1197,7 +1218,7 @@ def stream_ivf_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cid").cast("long").alias("cell"),
         )
         (
-            delta.repartition("cell")
+            cluster_by_dirs(delta, _cells, "cell")
             .write.mode("append")
             .partitionBy("cell")
             .parquet(applied)
@@ -2687,6 +2708,9 @@ def q_mmr_pool_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per consumer (the r15 opt pass measured 48 Exchanges / 28 scans
     # in one plan: the exact probe tripled, each ANN probe doubled).
     # The report then joins ≤|questions|·pool-row tables only.
+    # Cluster-scale caveat: localCheckpoint blocks are executor-local
+    # and lineage-free — an executor loss mid-query fails the job; at
+    # cluster scale this becomes a reliable checkpoint (SCALE.md).
     exact_pool = (
         exact_pool_topn(spark, sf_dir, _MMR_POOL)
         .select("question_id", "doc_id")
@@ -2836,7 +2860,9 @@ def q_ivf_recall_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, _, cells = ensure_vector_index_ivf_scaled(spark, sf_dir)
     # Materialize each pool once (lazy checkpoint): both pools feed
     # two consumers (their count + the overlap join) — the
-    # q_mmr_pool_recall fix (r15 opt pass), same rationale.
+    # q_mmr_pool_recall fix (r15 opt pass), same rationale and the
+    # same cluster-scale caveat (executor-local, lineage-free blocks
+    # → reliable checkpoint at cluster scale, SCALE.md).
     exact_pool = (
         exact_pool_topn(spark, sf_dir, _MMR_POOL)
         .select("question_id", "doc_id")

@@ -358,6 +358,18 @@ def _run_available_now(spark, agg, name: str, expected_rows: int):
     only the single-batch PRECONDITION and vanish under ``python -O``;
     this check guards the runtime OUTCOME and does not.
 
+    ENGINE-CONTRACT NOTE (r15 ADVICE): the snapshot-first-batch
+    behavior is not an availableNow API promise — PythonMicroBatchStream
+    does not implement SupportsTriggerAvailableNow, so the engine takes
+    its documented FALLBACK ("source does not support
+    Trigger.AvailableNow. Falling back to single batch execution") and
+    plans exactly one batch. An engine upgrade that adds real
+    availableNow planning for Python sources would process EVERY
+    pending batch instead — MORE rows, never fewer, so the
+    under-delivery check above still holds and results stay correct;
+    tests/test_pydatasource.py pins the single-batch fallback so the
+    semantic change is surfaced, not silent.
+
     The streaming aggregate's STATE partition count is scoped to 4 for
     the stream's lifetime (saved/restored around start): state-store
     partitioning is locked per query at first start and is a per-job

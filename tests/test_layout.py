@@ -1289,3 +1289,34 @@ def test_maintain_batch_two_named_ids_is_ambiguous(spark):
     )
     with pytest.raises(ValueError, match="ambiguous"):
         maintain_ivf_index(spark, SF_DIR, profile=prof, batch=two_named)
+
+
+def test_cluster_by_dirs_explicit_count_and_one_file_per_dir(spark, tmp_path):
+    """cluster_by_dirs (r16 opt pass) must (a) pin the pre-write
+    shuffle to EXACTLY the requested directory count — a
+    user-specified repartition count AQE's coalescer may not shrink,
+    unlike the keyless repartition(cols...) it replaced, which
+    collapsed the few-MB pre-write shuffles to ONE task writing every
+    cell directory sequentially — and (b) preserve the
+    one-file-per-directory layout (each key still hashes wholly into
+    one partition)."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from document_query_system_spark.sources.tables import cluster_by_dirs
+
+    df = spark.range(500).select((F.col("id") % 7).alias("cell"), "id")
+    out = cluster_by_dirs(df, 7, "cell")
+    # (a) the explicit count survives planning (AQE cannot coalesce it)
+    assert out.rdd.getNumPartitions() == 7
+    p = str(tmp_path / "layout")
+    out.write.mode("overwrite").partitionBy("cell").parquet(p)
+    dirs = glob.glob(p + "/cell=*")
+    assert len(dirs) == 7
+    for d in dirs:
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(files) == 1, f"{d}: {files}"
+    # content round-trips
+    assert spark.read.parquet(p).count() == 500

@@ -255,3 +255,52 @@ def test_register_source_connect_style_reraises_engine_error():
 
     with pytest.raises(AnalysisException, match="DATA_SOURCE_ALREADY_EXISTS"):
         _register_source(FakeConnectSession(), SyntheticFeed)
+
+
+def test_available_now_python_source_single_batch_fallback(spark):
+    """Pin the ENGINE behavior the availableNow stream drives rely on
+    (r15 ADVICE): PythonMicroBatchStream does not implement
+    SupportsTriggerAvailableNow, so Trigger.AvailableNow falls back to
+    single-batch execution — one micro-batch spanning initialOffset →
+    the prefetching wrapper's first read() head, i.e. exactly the
+    FIRST batch for a simple reader — then self-terminates. Drive a
+    deliberately MULTI-batch feed (batch_rows < max_rows) and assert
+    only the first batch arrives. If an engine upgrade adds real
+    availableNow planning for Python sources (draining EVERY pending
+    batch before terminating), this pin fails and the registered
+    queries' single-batch reasoning must be re-derived — their results
+    stay correct either way (their feeds are one batch by construction
+    and _run_available_now's under-delivery check refuses short reads),
+    but the documented engine contract would have changed."""
+    from document_query_system_spark.sources.pydatasource import (
+        register_feed_stream,
+    )
+
+    register_feed_stream(spark)
+    sdf = (
+        spark.readStream.format("synthetic_feed_stream")
+        .option("batch_rows", 100)
+        .option("max_rows", 300)
+        .load()
+    )
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("pyfeed_availablenow_pin")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(120), (
+            "availableNow drive did not self-terminate within 120 s"
+        )
+    finally:
+        q.stop()
+    got = spark.table("pyfeed_availablenow_pin").count()
+    assert got == 100, (
+        f"single-batch availableNow fallback served {got} rows of a "
+        "300-row/3-batch feed; 100 (the first batch) pins the current "
+        "non-SupportsTriggerAvailableNow fallback — a different count "
+        "means the engine's availableNow planning for Python sources "
+        "changed"
+    )

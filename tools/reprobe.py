@@ -54,7 +54,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 _BAND_QUERIES = (
     "q_ann_recall",
     "q_bloom_prefilter_join",
+    "q_dedup_containment",
     "q_dedup_embedding_lsh",
+    "q_dedup_incremental",
     "q_dedup_keep_canonical",
     "q_dedup_levenshtein",
     "q_dedup_lines",
@@ -67,11 +69,17 @@ _BAND_QUERIES = (
     "q_mmr_ivf_serving",
     "q_mmr_pool_recall",
     "q_ndcg_eval",
+    "q_ocr_text",
     "q_pagerank",
     "q_prf_expansion",
     "q_python_datasource",
     "q_stream_dedup",
     "q_stream_ivf_maintenance",
+    # r15 verdict #3/#4: the three untouched paths that swung 7-10× in
+    # driver runs (q_dedup_embedding_lsh, q_dedup_incremental,
+    # q_ocr_text) plus the scatter-class dedup trio member missing
+    # from the set (q_dedup_containment) — added r16 so driver swings
+    # on them are mechanically adjudicable.
 )
 
 
