@@ -63,6 +63,7 @@ _BAND_QUERIES = (
     "q_dedup_tier_eval",
     "q_extract_cascade",
     "q_golden_vector_search",
+    "q_ivf_lifecycle_roundtrip",
     "q_late_interaction",
     "q_mmr_ann_pool",
     "q_mmr_diversify",
